@@ -1,0 +1,66 @@
+"""Query registry: every operator exposed through the driver contract.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with
+(optionally) an ANSI-SQL oracle string DuckDB runs on the same parquet
+tables. The driver compares row-count + schema + order-insensitive
+value-hash, with columns sorted by name — so both sides must agree on
+column NAMES and value REPRESENTATION exactly (see helpers in
+``queries/compat.py`` for float-safe rounding shared by both sides).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+_MODULES = [
+    "spotify_pipeline_gcp_spark.queries.core",
+    "spotify_pipeline_gcp_spark.queries.dedup",
+    "spotify_pipeline_gcp_spark.queries.similarity",
+    "spotify_pipeline_gcp_spark.queries.text",
+    "spotify_pipeline_gcp_spark.queries.multimodal",
+    "spotify_pipeline_gcp_spark.queries.streaming",
+]
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    for mod in _MODULES:
+        importlib.import_module(mod)
+    return REGISTRY
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in load_all().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle
+        for name, spec in load_all().items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,48 @@
+"""Cross-engine value-parity helpers.
+
+The driver hash-compares Spark output against DuckDB output. Floating
+point aggregates differ at ulp level between engines (different
+summation order), and the two engines' ``round`` functions use
+different tie-breaking (Spark: BigDecimal HALF_UP on the decimal
+rendering; DuckDB: C-library rounding on the binary double). The safe
+common denominator is an explicit ``floor(x * 10^k + 0.5) / 10^k``,
+computed identically by both engines on (near-)identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def fixed(c: Column, decimals: int = 2) -> Column:
+    """Deterministic fixed-point rounding (Spark side)."""
+    scale = 10**decimals
+    return F.floor(c * scale + F.lit(0.5)) / scale
+
+
+def sql_fixed(expr: str, decimals: int = 2) -> str:
+    """Deterministic fixed-point rounding (DuckDB oracle side)."""
+    scale = 10**decimals
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def table(spark, sf_dir: str, name: str):
+    """Load a testdata table, normalizing physical-type quirks.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects by default. Reading it as raw
+    nanos (``spark.sql.legacy.parquet.nanosAsLong``) and converting to
+    a microsecond timestamp is lossless here (all values are µs-aligned;
+    DuckDB reads the same file as µs TIMESTAMP).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_field = dict(df.dtypes).get("ts")
+        if ts_field == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,100 @@
+"""Sink adapters (SURVEY.md §2.2).
+
+The reference writes CSV/Parquet with an overwrite-then-rename dance
+driven from the driver via the GCS client
+(``/root/reference/spark_jobs/playback_pipeline.py:66-88,13-63``), and
+appends to BigQuery with a direct-write connector
+(``playback_pipeline_curated.py:211-215``). Here:
+
+- partitioned Parquet is the internal format everywhere (columnar,
+  splittable, pushdown-friendly);
+- single-file output is ``coalesce(1)`` + a filesystem rename — no
+  object-store copy loop;
+- the warehouse is an interface; tests use the Parquet implementation
+  and a DuckDB oracle (BigQuery/JDBC are deployment details, swapped
+  in via the same interface).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Parquet write (ref K2). ``partition_by`` replaces the
+    reference's path arithmetic (``main.py:46``) with a layout the
+    engine partition-prunes automatically."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV write with header (ref K1, ``playback_pipeline.py:72``)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_single_file(df: DataFrame, dest_file: str, fmt: str = "csv") -> None:
+    """One output file with a stable name (ref K4).
+
+    The reference lists ``part-*`` blobs and copy-renames them through
+    the GCS API (``playback_pipeline.py:73-86``). Equivalent here:
+    coalesce to one partition, write to a temp dir, rename the part
+    file. Only sane for small exports — a 100 TB result should never
+    be a single file, so this is an edge utility, not a default.
+    """
+    tmp = tempfile.mkdtemp(prefix="spark_single_")
+    try:
+        out = df.coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            out.option("header", True).csv(tmp)
+        elif fmt == "parquet":
+            out.parquet(tmp)
+        else:
+            raise ValueError(f"unsupported fmt: {fmt}")
+        part = glob.glob(os.path.join(tmp, f"part-*.{fmt}"))[0]
+        os.makedirs(os.path.dirname(dest_file) or ".", exist_ok=True)
+        shutil.move(part, dest_file)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+class ParquetWarehouse:
+    """Warehouse sink/scan interface (ref S8/K3) backed by Parquet.
+
+    Mirrors the BigQuery usage: ``scan(predicate)`` is the pushdown
+    read (``playback_pipeline_curated.py:105-107`` pushes a SQL string;
+    here a ``where()`` Catalyst pushes into the parquet scan), and
+    ``append`` is the direct-write append (``:211-215``). A production
+    deployment implements the same two methods over
+    ``format("bigquery")`` / JDBC.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self._path(table))
+
+    def scan(self, table: str, predicate: str | None = None) -> DataFrame:
+        df = self.spark.read.parquet(self._path(table))
+        return df.where(predicate) if predicate else df
+
+    def append(self, df: DataFrame, table: str) -> None:
+        df.write.mode("append").parquet(self._path(table))
