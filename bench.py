@@ -1,0 +1,91 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}``
+
+Each query is executed to completion with a count-style terminal
+action (``df.count()`` after the full plan — no driver materialization
+of result payloads, mirroring how a warehouse sink would consume the
+plan). A warmup query absorbs session/JIT startup so per-query numbers
+reflect plan execution, not JVM spin-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spotify_pipeline_gcp_spark.queries import load_all  # noqa: E402
+from spotify_pipeline_gcp_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship DAG + the shapes that dominate real
+# workloads (scan-agg, star join, window, bag+join, dedup, similarity,
+# text). Names must exist in the registry.
+HEADLINE = [
+    "q00_flagship_pipeline",
+    "q04_bag_collect",
+    "q05_bag_join",
+    "q06_delta_anti_join",
+    "q08_pricing_summary",
+    "q10_segment_revenue_topn",
+    "q11_window_topk",
+    "q12_window_running",
+    "q19_distinct_count",
+    "q22_regional_revenue",
+]
+# Extension headliners appended once implemented (registry-gated below).
+HEADLINE_EXT = [
+    "qd1_dedup_exact_groups",
+    "qd3_ngram_jaccard_pairs",
+    "qd4_minhash_signatures",
+    "qs3_cosine_topk_bucketed",
+    "qs4_cosine_topk_blas",
+    "qt2_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    registry = load_all()
+    names = [n for n in HEADLINE + HEADLINE_EXT if n in registry]
+
+    # 4g: measured sweet spot on this box — very large heaps (24g+) trigger
+    # a ~20x G1 slowdown on collect_list-heavy plans (humongous allocations);
+    # 1-4g are equivalent and fast. sf0.1 fits comfortably.
+    spark = get_spark("bench", driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
+    # Warmup pass: execute every plan once untimed. First execution pays
+    # whole-stage-codegen compilation + JIT + page-cache fill (seconds of
+    # fixed overhead, independent of data volume). The timed pass then
+    # measures steady-state throughput — the number that extrapolates to
+    # cluster scale, where per-plan compile cost is noise.
+    for name in names:
+        registry[name].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        registry[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

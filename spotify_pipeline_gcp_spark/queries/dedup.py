@@ -1,1 +1,184 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication queries (operators/dedup.py) with DuckDB oracles.
+
+Oracle SQL mirrors each Spark plan step-for-step in portable ANSI
+constructs; hashing is md5-hex in both engines, so values match
+exactly. DuckDB list indexing is 1-based and Spark's is 0-based —
+the shingle windows account for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_pipeline_gcp_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from spotify_pipeline_gcp_spark.queries import register
+from spotify_pipeline_gcp_spark.queries.compat import table
+
+# Shared oracle CTEs for word-3-shingles (1-based list indexing).
+SHINGLE_CTE = """
+  tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  shingle AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM tok WHERE len(t) >= 3
+  )
+"""
+
+JACCARD_CTE = f"""
+  {SHINGLE_CTE},
+  sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shingle GROUP BY doc_id),
+  common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+    FROM shingle a JOIN shingle b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  jac AS (
+    SELECT doc_a, doc_b,
+           n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+  )
+"""
+
+
+@register(
+    "qd1_dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS keep_id,
+           count(*)::BIGINT AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def qd1_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, group view: digest -> survivor id + copy count."""
+    return exact_dedup_groups(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "qd2_dedup_exact_keep",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+    """,
+)
+def qd2_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, surviving rows (lowest id per content digest)."""
+    return exact_dedup(table(spark, sf_dir, "documents"), "doc_id", "text").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "qd3_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {JACCARD_CTE}
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8
+    """,
+)
+def qd3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.8 (the
+    testdata contains injected ~0.99 pairs)."""
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+@register(
+    "qd4_minhash_signatures",
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    salted AS (
+      SELECT doc_id, seed,
+             md5(seed::VARCHAR || ':' || shingle) AS salted
+      FROM shingle CROSS JOIN (SELECT unnest(range(8)) AS seed)
+    )
+    SELECT doc_id, seed, min(salted) AS minhash
+    FROM salted GROUP BY doc_id, seed
+    """,
+)
+def qd4_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8 salted md5 permutations, word-3-grams)."""
+    sigs = minhash_signatures(
+        table(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=8
+    )
+    return sigs.select("doc_id", F.col("seed").cast("long").alias("seed"), "minhash")
+
+
+@register(
+    "qd5_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {JACCARD_CTE},
+    salted AS (
+      SELECT doc_id, seed,
+             md5(seed::VARCHAR || ':' || shingle) AS salted
+      FROM shingle CROSS JOIN (SELECT unnest(range(8)) AS seed)
+    ),
+    sigs AS (
+      SELECT doc_id, seed, min(salted) AS minhash
+      FROM salted GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             min(CASE WHEN seed % 2 = 0 THEN minhash END) AS mh0,
+             min(CASE WHEN seed % 2 = 1 THEN minhash END) AS mh1
+      FROM sigs GROUP BY doc_id, band
+    ),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.mh0 = b.mh0 AND a.mh1 = b.mh1
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, j.jaccard
+    FROM candidates c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+    WHERE j.jaccard >= 0.8
+    """,
+)
+def qd5_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation (4 bands x 2 rows) + exact
+    Jaccard verification — the 100 TB near-dup path."""
+    return minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=8,
+        rows_per_band=2,
+        threshold=0.8,
+    )
+
+
+@register(
+    "qd6_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+    ),
+    expanded AS (
+      SELECT doc_id, h, unnest(range(16)) AS j FROM tok
+    ),
+    per_bit AS (
+      SELECT doc_id, j,
+             sum((((strpos('0123456789abcdef', substr(h, (j + 1)::INT, 1)) - 1) % 2)
+                  * 2 - 1)::BIGINT) AS s
+      FROM expanded GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN power(2.0, j) ELSE 0.0 END)::BIGINT AS simhash
+    FROM per_bit GROUP BY doc_id
+    """,
+)
+def qd6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (md5-hex-digit-parity bit family)."""
+    return simhash(table(spark, sf_dir, "documents"), "doc_id", "text", bits=16)

@@ -1,1 +1,123 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis queries (operators/text.py) with oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spotify_pipeline_gcp_spark.operators.text import (
+    MOD_PRIME,
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from spotify_pipeline_gcp_spark.queries import register
+from spotify_pipeline_gcp_spark.queries.compat import table
+
+
+def _sql_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))::BIGINT"
+    )
+
+
+_LANGS = sorted(STOPWORDS)
+_HITS_COLS = ",\n           ".join(
+    f"{_sql_hits(lang)} AS hits_{lang}" for lang in _LANGS
+)
+_BEST = "greatest(" + ", ".join(f"hits_{lang}" for lang in _LANGS) + ")"
+_PRED = (
+    "CASE WHEN " + _BEST + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN hits_{lang} = {_BEST} THEN '{lang}'" for lang in _LANGS
+    )
+    + " END"
+)
+
+
+@register(
+    "qt1_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+           {_HITS_COLS}
+      FROM documents
+    )
+    SELECT doc_id, {", ".join(f"hits_{lang}" for lang in _LANGS)},
+           {_PRED} AS pred_lang
+    FROM scored
+    """,
+)
+def qt1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via per-language stopword hit counts (argmax,
+    alphabetical tie-break, 'und' when no hits)."""
+    return lang_id(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "qt2_quality_score",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             length(text)::BIGINT AS n_chars_calc,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','a','of','and','to','in','is','it')))::BIGINT AS stop_hits,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS digit_chars,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::BIGINT AS punct_chars
+      FROM documents
+    )
+    SELECT doc_id, n_chars_calc, n_tokens,
+           (n_chars_calc - (n_tokens - 1)) / n_tokens AS mean_tok_len,
+           stop_hits / n_tokens AS stop_ratio,
+           digit_chars, punct_chars,
+           least(n_tokens / 100.0, 1.0) * 0.4
+             + (stop_hits / n_tokens) * 0.3
+             + (1.0 - digit_chars / n_chars_calc) * 0.2
+             + (1.0 - punct_chars / n_chars_calc) * 0.1 AS quality
+    FROM f
+    """,
+)
+def qt2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + composite score, single codegen pass."""
+    return quality_score(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "qt3_token_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           len(list_distinct(toks))::BIGINT AS n_distinct,
+           len(list_distinct(toks)) / len(toks) AS ttr,
+           list_max(list_transform(toks, t -> length(t)))::BIGINT AS max_tok_len
+    FROM t
+    """,
+)
+def qt3_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: totals, distincts, type-token ratio — array
+    built-ins only, shuffle-free."""
+    return token_stats(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "qt4_fingerprint",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               t -> (ascii(substr(t, 1, 1)) * 131 + length(t)) % {MOD_PRIME}) AS vals
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(vals, (acc, x) -> (acc * 131 + x) % {MOD_PRIME})::BIGINT AS fingerprint
+    FROM v
+    """,
+)
+def qt4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (left fold,
+    pure integer arithmetic — exact in any engine)."""
+    return fingerprint(table(spark, sf_dir, "documents"), "doc_id", "text")

@@ -1,0 +1,81 @@
+"""Dedup operator units on hand-built frames with known answers."""
+
+from __future__ import annotations
+
+from spotify_pipeline_gcp_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the sleepy dog"),  # near dup
+    (4, "completely different text about spark engines here"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark), "doc_id", "text")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3, 4]
+    groups = {
+        r.keep_id: r.n_copies
+        for r in exact_dedup_groups(_docs(spark), "doc_id", "text").collect()
+    }
+    assert groups[1] == 2 and groups[3] == 1
+
+
+def test_shingles_window(spark):
+    sh = shingles(_docs(spark).where("doc_id = 4"), "doc_id", "text", n=3)
+    got = {r.shingle for r in sh.collect()}
+    assert "completely different text" in got
+    assert len(got) == 5  # 7 tokens -> 5 trigrams
+
+
+def test_jaccard_pairs(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            _docs(spark), "doc_id", "text", threshold=0.0
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    assert 0.3 < pairs[(1, 3)] < 1.0  # near dup: shares most trigrams
+    assert (1, 4) not in pairs  # no shared trigram at all
+
+
+def test_minhash_identical_signatures(spark):
+    sigs = minhash_signatures(_docs(spark), "doc_id", "text", num_hashes=4)
+    by_doc = {}
+    for r in sigs.collect():
+        by_doc.setdefault(r.doc_id, {})[r.seed] = r.minhash
+    assert by_doc[1] == by_doc[2]  # exact dups -> identical signature
+    assert len(by_doc[1]) == 4
+
+
+def test_minhash_lsh_finds_exact_dup(spark):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            _docs(spark), "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_simhash_equal_for_dups_and_bounded(spark):
+    fps = {r.doc_id: r.simhash for r in simhash(_docs(spark), "doc_id", "text").collect()}
+    assert fps[1] == fps[2]
+    assert all(0 <= v < 2**16 for v in fps.values())
+    # near-dup fingerprints are close in Hamming distance
+    ham = bin(fps[1] ^ fps[3]).count("1")
+    assert ham <= 6

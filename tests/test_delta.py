@@ -1,0 +1,46 @@
+"""Delta-load semantics: anti-join append, idempotency (FIXTURES §F3)."""
+
+from __future__ import annotations
+
+from spotify_pipeline_gcp_spark.operators.delta import delta_append
+from spotify_pipeline_gcp_spark.sinks.writers import ParquetWarehouse
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "played_at string, track_id string, v long")
+
+
+def test_delta_append_filters_existing(spark):
+    existing = _batch(spark, [("t1", "a", 1), ("t2", "b", 2)])
+    new = _batch(spark, [("t2", "b", 2), ("t3", "c", 3)])
+    out = delta_append(new, existing, ["played_at"])
+    assert [r.played_at for r in out.collect()] == ["t3"]
+
+
+def test_delta_append_idempotent(spark):
+    batch = _batch(spark, [("t1", "a", 1), ("t2", "b", 2)])
+    assert delta_append(batch, batch, ["played_at", "track_id"]).count() == 0
+
+
+def test_warehouse_roundtrip_idempotent(spark, tmp_path):
+    """Full curated->warehouse cycle: second load appends 0 rows
+    (ref playback_pipeline_curated.py:89-123, 207-208)."""
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    batch = _batch(spark, [("t1", "a", 1), ("t2", "b", 2), ("t3", "c", 3)])
+
+    first = (
+        delta_append(batch, wh.scan("plays"), ["played_at"])
+        if wh.exists("plays")
+        else batch
+    )
+    wh.append(first, "plays")
+    assert wh.scan("plays").count() == 3
+
+    second = delta_append(batch, wh.scan("plays"), ["played_at"])
+    assert second.count() == 0  # idempotent reload
+
+    later = _batch(spark, [("t3", "c", 3), ("t4", "d", 4)])
+    wh.append(delta_append(later, wh.scan("plays"), ["played_at"]), "plays")
+    assert wh.scan("plays").count() == 4
+    # predicate-pushdown scan path
+    assert wh.scan("plays", "played_at = 't4'").count() == 1

@@ -1,0 +1,75 @@
+"""Similarity operator units + cross-kernel agreement."""
+
+from __future__ import annotations
+
+import pytest
+
+from spotify_pipeline_gcp_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    cosine_topk_bucketed,
+    cosine_topk_pandas,
+    with_norm,
+)
+
+VECS = [
+    (1, [1.0, 0.0, 0.0]),
+    (2, [2.0, 0.0, 0.0]),   # colinear with 1 -> cosine 1.0
+    (3, [0.0, 1.0, 0.0]),   # orthogonal to 1
+    (4, [1.0, 1.0, 0.0]),
+]
+
+
+def _emb(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_norms(spark):
+    norms = {r.vec_id: r.norm for r in with_norm(_emb(spark)).collect()}
+    assert norms[1] == 1.0 and norms[2] == 2.0
+    assert norms[4] == pytest.approx(2**0.5)
+
+
+def test_cosine_pairs_known_values(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.cosine for r in cosine_pairs(_emb(spark)).collect()
+    }
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert pairs[(1, 3)] == pytest.approx(0.0)
+    assert pairs[(1, 4)] == pytest.approx(2**-0.5)
+
+
+def test_topk_ranking(spark):
+    top = cosine_topk(_emb(spark), k=1)
+    best = {r.query_id: r.neighbor_id for r in top.collect()}
+    assert best[1] == 2  # colinear wins
+    assert best[2] == 1
+
+
+def test_bucketed_is_subset_of_bruteforce(spark):
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(_emb(spark), k=4).collect()
+    }
+    bucketed = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bucketed(_emb(spark), k=4, n_bits=2).collect()
+    }
+    assert bucketed <= brute
+
+
+def test_pandas_kernel_agrees_with_codegen(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    a = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9))
+        for r in cosine_topk(emb, k=3).collect()
+    }
+    b = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9))
+        for r in cosine_topk_pandas(emb, k=3).collect()
+    }
+    assert set(a) == set(b)
+    mismatched = [k for k in a if a[k][0] != b[k][0]]
+    # identical except possible ties at equal cosine
+    assert len(mismatched) <= len(a) // 50
