@@ -1,0 +1,60 @@
+"""Plan-shape assertions: the properties that make queries survive
+100 TB, checked structurally (they cannot regress silently)."""
+
+from __future__ import annotations
+
+from spotify_pipeline_gcp_spark.plans.inspect import (
+    exchange_count,
+    join_strategies,
+    pushed_filters,
+    read_schemas,
+)
+from spotify_pipeline_gcp_spark.queries import load_all
+
+SF = "/root/testdata/sf0.01"
+
+
+def _q(spark, name):
+    return load_all()[name].fn(spark, SF)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = _q(spark, "q08_pricing_summary")
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pf), pf
+
+
+def test_column_pruning(spark):
+    df = _q(spark, "q01_project_derived")
+    schemas = read_schemas(df)
+    assert len(schemas) == 1
+    # only the 6 referenced columns are read, not all 11
+    assert schemas[0].count(":") == 6, schemas[0]
+    assert "l_shipdate" not in schemas[0]
+
+
+def test_dim_joins_broadcast(spark):
+    # q10: filtered customer dim must broadcast; the fact side must
+    # never be the build side of a shuffle join
+    strategies = join_strategies(_q(spark, "q10_segment_revenue_topn"))
+    assert "BroadcastHashJoin" in strategies
+    # q22: all four dims broadcast; only lineitem⋈orders may shuffle
+    s22 = join_strategies(_q(spark, "q22_regional_revenue"))
+    assert s22.count("BroadcastHashJoin") >= 4
+
+
+def test_anti_join_is_distributed(spark):
+    # delta load compiles to a real anti join, not a collected IN-list
+    plan_joins = join_strategies(_q(spark, "q06_delta_anti_join"))
+    assert plan_joins, "expected a join operator for the anti join"
+
+
+def test_single_pass_text_ops_have_no_shuffle(spark):
+    # quality scoring is a pure projection: zero exchanges
+    assert exchange_count(_q(spark, "qt2_quality_score")) == 0
+    assert exchange_count(_q(spark, "qt3_token_stats")) == 0
+
+
+def test_bag_aggregate_single_shuffle(spark):
+    # groupBy bagging needs exactly one exchange (partial -> final)
+    assert exchange_count(_q(spark, "q04_bag_collect")) == 1

@@ -1,0 +1,81 @@
+"""REST source adapters with an injected fake fetcher (S1-S4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from spotify_pipeline_gcp_spark.sources.rest import (
+    ArtistGenresSource,
+    AudioFeaturesSource,
+    PlaybackHistorySource,
+    cursor_after_midnight,
+    extract_artist_ids,
+    extract_track_ids,
+)
+from tests.conftest import playback_doc
+
+
+def test_cursor_is_yesterday_midnight_utc():
+    ms = cursor_after_midnight(dt.date(2026, 8, 13))
+    assert ms == int(
+        dt.datetime(2026, 8, 12, tzinfo=dt.timezone.utc).timestamp() * 1000
+    )
+
+
+def test_playback_source_declared_schema(spark):
+    captured = {}
+
+    def fake_fetch(endpoint, params):
+        captured["endpoint"], captured["params"] = endpoint, params
+        return playback_doc()
+
+    src = PlaybackHistorySource(spark, fake_fetch)
+    df = src.load(after_ms=123)
+    assert captured["endpoint"].endswith("recently-played")
+    assert captured["params"] == {"limit": 50, "after": 123}
+    # declared nested schema, no inference
+    assert df.schema["items"].dataType.typeName() == "array"
+    from spotify_pipeline_gcp_spark.operators.playback import parse_tracks
+
+    assert parse_tracks(df).count() == 4  # dup play collapsed
+
+
+def test_missing_fetcher_is_explicit(spark):
+    with pytest.raises(NotImplementedError, match="fetcher"):
+        PlaybackHistorySource(spark).load()
+
+
+def test_audio_features_and_genres(spark):
+    feats = AudioFeaturesSource(
+        spark,
+        lambda e, p: {
+            "audio_features": [
+                {"id": "t1", "danceability": 0.5, "energy": 0.9,
+                 "key": 5, "loudness": -7.1, "tempo": 120.0,
+                 "duration_ms": 200000}
+            ]
+        },
+    ).load(["t1"])
+    assert feats.collect()[0].tempo == 120.0
+
+    genres = ArtistGenresSource(
+        spark,
+        lambda e, p: {
+            "artists": [
+                {"id": "a1", "name": "Solo", "genres": ["indie", "folk"],
+                 "popularity": 60}
+            ]
+        },
+    ).load(["a1"])
+    assert genres.collect()[0].genres == ["indie", "folk"]
+
+
+def test_id_extraction_matches_reference_semantics():
+    doc = playback_doc()
+    assert extract_track_ids(doc) == ["t1", "t2", "t3"]
+    # all performing artists by default
+    assert extract_artist_ids(doc) == ["a1", "a2", "a3"]
+    # reference quirk: only artists[0] (spotify_api.py:59)
+    assert extract_artist_ids(doc, first_only=True) == ["a1", "a2"]
