@@ -67,11 +67,17 @@ def main() -> None:
     for name in names:
         registry[name].fn(spark, sf_dir).count()
 
+    # min of two timed runs: this box shows ±2-3x run-to-run variance
+    # (shared machine); the minimum is the least-noisy steady-state
+    # estimate and what extrapolates to per-row cluster throughput.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        registry[name].fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            registry[name].fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

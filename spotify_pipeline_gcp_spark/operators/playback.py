@@ -209,6 +209,19 @@ def run_clean_zone(raw: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+def run_backfill(raw_multi_day: DataFrame) -> dict[str, DataFrame]:
+    """Multi-date backfill as ONE plan over a multi-day scan.
+
+    The reference's adhoc backfill loops dates on the driver and
+    reruns the whole job per day (``playback_pipeline_adhoc.py:
+    265-332``) — N job submissions, N scans. Here the landing zone is
+    read with a glob/partition filter covering all days and the same
+    clean-zone transforms run once; distinct/bagging operate across
+    the full range so cross-day duplicates collapse in the same pass.
+    """
+    return run_clean_zone(raw_multi_day)
+
+
 def curate(df: DataFrame) -> DataFrame:
     """Curated-zone transform: audit column first, typed date, distinct.
 

@@ -59,7 +59,13 @@ def get_spark(
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=error")
+        # 512m code cache: whole-stage codegen emits a distinct class per
+        # plan; the JVM default (240m) fills over a many-query session,
+        # silently disabling JIT (~10-30x slowdowns on later queries)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dlog4j2.level=error -XX:ReservedCodeCacheSize=512m",
+        )
     )
     if driver_memory or "SPARK_GRAFT_DRIVER_MEM" in os.environ:
         builder = builder.config(

@@ -98,3 +98,30 @@ class ParquetWarehouse:
 
     def append(self, df: DataFrame, table: str) -> None:
         df.write.mode("append").parquet(self._path(table))
+
+    def delete_keys(self, table: str, keys_df: DataFrame, key_cols: list[str]) -> int:
+        """Idempotent-reload delete (ref K6: ``DELETE FROM t WHERE
+        played_at IN (...)``, ``playback_pipeline_curated_adhoc.py:
+        90-107``) as a distributed rewrite: keep = existing ⟕̸ keys.
+
+        Parquet is immutable, so delete = anti-join + atomic swap —
+        the same copy-on-write shape Delta/Iceberg use per file; here
+        at table granularity (fine for the daily-partition sizes this
+        sink sees; a format with file-level manifests narrows the
+        rewrite). Returns rows deleted.
+        """
+        import shutil
+        import tempfile
+
+        existing = self.scan(table)
+        before = existing.count()
+        keep = existing.join(
+            keys_df.select(*key_cols).dropDuplicates(), on=key_cols, how="left_anti"
+        )
+        tmp = tempfile.mkdtemp(prefix="wh_rewrite_")
+        keep.write.mode("overwrite").parquet(tmp)
+        after = self.spark.read.parquet(tmp).count()
+        target = self._path(table)
+        shutil.rmtree(target)
+        shutil.move(tmp, target)
+        return before - after
