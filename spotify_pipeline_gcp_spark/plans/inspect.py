@@ -58,4 +58,4 @@ def exchange_count(df: DataFrame) -> int:
 def codegen_spans(df: DataFrame) -> int:
     """WholeStageCodegen regions — wider is better (fewer interpreted
     boundaries)."""
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))
+    return len(set(re.findall(r"codegen id : (\d+)", formatted_plan(df))))
