@@ -31,6 +31,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 _MODULES = [
     "spotify_pipeline_gcp_spark.queries.core",
     "spotify_pipeline_gcp_spark.queries.relational",
+    "spotify_pipeline_gcp_spark.queries.extra",
     "spotify_pipeline_gcp_spark.queries.dedup",
     "spotify_pipeline_gcp_spark.queries.similarity",
     "spotify_pipeline_gcp_spark.queries.text",

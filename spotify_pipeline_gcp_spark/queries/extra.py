@@ -1,0 +1,119 @@
+"""Remaining §2-neighbor coverage: unpivot, map/JSON ops, date
+arithmetic, and the reference's exact to_json bag shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_pipeline_gcp_spark.queries import register
+from spotify_pipeline_gcp_spark.queries.compat import fixed, sql_fixed, table
+
+
+@register(
+    "q37_unpivot",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, metric, {sql_fixed('value', 4)} AS value_r
+    FROM (
+      UNPIVOT lineitem
+      ON l_quantity, l_discount, l_tax
+      INTO NAME metric VALUE value
+    )
+    """,
+)
+def q37_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot/melt (inverse of q20's pivot)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    ).select(
+        "l_orderkey", "l_linenumber", "metric", fixed(F.col("value"), 4).alias("value_r")
+    )
+
+
+@register(
+    "q38_map_ops",
+    oracle="""
+    SELECT event_id,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+           len(json_keys(props))::BIGINT AS n_keys
+    FROM events
+    """,
+)
+def q38_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column ops: parse JSON to map, keys, cardinality."""
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+    )
+
+
+@register(
+    "q39_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY AS due_ts,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS quarter_later,
+           date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::BIGINT AS days_since_epoch_start,
+           (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS month_index,
+           dayofweek(o_orderdate)::BIGINT AS dow
+    FROM orders
+    """,
+)
+def q39_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic battery (F5/F6 neighbors).
+
+    ``dayofweek``: DuckDB numbers Sunday=0; Spark Sunday=1 — aligned
+    by subtracting 1 on the Spark side.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS"), "yyyy-MM-dd"
+        ).alias("quarter_later"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("month_index"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+    )
+
+
+@register(
+    "q40_json_bag",
+    oracle="""
+    SELECT l_orderkey,
+           to_json(list_sort(list(struct_pack(pk := l_partkey, qty := l_quantity::BIGINT))))::VARCHAR AS bag_json
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    GROUP BY l_orderkey
+    """,
+)
+def q40_json_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact bag shape (A1+F2): collect structs per
+    group, serialize with to_json (``playback_pipeline.py:177-184``) —
+    here sorted for determinism. Engine-parity note: Spark and DuckDB
+    agree on compact JSON object serialization for int fields."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return li.groupBy("l_orderkey").agg(
+        F.to_json(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_partkey").alias("pk"),
+                        F.col("l_quantity").cast("long").alias("qty"),
+                    )
+                )
+            )
+        ).alias("bag_json")
+    )
