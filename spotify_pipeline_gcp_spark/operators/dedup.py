@@ -98,6 +98,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard.
 
@@ -107,7 +108,7 @@ def ngram_jaccard_pairs(
     at scale, cap shingle document-frequency first (stop-shingle
     filter) so no single inverted list dominates a partition.
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = _shingles if _shingles is not None else shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -139,6 +140,7 @@ def minhash_signatures(
     text_col: str,
     n: int = 3,
     num_hashes: int = 8,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: (doc_id, seed, minhash) — one row per seed.
 
@@ -148,7 +150,7 @@ def minhash_signatures(
     this is what makes near-dup feasible at 100 TB (signatures table
     is ``k * 32`` bytes/doc).
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = _shingles if _shingles is not None else shingles(df, id_col, text_col, n)
     seeds = F.explode(
         F.array(*[F.lit(i) for i in range(num_hashes)])
     ).alias("seed")
@@ -181,7 +183,10 @@ def minhash_lsh_pairs(
     With k=8, r=2 (4 bands), P(candidate) = 1-(1-j^2)^4 — ~0.99 for
     j=0.9, ~0.22 for j=0.25: high recall at the dedup-relevant end.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # the shingle set feeds signatures AND verification — cache it so
+    # the (tokenize -> window -> explode -> distinct) subplan runs once
+    sh = shingles(df, id_col, text_col, n).cache()
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, _shingles=sh)
     band = (
         sigs.withColumn("band", F.floor(F.col("seed") / rows_per_band))
         .groupBy("doc_id", "band")
@@ -206,7 +211,9 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates()
     )
-    verified = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    verified = ngram_jaccard_pairs(
+        df, id_col, text_col, n, threshold=0.0, _shingles=sh
+    )
     return (
         candidates.join(verified, ["doc_a", "doc_b"])
         .where(F.col("jaccard") >= threshold)

@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for engine invariants.
+
+Spark-touching properties keep ``max_examples`` small (a Spark round
+trip per example); pure-Python helpers get the full default budget.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spotify_pipeline_gcp_spark.sinks.landing import landing_path
+from spotify_pipeline_gcp_spark.sources.rest import (
+    cursor_after_midnight,
+    extract_track_ids,
+)
+
+# ---- pure helpers: full example budget ------------------------------
+
+
+@given(st.dates(min_value=dt.date(1990, 1, 2), max_value=dt.date(2100, 1, 1)))
+def test_cursor_is_midnight_utc_of_previous_day(day):
+    ms = cursor_after_midnight(day)
+    back = dt.datetime.fromtimestamp(ms / 1000, tz=dt.timezone.utc)
+    assert back.date() == day - dt.timedelta(days=1)
+    assert (back.hour, back.minute, back.second, ms % 1000) == (0, 0, 0, 0)
+
+
+@given(st.dates(min_value=dt.date(1990, 1, 1), max_value=dt.date(2100, 1, 1)))
+def test_landing_path_zero_padded_and_sortable(day):
+    p = landing_path("/root_zone", day, "f.json")
+    parts = p.split("/")
+    assert parts[-4:] == [
+        str(day.year), f"{day.month:02d}", f"{day.day:02d}", "f.json"
+    ]
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet="abc123", min_size=1, max_size=4)),
+        max_size=20,
+    )
+)
+def test_extract_track_ids_dedup_order(ids):
+    doc = {"items": [{"track": {"id": i}} for i in ids]}
+    out = extract_track_ids(doc)
+    non_null = [i for i in ids if i]
+    # order-preserving dedup
+    assert out == list(dict.fromkeys(non_null))
+
+
+# ---- Spark properties: bounded example budget -----------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="0123456789-", min_size=0, max_size=10), max_size=8
+    )
+)
+def test_complete_year_only_pads_4char(spark, values):
+    from pyspark.sql import functions as F
+
+    from spotify_pipeline_gcp_spark.functions.exprs import complete_year
+
+    df = spark.createDataFrame([(v,) for v in values] or [("x",)], "d string")
+    out = df.select("d", complete_year("d").alias("c")).collect()
+    for r in out:
+        if r.d is not None and len(r.d) == 4:
+            assert r.c == r.d + "-12-31"
+        else:
+            assert r.c == r.d
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    new=st.lists(st.integers(0, 30), min_size=1, max_size=15, unique=True),
+    existing=st.lists(st.integers(0, 30), max_size=15, unique=True),
+)
+def test_delta_append_set_semantics(spark, new, existing):
+    from spotify_pipeline_gcp_spark.operators.delta import delta_append
+
+    ndf = spark.createDataFrame([(k,) for k in new], "k long")
+    edf = (
+        spark.createDataFrame([(k,) for k in existing], "k long")
+        if existing
+        else spark.createDataFrame([], "k long")
+    )
+    got = sorted(r.k for r in delta_append(ndf, edf, ["k"]).collect())
+    assert got == sorted(set(new) - set(existing))
