@@ -40,12 +40,18 @@ HEADLINE = [
 ]
 # Extension headliners appended once implemented (registry-gated below).
 HEADLINE_EXT = [
+    "q29_window_lag_lead",
+    "q30_sessionize",
+    "q31_asof_last_click",
     "qd1_dedup_exact_groups",
     "qd3_ngram_jaccard_pairs",
     "qd4_minhash_signatures",
+    "qd5_minhash_lsh_pairs",
+    "qd6_simhash",
     "qs3_cosine_topk_bucketed",
     "qs4_cosine_topk_blas",
     "qt2_quality_score",
+    "qt4_fingerprint",
 ]
 
 

@@ -47,6 +47,12 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet; kept so
+    a reference user with ORC lakes can switch formats transparently."""
+    return spark.read.orc(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md)."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -8,8 +8,13 @@ from spotify_pipeline_gcp_spark.session import get_spark
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("tests", cpus=4)
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("spark_warehouse"))
+    s = get_spark(
+        "tests",
+        cpus=4,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield s
 
 
