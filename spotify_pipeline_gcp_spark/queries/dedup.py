@@ -160,6 +160,40 @@ def qd5_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "qd7_embedding_near_dup",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) * 1000000 + 0.5) / 1000000
+             AS cosine_r
+    FROM base a JOIN base b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.45
+    """,
+)
+def qd7_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.45).
+
+    The semantic-dedup path: exact pairwise kernel here (oracle-
+    checkable); at scale the same predicate runs after sign-bucket /
+    IVF candidate generation (qs3) so the pair space is pruned before
+    any dot product. Threshold 0.45 sits just under this dataset's
+    max off-diagonal cosine (~0.51) so real pairs surface.
+    """
+    from spotify_pipeline_gcp_spark.operators.similarity import cosine_pairs
+    from spotify_pipeline_gcp_spark.queries.compat import fixed
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(emb, "vec_id", "embedding")
+    return pairs.where(F.col("cosine") >= 0.45).select(
+        "id_a", "id_b", fixed(F.col("cosine"), 6).alias("cosine_r")
+    )
+
+
+@register(
     "qd6_simhash",
     oracle="""
     WITH tok AS (

@@ -104,6 +104,38 @@ def qt3_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "qt5_token_bpeish",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT
+             AS bpeish_tokens,
+           len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS number_runs
+    FROM documents
+    """,
+)
+def qt5_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split vs a BPE-ish regex
+    (letter runs / digit runs / single symbols — the pre-tokenizer
+    shape most BPE vocabularies assume). Both are single-pass column
+    expressions; the regex class set is RE2/Java-portable."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    bpeish = F.regexp_extract_all(
+        F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("long").alias("ws_tokens"),
+        F.size(bpeish).cast("long").alias("bpeish_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0))
+        .cast("long")
+        .alias("number_runs"),
+    )
+
+
+@register(
     "qt4_fingerprint",
     oracle=f"""
     WITH v AS (
