@@ -77,6 +77,32 @@ def streaming_dedup(
     return _run_to_memory(deduped, "append")
 
 
+def streaming_session_windows(
+    stream_df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time sessionization as a native streaming operator:
+    ``session_window(ts, gap)`` merges events into variable-length
+    sessions closed after ``gap`` inactivity — the streaming twin of
+    the batch lag+cumsum sessionizer (queries/relational.py::q30).
+    Append-mode output emits a session once the watermark passes its
+    close; state is bounded by the watermark."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
 def streaming_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming grouped aggregate (complete mode): per-event-type
     counts and sums, deterministic under AvailableNow."""
