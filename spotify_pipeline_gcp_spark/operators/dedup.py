@@ -183,9 +183,13 @@ def minhash_lsh_pairs(
     With k=8, r=2 (4 bands), P(candidate) = 1-(1-j^2)^4 — ~0.99 for
     j=0.9, ~0.22 for j=0.25: high recall at the dedup-relevant end.
     """
-    # the shingle set feeds signatures AND verification — cache it so
-    # the (tokenize -> window -> explode -> distinct) subplan runs once
-    sh = shingles(df, id_col, text_col, n).cache()
+    # the shingle set feeds signatures AND verification. Measured at
+    # sf0.1: recomputing the subplan beats .cache() (cache-write
+    # overhead > recompute for a cheap explode/distinct), and caching
+    # inside an operator leaks storage across invocations. At much
+    # larger inputs, persist this DF (and unpersist) at the CALLER,
+    # where lifetime is controllable.
+    sh = shingles(df, id_col, text_col, n)
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, _shingles=sh)
     band = (
         sigs.withColumn("band", F.floor(F.col("seed") / rows_per_band))
