@@ -90,6 +90,53 @@ def q39_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q41_big_orders_having",
+    oracle=f"""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           {sql_fixed('o.o_totalprice')} AS total_price,
+           {sql_fixed('sum(l.l_quantity)')} AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q41_big_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered grouped subquery -> semi join
+    -> enriched re-aggregation. The HAVING aggregate runs once over
+    lineitem (two-phase hash agg); the qualifying-keys set is tiny and
+    broadcast into the semi join — the fact table shuffles only for
+    the final group-by."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(fixed(F.sum("l_quantity")).alias("sum_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            fixed(F.col("o_totalprice")).alias("total_price"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
     "q40_json_bag",
     oracle="""
     SELECT l_orderkey,
