@@ -137,6 +137,70 @@ def q41_big_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q42_above_group_avg",
+    oracle=f"""
+    SELECT p.p_partkey, p.p_brand,
+           {sql_fixed('p.p_retailprice')} AS retail_price,
+           {sql_fixed('b.brand_avg')} AS brand_avg
+    FROM part p
+    JOIN (
+      SELECT p_brand, avg(p_retailprice) AS brand_avg
+      FROM part GROUP BY p_brand
+    ) b ON p.p_brand = b.p_brand
+    WHERE p.p_retailprice > 1.05 * b.brand_avg
+    """,
+)
+def q42_above_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate predicate (rows above 1.05x their group's
+    mean) — decorrelated to a grouped-aggregate join, which is exactly
+    what Catalyst does to correlated scalar subqueries. The per-brand
+    aggregate is tiny and broadcasts."""
+    p = table(spark, sf_dir, "part")
+    brand_avg = p.groupBy(F.col("p_brand").alias("b_brand")).agg(
+        F.avg("p_retailprice").alias("brand_avg")
+    )
+    return (
+        p.join(F.broadcast(brand_avg), p.p_brand == brand_avg.b_brand)
+        .where(F.col("p_retailprice") > 1.05 * F.col("brand_avg"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            fixed(F.col("p_retailprice")).alias("retail_price"),
+            fixed(F.col("brand_avg")).alias("brand_avg"),
+        )
+    )
+
+
+@register(
+    "q43_ratio_metric",
+    oracle=f"""
+    SELECT {sql_fixed("100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) / sum(l.l_extendedprice * (1 - l.l_discount))", 4)} AS promo_revenue_pct,
+           count(*)::BIGINT AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+    """,
+)
+def q43_ratio_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: global ratio of conditional revenue sums —
+    single-row output, one broadcast dim join, one full agg."""
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1996-07-01 00:00:00")
+    )
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            fixed(100.0 * F.sum(cond) / F.sum(rev), 4).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
     "q40_json_bag",
     oracle="""
     SELECT l_orderkey,
