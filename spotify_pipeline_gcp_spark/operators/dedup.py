@@ -23,10 +23,12 @@ swap md5 for xxhash64 (``F.xxhash64``) — same plans, cheaper CPU.
 
 Scale notes per operator are in the docstrings; the common knobs:
 shingles with document-frequency above a cap should be dropped before
-the pair join (stop-shingle filtering caps inverted-list length and
-is the difference between a bounded and an n² shuffle on natural
-text; the testdata vocabulary is tiny so the cap is not applied in
-the oracle-checked defaults).
+the pair join (``max_shingle_df`` on the pair operators) — stop-
+shingle filtering caps inverted-list length and is the difference
+between a bounded and an n² shuffle on natural text. The testdata
+vocabulary is tiny so the cap is not applied in the oracle-checked
+defaults (it changes the similarity measure: Jaccard over the
+filtered shingle space).
 """
 
 from __future__ import annotations
@@ -35,24 +37,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelize compute-bound hashing on under-split inputs.
+
+    Shingling + salted-md5 signatures are CPU-bound, not IO-bound: a
+    small parquet input arriving as one file split would pin ALL
+    downstream hashing to one core. If the scan yields fewer
+    partitions than the cluster's parallelism, redistribute the
+    narrow (id, text) projection — the cheapest payload that exists —
+    before the explode. At production scale the input already has
+    >= parallelism splits and this is a no-op (no shuffle added);
+    ``getNumPartitions`` inspects the plan without running a job.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, token) rows, single-space tokenization, order preserved
     by position only where a caller requests it."""
-    return df.select(
+    return _spread(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ", -1)).alias("token")
     )
 
 
 def shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+    """Word n-gram shingles per document: (id, shingle).
 
     Built with higher-order array functions (no Python): tokenize ->
     ``transform(sequence(...))`` sliding window -> explode -> distinct.
     Documents shorter than ``n`` tokens yield no shingles.
+
+    ``distinct=False`` skips the dedup SHUFFLE and emits the raw
+    shingle stream — correct for duplicate-insensitive consumers
+    (MinHash: min over a multiset == min over its set; the map-side
+    combine of the downstream min-aggregation absorbs repeats for
+    free). Set-semantics consumers (Jaccard) need the default.
     """
-    toks = df.select(
+    toks = _spread(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ", -1).alias("t"),
     ).where(F.size("t") >= n)
@@ -60,10 +86,32 @@ def shingles(
         f"transform(sequence(0, size(t) - {n}), "
         f"i -> concat_ws(' ', {', '.join(f't[i + {k}]' for k in range(n))}))"
     )
-    return (
-        toks.select("doc_id", F.explode(F.expr(window_expr)).alias("shingle"))
-        .dropDuplicates()
+    out = toks.select("doc_id", F.explode(F.expr(window_expr)).alias("shingle"))
+    return out.dropDuplicates() if distinct else out
+
+
+def drop_stop_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    On natural text a handful of boilerplate shingles appear in a
+    large fraction of documents; each contributes ~df²/2 rows to the
+    pair join and lands on ONE reducer (the join shuffles on the
+    shingle string). Capping document frequency bounds every inverted
+    list, so the pair join is O(Σ df_i²) with df_i ≤ max_df instead
+    of O(hot_df²). The anti-join side (hot shingles) is tiny by
+    construction — Catalyst/AQE broadcasts it.
+
+    Note this redefines the similarity measure: Jaccard is then over
+    the *filtered* shingle space (standard practice — stop-shingles
+    carry no dedup signal, like stopwords in retrieval).
+    """
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("shingle")
     )
+    return sh.join(hot, "shingle", "left_anti")
 
 
 def exact_dedup_groups(
@@ -98,6 +146,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
     _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard.
@@ -105,10 +154,13 @@ def ngram_jaccard_pairs(
     Inverted-index join: documents pair only through shared shingles,
     then ``|A∩B| / (|A|+|B|-|A∩B|)``. Output: (doc_a, doc_b, jaccard),
     doc_a < doc_b. The shingle join shuffles on the shingle string —
-    at scale, cap shingle document-frequency first (stop-shingle
-    filter) so no single inverted list dominates a partition.
+    at scale pass ``max_shingle_df`` (stop-shingle filter, see
+    ``drop_stop_shingles``) so no single inverted list dominates a
+    partition.
     """
     sh = _shingles if _shingles is not None else shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        sh = drop_stop_shingles(sh, max_shingle_df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -134,6 +186,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_wide(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc_id, m0..m{k-1}): per-doc min of k salted hashes.
+
+    All k hashes are projected as sibling columns of ONE shingle row
+    and reduced by k ``min`` aggregates in ONE groupBy — no seed
+    explode (which would multiply shuffle volume k×) and no second
+    aggregation. The md5 count is identical; the rows moved are not.
+    """
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+
+
+def _minhash_wide_sliced(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc_id, m0..m{k-1}) with a cheaper hash family: each md5
+    digest is sliced into four independent 8-hex-char (32-bit) words,
+    so k hashes cost ceil(k/4) md5 calls instead of k. Slicing one
+    digest into independent words is the standard trick in minwise-
+    hashing implementations; a 2^-32 per-hash collision rate is
+    immaterial for LSH candidate generation because verification is
+    exact. Smaller values also shrink min-agg state (8-char vs
+    32-char string compares)."""
+    n_md5 = (num_hashes + 3) // 4
+    salts = [chr(ord("a") + j) for j in range(n_md5)]
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))).alias(f"_m{j}")
+            for j, s in enumerate(salts)
+        ],
+    )
+    sliced = hashed.select(
+        "doc_id",
+        *[
+            F.substring(f"_m{i // 4}", (i % 4) * 8 + 1, 8).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return sliced.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -148,20 +250,21 @@ def minhash_signatures(
     hex digests — k independent permutations approximated by k salted
     hashes. Constant output size per document regardless of length:
     this is what makes near-dup feasible at 100 TB (signatures table
-    is ``k * 32`` bytes/doc).
+    is ``k * 32`` bytes/doc). Computed wide (one aggregation, see
+    ``_minhash_wide``) and unpivoted to the tall shape AFTER the
+    aggregation, when rows = docs, not docs × shingles.
     """
-    sh = _shingles if _shingles is not None else shingles(df, id_col, text_col, n)
-    seeds = F.explode(
-        F.array(*[F.lit(i) for i in range(num_hashes)])
-    ).alias("seed")
-    salted = sh.select("doc_id", "shingle", seeds).select(
-        "doc_id",
-        "seed",
-        F.md5(
-            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
-        ).alias("salted"),
+    sh = (
+        _shingles
+        if _shingles is not None
+        else shingles(df, id_col, text_col, n, distinct=False)
     )
-    return salted.groupBy("doc_id", "seed").agg(F.min("salted").alias("minhash"))
+    wide = _minhash_wide(sh, num_hashes)
+    stack = ", ".join(f"{i}, m{i}" for i in range(num_hashes))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({num_hashes}, {stack}) AS (seed, minhash)"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -172,13 +275,21 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH banding + exact verification.
 
     Bands of ``rows_per_band`` signature rows; documents sharing any
     complete band become candidates (hash equi-join on the band key —
-    no all-pairs work), then candidates are verified with true n-gram
-    Jaccard. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    no all-pairs work). Candidates are then verified with true n-gram
+    Jaccard computed ONLY for candidate docs: the shingle table is
+    semi-joined to candidate ids, collapsed to one sorted shingle
+    array per doc, and each candidate pair scores via
+    ``array_intersect``/``size`` — so verification cost tracks
+    |candidates|, not |co-shingled pairs|. (Joining the full
+    inverted-index pair aggregate instead would make LSH prune
+    nothing; Catalyst cannot push a candidate join below a pair
+    aggregate.) Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
 
     With k=8, r=2 (4 bands), P(candidate) = 1-(1-j^2)^4 — ~0.99 for
     j=0.9, ~0.22 for j=0.25: high recall at the dedup-relevant end.
@@ -189,20 +300,29 @@ def minhash_lsh_pairs(
     # inside an operator leaks storage across invocations. At much
     # larger inputs, persist this DF (and unpersist) at the CALLER,
     # where lifetime is controllable.
-    sh = shingles(df, id_col, text_col, n)
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, _shingles=sh)
-    band = (
-        sigs.withColumn("band", F.floor(F.col("seed") / rows_per_band))
-        .groupBy("doc_id", "band")
-        .agg(
-            # rows_per_band fixed positions -> order-free band key
-            *[
-                F.min(
-                    F.when(F.col("seed") % rows_per_band == r, F.col("minhash"))
-                ).alias(f"mh{r}")
-                for r in range(rows_per_band)
-            ]
+    if max_shingle_df is not None:
+        # document frequencies need distinct (id, shingle) rows
+        sh = drop_stop_shingles(
+            shingles(df, id_col, text_col, n), max_shingle_df
         )
+    else:
+        # min-agg is duplicate-insensitive → skip the distinct shuffle
+        sh = shingles(df, id_col, text_col, n, distinct=False)
+    # Band keys straight off the wide signature row — a projection
+    # (stack to num_bands rows/doc), NOT a second shuffle. Band b =
+    # signature positions [b*r, (b+1)*r). Uses the sliced hash
+    # family (ceil(k/4) md5 calls/shingle instead of k) — candidate
+    # quality is equivalent and verification is exact regardless.
+    num_bands = num_hashes // rows_per_band
+    wide = _minhash_wide_sliced(sh, num_hashes)
+    band_stack = ", ".join(
+        f"{b}, " + ", ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band))
+        for b in range(num_bands)
+    )
+    mh_cols = ", ".join(f"mh{r}" for r in range(rows_per_band))
+    band = wide.select(
+        "doc_id",
+        F.expr(f"stack({num_bands}, {band_stack}) AS (band, {mh_cols})"),
     )
     a, b = band.alias("a"), band.alias("b")
     key_eq = (F.col("a.band") == F.col("b.band"))
@@ -214,14 +334,51 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .dropDuplicates()
+        # The candidate pair table is referenced by BOTH the
+        # verification input (which docs to re-shingle) and the final
+        # join; without truncation Catalyst inlines the whole
+        # shingle→signature→band-join subplan into each branch and
+        # runs it twice. localCheckpoint materializes the (tiny —
+        # two ids per row) pair set once and reuses it; lazy, so
+        # plan construction stays action-free.
+        .localCheckpoint(eager=False)
     )
-    verified = ngram_jaccard_pairs(
-        df, id_col, text_col, n, threshold=0.0, _shingles=sh
-    )
+    # Candidate-bounded verification: only docs that appear in some
+    # candidate pair are scored, via one shingle array per doc and
+    # ``array_intersect`` per pair. Work here is O(|candidate docs|)
+    # shingling + O(|candidate pairs|) intersections — independent of
+    # how many co-shingled non-candidate pairs exist in the corpus.
+    cand_docs = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).dropDuplicates()
+    if max_shingle_df is None:
+        # Re-shingle ONLY candidate docs' text (semi-join the narrow
+        # id+text projection, then explode) — avoids a second
+        # full-corpus shingle pass + distinct shuffle. Candidates are
+        # a vanishing fraction of the corpus when LSH is doing its
+        # job, so this recompute is near-free.
+        cand_rows = df.select(id_col, text_col).join(
+            cand_docs.withColumnRenamed("doc_id", id_col),
+            on=id_col,
+            how="left_semi",
+        )
+        sh_v = shingles(cand_rows, id_col, text_col, n)
+    else:
+        # With a stop-shingle cap the verification measure must use
+        # the SAME capped shingle space as candidate generation, and
+        # document frequencies are corpus-wide — reuse the capped
+        # table, restricted to candidate docs.
+        sh_v = sh.join(cand_docs, "doc_id", "left_semi")
+    sets = sh_v.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"))
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
     return (
-        candidates.join(verified, ["doc_a", "doc_b"])
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 

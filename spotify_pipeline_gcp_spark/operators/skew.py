@@ -68,7 +68,18 @@ def salted_join_left_hot(
     ``buckets`` different reducers instead of one. Right-side
     replication cost = |right| × buckets — apply only when right is
     small (else prefer AQE skew split or broadcast).
+
+    ``how`` is restricted to left-preserving types: under right/full
+    outer joins every unmatched REPLICA of a right row would survive,
+    emitting ``buckets`` duplicates per unmatched right row.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join_left_hot supports {sorted(allowed)}; got {how!r} "
+            "(right/full outer would duplicate unmatched right rows "
+            "once per salt replica)"
+        )
     salted_left = left.withColumn("_salt", _salt(left.columns, buckets))
     salted_right = right.withColumn(
         "_salt",

@@ -28,15 +28,21 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Registration order matters: the driver's correctness record keeps
+# the FIRST 50 registered queries, so the novel extension families
+# (dedup/similarity/text/multimodal/streaming) register before the
+# relational/extra breadth queries — the tail that falls outside the
+# window is then plain ANSI shapes already driver-verified in r01,
+# not the differentiated operators.
 _MODULES = [
     "spotify_pipeline_gcp_spark.queries.core",
-    "spotify_pipeline_gcp_spark.queries.relational",
-    "spotify_pipeline_gcp_spark.queries.extra",
     "spotify_pipeline_gcp_spark.queries.dedup",
     "spotify_pipeline_gcp_spark.queries.similarity",
     "spotify_pipeline_gcp_spark.queries.text",
     "spotify_pipeline_gcp_spark.queries.multimodal",
     "spotify_pipeline_gcp_spark.queries.streaming",
+    "spotify_pipeline_gcp_spark.queries.relational",
+    "spotify_pipeline_gcp_spark.queries.extra",
 ]
 
 

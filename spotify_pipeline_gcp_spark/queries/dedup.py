@@ -119,14 +119,12 @@ def qd4_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qd5_minhash_lsh_pairs",
     oracle=f"""
     WITH {JACCARD_CTE},
-    salted AS (
-      SELECT doc_id, seed,
-             md5(seed::VARCHAR || ':' || shingle) AS salted
-      FROM shingle CROSS JOIN (SELECT unnest(range(8)) AS seed)
-    ),
     sigs AS (
-      SELECT doc_id, seed, min(salted) AS minhash
-      FROM salted GROUP BY doc_id, seed
+      SELECT doc_id, seed,
+             min(substr(md5((CASE WHEN seed < 4 THEN 'a:' ELSE 'b:' END) || shingle),
+                        ((seed % 4) * 8 + 1)::INT, 8)) AS minhash
+      FROM shingle CROSS JOIN (SELECT unnest(range(8)) AS seed)
+      GROUP BY doc_id, seed
     ),
     bands AS (
       SELECT doc_id, seed // 2 AS band,
@@ -157,6 +155,31 @@ def qd5_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_per_band=2,
         threshold=0.8,
     )
+
+
+@register(
+    "qd6_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+    ),
+    expanded AS (
+      SELECT doc_id, h, unnest(range(16)) AS j FROM tok
+    ),
+    per_bit AS (
+      SELECT doc_id, j,
+             sum((((strpos('0123456789abcdef', substr(h, (j + 1)::INT, 1)) - 1) % 2)
+                  * 2 - 1)::BIGINT) AS s
+      FROM expanded GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN power(2.0, j) ELSE 0.0 END)::BIGINT AS simhash
+    FROM per_bit GROUP BY doc_id
+    """,
+)
+def qd6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (md5-hex-digit-parity bit family)."""
+    return simhash(table(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
 
 
 @register(
@@ -191,28 +214,3 @@ def qd7_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("cosine") >= 0.45).select(
         "id_a", "id_b", fixed(F.col("cosine"), 6).alias("cosine_r")
     )
-
-
-@register(
-    "qd6_simhash",
-    oracle="""
-    WITH tok AS (
-      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
-    ),
-    expanded AS (
-      SELECT doc_id, h, unnest(range(16)) AS j FROM tok
-    ),
-    per_bit AS (
-      SELECT doc_id, j,
-             sum((((strpos('0123456789abcdef', substr(h, (j + 1)::INT, 1)) - 1) % 2)
-                  * 2 - 1)::BIGINT) AS s
-      FROM expanded GROUP BY doc_id, j
-    )
-    SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN power(2.0, j) ELSE 0.0 END)::BIGINT AS simhash
-    FROM per_bit GROUP BY doc_id
-    """,
-)
-def qd6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprints (md5-hex-digit-parity bit family)."""
-    return simhash(table(spark, sf_dir, "documents"), "doc_id", "text", bits=16)

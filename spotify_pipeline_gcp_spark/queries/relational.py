@@ -76,7 +76,10 @@ def q25_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier keys."""
     c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("key"))
-    return c.exceptAll(s).dropDuplicates()
+    # subtract == SQL EXCEPT (distinct). exceptAll().dropDuplicates()
+    # is NOT equivalent: a key on both sides with higher multiplicity
+    # on the left survives exceptAll and then passes dedup.
+    return c.subtract(s)
 
 
 @register(

@@ -117,24 +117,34 @@ class ParquetWarehouse:
         played_at IN (...)``, ``playback_pipeline_curated_adhoc.py:
         90-107``) as a distributed rewrite: keep = existing ⟕̸ keys.
 
-        Parquet is immutable, so delete = anti-join + atomic swap —
-        the same copy-on-write shape Delta/Iceberg use per file; here
-        at table granularity (fine for the daily-partition sizes this
-        sink sees; a format with file-level manifests narrows the
-        rewrite). Returns rows deleted.
-        """
-        import shutil
-        import tempfile
+        Parquet is immutable, so delete = anti-join + swap — the same
+        copy-on-write shape Delta/Iceberg use per file; here at table
+        granularity (fine for the daily-partition sizes this sink
+        sees; a format with file-level manifests narrows the rewrite).
 
+        Two Spark jobs total: the rewrite itself plus ONE semi-join
+        count of the rows being removed (the count prunes to key
+        columns, so it scans a fraction of the table). The swap is
+        rename-aside: old table → ``<table>.old``, new dir → table,
+        then drop ``.old``. A crash at ANY step leaves a complete
+        copy on disk (worst case: the table is briefly under the
+        ``.old`` name — recover by renaming back); there is no window
+        where no copy exists, unlike delete-then-move. Concurrent
+        readers mid-swap can still race the rename pair — true
+        isolation needs a manifest format (Delta/Iceberg), out of
+        scope for this sink. Returns rows deleted.
+        """
+        keys = keys_df.select(*key_cols).dropDuplicates()
         existing = self.scan(table)
-        before = existing.count()
-        keep = existing.join(
-            keys_df.select(*key_cols).dropDuplicates(), on=key_cols, how="left_anti"
-        )
+        deleted = existing.join(keys, on=key_cols, how="left_semi").count()
+        keep = existing.join(keys, on=key_cols, how="left_anti")
         tmp = tempfile.mkdtemp(prefix="wh_rewrite_")
         keep.write.mode("overwrite").parquet(tmp)
-        after = self.spark.read.parquet(tmp).count()
         target = self._path(table)
-        shutil.rmtree(target)
+        old = target + ".old"
+        if os.path.exists(old):  # leftover from a prior crash
+            shutil.rmtree(old)
+        os.rename(target, old)
         shutil.move(tmp, target)
-        return before - after
+        shutil.rmtree(old)
+        return deleted

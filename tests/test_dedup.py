@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from spotify_pipeline_gcp_spark.operators.dedup import (
+    drop_stop_shingles,
     exact_dedup,
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -70,6 +71,75 @@ def test_minhash_lsh_finds_exact_dup(spark):
         ).collect()
     }
     assert (1, 2) in pairs
+
+
+def test_stop_shingle_cap_drops_hot_shingle(spark):
+    # "common boilerplate phrase" appears in every doc (df=4 > cap=3);
+    # the distinctive tails share nothing, so with the cap applied the
+    # near-identical pair (1,2) still pairs but the boilerplate-only
+    # pairs disappear entirely.
+    docs = spark.createDataFrame(
+        [
+            (1, "common boilerplate phrase alpha beta gamma"),
+            (2, "common boilerplate phrase alpha beta delta"),
+            (3, "common boilerplate phrase epsilon zeta eta"),
+            (4, "common boilerplate phrase theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, "doc_id", "text", n=3)
+    capped = drop_stop_shingles(sh, max_df=3)
+    kept = {r.shingle for r in capped.collect()}
+    assert "common boilerplate phrase" not in kept  # df=4 > cap
+    assert "boilerplate phrase alpha" in kept  # df=2 <= cap survives
+    uncapped_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1).collect()
+    }
+    capped_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.1, max_shingle_df=3
+        ).collect()
+    }
+    assert (3, 4) in uncapped_pairs  # paired only through boilerplate
+    assert (3, 4) not in capped_pairs
+    assert (1, 2) in capped_pairs  # genuine near-dup survives the cap
+    lsh_capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.1, max_shingle_df=3
+        ).collect()
+    }
+    assert (3, 4) not in lsh_capped
+
+
+def test_lsh_verification_bounded_by_candidates(spark):
+    # Docs 3/4 share shingles (brute-force Jaccard would pair them at
+    # threshold 0) but produce disjoint MinHash bands — LSH must not
+    # emit them, proving verification runs on candidates, not on all
+    # co-shingled pairs.
+    pairs = minhash_lsh_pairs(
+        _docs(spark), "doc_id", "text", threshold=0.0
+    )
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(
+            _docs(spark), "doc_id", "text", threshold=0.0
+        ).collect()
+    }
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert got.issubset(brute)
+    # verification values agree with brute-force Jaccard exactly
+    brute_vals = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            _docs(spark), "doc_id", "text", threshold=0.0
+        ).collect()
+    }
+    for r in pairs.collect():
+        assert abs(r.jaccard - brute_vals[(r.doc_a, r.doc_b)]) < 1e-12
 
 
 def test_simhash_equal_for_dups_and_bounded(spark):
