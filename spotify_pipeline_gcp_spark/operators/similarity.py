@@ -8,12 +8,14 @@ equi-join on a coarse code.
 All arithmetic is built-in higher-order functions (``zip_with`` +
 ``aggregate``) on doubles, JVM-side codegen: a left-to-right fold
 matching ANSI-SQL ``list_dot_product`` semantics exactly, so results
-are oracle-checkable bit-for-bit. A Pandas-UDF BLAS path is the
-drop-in replacement where throughput demands it (see
-``cosine_topk_pandas``); at 64 dims the codegen fold is competitive.
+are oracle-checkable bit-for-bit. A distributed block-matmul BLAS
+path is the drop-in replacement where throughput demands it (see
+``cosine_topk_blas``); at 64 dims the codegen fold is competitive.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -26,7 +28,7 @@ def _dot(a: Column, b: Column) -> Column:
     ``list_dot_product`` loop. NOTE: Spark's higher-order functions
     are CodegenFallback (interpreted per element), so this kernel is
     CPU-bound at ~10^5 dots/core/s; it is the *exactness* path. The
-    throughput path is the BLAS kernel in ``cosine_topk_pandas``.
+    throughput path is the BLAS kernel in ``cosine_topk_blas``.
     Callers on hot pair-joins should pre-cast vectors to
     ``array<double>`` once (see ``_double_base``) so the per-pair
     lambda does multiply-add only.
@@ -169,52 +171,99 @@ def cosine_topk_bucketed(
     )
 
 
-def cosine_topk_pandas(
+def cosine_topk_blas(
     df: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Brute-force top-k with a vectorized NumPy kernel (Arrow batch).
+    """Exact brute-force top-k with a distributed block-matmul BLAS
+    kernel — no driver collect, no whole-collection broadcast.
 
-    Same semantics as ``cosine_topk``; the n² kernel runs as one
-    matrix multiply per partition against a broadcast matrix —
-    the high-dim/high-count configuration where BLAS beats per-row
-    codegen. Candidate set = whole collection, so this is for
-    moderate n; combine with bucketing for large n.
+    Layout: the collection is hashed into ``n_blocks`` packed rows
+    (one ``collect_list`` of (id, vector) per block), the packed
+    table is cross-joined with itself (B² combo rows), and an Arrow-
+    batched NumPy kernel computes each block×block slab as one matrix
+    multiply, emitting a per-(query, block) partial top-k. A final
+    ranking window merges partials into the global top-k — correct
+    because every global neighbor is in some block's partial top-k.
+
+    Scale accounting: shuffled bytes = 2·B·|collection| (each block
+    participates in B combos); per-task memory = 2 blocks ≈
+    2·n·d·8/B bytes. Pick B so a block is ~64-256 MB: B grows
+    linearly with the collection, tasks stay constant-size, and the
+    driver never touches vector data — this is the standard parallel
+    dense GEMM decomposition. Compose with ``sign_bucket`` (qs3) when
+    n² slabs are no longer affordable at all and approximate recall
+    is acceptable.
+
+    Tie-break matches ``cosine_topk``: (cosine desc, neighbor_id).
+    BLAS accumulation order differs from a sequential fold at ulp
+    level, so this is the rows-only (no SQL oracle) throughput path;
+    ``cosine_topk`` is the exact-fold twin.
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql import Window as W
 
-    spark = df.sparkSession
-    pdf = df.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-    mat_norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat_norm)
+    if n_blocks is None:
+        # B² combos saturate the cluster already at B ≈ √(2·cores);
+        # replication cost (2·B·|collection|) and per-combo unpack
+        # overhead both grow linearly in B, so default to the
+        # smallest B that keeps every core busy. Production callers
+        # with large collections size B from data volume instead:
+        # B ≈ n·d·8 / (128 MB) so one block stays ~task-sized.
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        n_blocks = max(4, math.ceil(math.sqrt(2 * cores)))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    packed = (
+        base.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "v")).alias("items"))
+    )
+    combos = packed.select(
+        F.col("items").alias("q_items")
+    ).crossJoin(packed.select(F.col("items").alias("d_items")))
+
+    def _unpack(items):
+        ids = np.fromiter((r["id"] for r in items), dtype="int64", count=len(items))
+        mat = np.stack([np.asarray(r["v"], dtype="float64") for r in items])
+        return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
     def kernel(batches):
-        all_ids = b_ids.value
-        m = b_mat.value
-        index_of = {v: i for i, v in enumerate(all_ids)}
-        for pdf_batch in batches:
-            rows = []
-            q = np.stack(pdf_batch[vec_col].to_numpy()).astype("float64")
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ m.T
-            for r, qid in enumerate(pdf_batch[id_col].to_numpy()):
-                s = sims[r].copy()
-                s[index_of[qid]] = -np.inf
-                top = np.argpartition(-s, k)[:k]
-                top = top[np.lexsort((all_ids[top], -s[top]))]
-                for rank, j in enumerate(top, 1):
-                    rows.append((int(qid), int(all_ids[j]), float(s[j]), rank))
-            yield pd.DataFrame(
-                rows, columns=["query_id", "neighbor_id", "cosine", "rank"]
-            )
+        for pdf in batches:
+            rows: list[tuple[int, int, float]] = []
+            for q_items, d_items in zip(pdf["q_items"], pdf["d_items"]):
+                q_ids, qm = _unpack(q_items)
+                d_ids, dm = _unpack(d_items)
+                sims = qm @ dm.T
+                sims[q_ids[:, None] == d_ids[None, :]] = -np.inf
+                kk = min(k, sims.shape[1])
+                for r in range(sims.shape[0]):
+                    s = sims[r]
+                    if kk < s.shape[0]:
+                        top = np.argpartition(-s, kk - 1)[:kk]
+                    else:
+                        top = np.arange(s.shape[0])
+                    top = top[np.lexsort((d_ids[top], -s[top]))]
+                    for j in top:
+                        if np.isfinite(s[j]):
+                            rows.append((int(q_ids[r]), int(d_ids[j]), float(s[j])))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
-    return df.select(id_col, vec_col).mapInPandas(
-        kernel,
-        schema="query_id long, neighbor_id long, cosine double, rank long",
+    partials = combos.mapInPandas(
+        kernel, schema="query_id long, neighbor_id long, cosine double"
     )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return partials.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= k)
+
+
+# Backwards-compatible name; the driver-collect implementation it
+# once pointed to is gone (it was a driver-memory cliff).
+cosine_topk_pandas = cosine_topk_blas

@@ -127,15 +127,15 @@ def qs3_cosine_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("qs4_cosine_topk_blas")  # rows-only: BLAS sum order != SQL fold
 def qs4_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Throughput ANN path: Arrow-batched NumPy matmul kernel
-    (operators/similarity.py::cosine_topk_pandas). Produces the same
-    top-k as qs2 up to floating-point tie order; benchmarked as the
-    scale path (~10-50x the interpreted HOF fold). No SQL oracle:
-    BLAS accumulation order differs at ulp level from a left fold, so
-    the driver records the rows-only check; qs2 is the exact twin."""
-    from spotify_pipeline_gcp_spark.operators.similarity import (
-        cosine_topk_pandas,
-    )
+    """Throughput ANN path: distributed block-matmul with an Arrow-
+    batched NumPy kernel (operators/similarity.py::cosine_topk_blas).
+    Fully distributed — packed block table cross-joined with itself,
+    one BLAS slab per combo, window merge of partial top-k; the
+    driver never holds vector data. Same top-k as qs2 up to
+    floating-point tie order. No SQL oracle: BLAS accumulation order
+    differs at ulp level from a left fold, so the driver records the
+    rows-only check; qs2 is the exact twin."""
+    from spotify_pipeline_gcp_spark.operators.similarity import cosine_topk_blas
 
     emb = table(spark, sf_dir, "embeddings")
-    return cosine_topk_pandas(emb, k=5)
+    return cosine_topk_blas(emb, k=5)

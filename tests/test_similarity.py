@@ -7,8 +7,8 @@ import pytest
 from spotify_pipeline_gcp_spark.operators.similarity import (
     cosine_pairs,
     cosine_topk,
+    cosine_topk_blas,
     cosine_topk_bucketed,
-    cosine_topk_pandas,
     with_norm,
 )
 
@@ -58,7 +58,7 @@ def test_bucketed_is_subset_of_bruteforce(spark):
     assert bucketed <= brute
 
 
-def test_pandas_kernel_agrees_with_codegen(spark):
+def test_blas_kernel_agrees_with_codegen(spark):
     sf_dir = "/root/testdata/sf0.001"
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
     a = {
@@ -67,9 +67,27 @@ def test_pandas_kernel_agrees_with_codegen(spark):
     }
     b = {
         (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9))
-        for r in cosine_topk_pandas(emb, k=3).collect()
+        for r in cosine_topk_blas(emb, k=3).collect()
     }
     assert set(a) == set(b)
     mismatched = [k for k in a if a[k][0] != b[k][0]]
     # identical except possible ties at equal cosine
     assert len(mismatched) <= len(a) // 50
+
+
+def test_blas_partial_topk_merge_exact(spark):
+    # Many more blocks than rows — every block is tiny, so the global
+    # window must reconstruct the exact top-k purely from per-block
+    # partials. Also proves self-pairs are masked across blocks.
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(40)
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(emb, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_blas(emb, k=5, n_blocks=13).collect()
+    }
+    assert set(want) == set(got)
+    assert all(n != q for (q, _), n in got.items())
