@@ -52,7 +52,17 @@ HEADLINE_EXT = [
     "qs4_cosine_topk_blas",
     "qt2_quality_score",
     "qt4_fingerprint",
+    "qsp1_hash_sample",
 ]
+# Not benched by design (both are oracle-checked for correctness):
+# - qd8_dedup_components: iterative (one job per propagation round) —
+#   at toy SF the timing is all per-round scheduling overhead, not
+#   throughput; meaningless to extrapolate.
+# - q44_flagship_partition_ready: its point is removing q00's global
+#   sort at the SINK, but Catalyst's EliminateSorts removes a
+#   top-level sort under this bench's count() action anyway — a
+#   count-terminal bench is blind to the difference. The measured
+#   partitioned-parquet WRITE delta is recorded in PERFORMANCE.md.
 
 
 def main() -> None:

@@ -382,6 +382,75 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_components(
+    pairs: DataFrame,
+    node_a: str = "doc_a",
+    node_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph:
+    (doc_id, component) where component = min doc id in the cluster.
+
+    Near-dup PAIRS under-specify dedup policy (keep-one-per-cluster
+    needs transitive closure: a~b, b~c ⇒ {a,b,c} is one group even
+    when a~c fails the threshold). This computes the closure with
+    Pregel-style min-label propagation: each node adopts the minimum
+    label in its neighborhood, iterating to fixpoint — O(component
+    diameter) rounds, each one shuffle (edge join + min-agg).
+    Near-dup graphs are dense star-ish clusters with tiny diameter,
+    so propagation converges in a handful of rounds; adversarially
+    long chains at extreme scale call for the O(log n) alternating
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — same join/agg
+    primitives, more of them per round.
+
+    Per round the label frame is ``localCheckpoint``-ed: iterative
+    plans otherwise grow exponentially deep, and each round's input
+    is a bounded (node, label) table — the classic iterate-
+    materialize loop. Convergence is detected via the monotonically
+    decreasing sum of labels (labels only ever decrease, so an
+    unchanged sum means a fixpoint; one lightweight agg action per
+    round).
+    """
+    edges = (
+        pairs.select(F.col(node_a).alias("u"), F.col(node_b).alias("v"))
+        .union(pairs.select(F.col(node_b).alias("u"), F.col(node_a).alias("v")))
+        # materialized once: every round joins against the edge list,
+        # and without truncation the whole upstream pair-generation
+        # subplan (e.g. an LSH or Jaccard pipeline) would re-execute
+        # per iteration
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .dropDuplicates()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16
 ) -> DataFrame:

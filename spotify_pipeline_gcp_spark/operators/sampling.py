@@ -1,0 +1,93 @@
+"""Deterministic content-addressed sampling and split assignment.
+
+Training-data pipelines need samples and train/val/test splits that
+are (a) reproducible across runs and engines, (b) stable under
+re-partitioning and retries, and (c) free of coordination — which
+rules out ``rand()`` (per-task seeds change under retry/repartition)
+and ``df.sample`` (same problem). The standard fix is hashing a
+stable key and thresholding the digest: membership is a pure
+function of the row's identity.
+
+Digest comparison happens directly on the md5 hex string: hex chars
+are lexicographically ordered by value, so ``md5(key) < '28f5c...'``
+selects exactly the fraction that the threshold prefix encodes, with
+no integer conversion — portable to any engine with ``md5`` and
+string compare (the DuckDB oracles run the identical predicate).
+All ops are stateless single-pass projections/filters: zero shuffle,
+trivially scale-independent, and the filter sits right above the
+scan where Catalyst can push surviving-column pruning down.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def fraction_to_hex_threshold(fraction: float, digits: int = 8) -> str:
+    """Hex-string threshold t such that P(md5 < t) == fraction
+    (to ``digits`` hex digits of resolution, default 2^-32)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    scaled = int(round(fraction * (16**digits)))
+    if scaled >= 16**digits:
+        return "g"  # > every hex digest ⇒ selects everything
+    out = []
+    for _ in range(digits):
+        scaled, rem = divmod(scaled, 16)
+        out.append(_HEX[rem])
+    return "".join(reversed(out))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose salted digest
+    falls under the fraction threshold. ``salt`` decorrelates
+    independent samples drawn from the same keys."""
+    t = fraction_to_hex_threshold(fraction)
+    return df.where(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))) < F.lit(t)
+    )
+
+
+def split_column(
+    key_col: str, weights: Mapping[str, float], salt: str = ""
+) -> Column:
+    """Label column assigning each row to one split by digest range.
+
+    ``weights`` maps split name → weight (normalized internally);
+    ranges are cumulative in the mapping's order, so the same mapping
+    always yields the same assignment. A row's split never changes
+    unless its key or the salt does — adding MORE data never moves
+    existing rows between splits (critical for avoiding train/test
+    leakage across dataset versions).
+    """
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    digest = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = digest < F.lit(fraction_to_hex_threshold(acc))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Attach a deterministic split label column (see split_column)."""
+    return df.withColumn(out_col, split_column(key_col, weights, salt))

@@ -41,6 +41,7 @@ _MODULES = [
     "spotify_pipeline_gcp_spark.queries.text",
     "spotify_pipeline_gcp_spark.queries.multimodal",
     "spotify_pipeline_gcp_spark.queries.streaming",
+    "spotify_pipeline_gcp_spark.queries.sampling",
     "spotify_pipeline_gcp_spark.queries.relational",
     "spotify_pipeline_gcp_spark.queries.extra",
 ]

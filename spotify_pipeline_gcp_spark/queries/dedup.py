@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spotify_pipeline_gcp_spark.operators.dedup import (
+    dedup_components,
     exact_dedup,
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -214,3 +215,32 @@ def qd7_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("cosine") >= 0.45).select(
         "id_a", "id_b", fixed(F.col("cosine"), 6).alias("cosine_r")
     )
+
+
+@register(
+    "qd8_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {JACCARD_CTE},
+    np AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM np
+      UNION ALL SELECT doc_b, doc_a FROM np
+    ),
+    walk(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+    )
+    SELECT node AS doc_id, min(label) AS component
+    FROM walk GROUP BY node
+    """,
+)
+def qd8_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup relation: one component id
+    (min doc id) per clustered document — the keep-one-per-cluster
+    dedup policy. Iterative min-label propagation in Spark; the
+    oracle replays it as a recursive label-walk CTE."""
+    pairs = ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
+    return dedup_components(pairs)

@@ -228,3 +228,57 @@ def q40_json_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bag_json")
     )
+
+
+@register(
+    "q44_flagship_partition_ready",
+    oracle=f"""
+    WITH bag AS (
+      SELECT l_orderkey,
+             string_agg(l_partkey::VARCHAR, ',' ORDER BY l_partkey::VARCHAR) AS partkeys,
+             count(*)::BIGINT AS n_items
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT DISTINCT
+      o.o_orderkey, o.o_orderdate, o.o_orderstatus,
+      {sql_fixed('o.o_totalprice')} AS total_price,
+      {sql_fixed('o.o_totalprice / 1000')} AS total_k,
+      b.partkeys, b.n_items
+    FROM orders o LEFT JOIN bag b ON o.o_orderkey = b.l_orderkey
+    """,
+)
+def q44_flagship_partition_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q00 minus the global sort: the shape a date-partitioned sink
+    actually wants.
+
+    The reference orders its whole output before writing
+    (``playback_pipeline.py:310``); q00 keeps that for parity, paying
+    a sampled range exchange + total-order barrier. A partitioned
+    parquet sink (sinks/writers.py::write_parquet partition_by=
+    ['o_orderdate']) only needs co-location by the partition column
+    and an intra-file clustering order: one hash repartition on
+    o_orderdate + sortWithinPartitions(o_orderkey) — no range
+    exchange, no global barrier, and each task streams straight into
+    its partition directory. Same rows as q00 (the oracle is
+    identical; the driver compare is order-insensitive), cheaper
+    plan — the bench delta q00 vs q44 prices the sort.
+    """
+    from spotify_pipeline_gcp_spark.queries.core import _bag_parts
+
+    orders = table(spark, sf_dir, "orders")
+    bag = _bag_parts(table(spark, sf_dir, "lineitem"))
+    return (
+        orders.join(bag, orders.o_orderkey == bag.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderstatus",
+            fixed(F.col("o_totalprice")).alias("total_price"),
+            fixed(F.col("o_totalprice") / 1000).alias("total_k"),
+            "partkeys",
+            "n_items",
+        )
+        .dropDuplicates()
+        .repartition("o_orderdate")
+        .sortWithinPartitions("o_orderkey")
+    )

@@ -1,0 +1,64 @@
+"""Deterministic sampling queries (operators/sampling.py) with exact
+DuckDB oracles — the digest-threshold predicate is the same string
+comparison in both engines, so membership matches row-for-row."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_pipeline_gcp_spark.operators.sampling import (
+    assign_splits,
+    fraction_to_hex_threshold,
+    hash_sample,
+)
+from spotify_pipeline_gcp_spark.queries import register
+from spotify_pipeline_gcp_spark.queries.compat import table
+
+_T25 = fraction_to_hex_threshold(0.25)
+_T80 = fraction_to_hex_threshold(0.8)
+_T90 = fraction_to_hex_threshold(0.9)
+
+
+@register(
+    "qsp1_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE md5('s1:' || doc_id::VARCHAR) < '{_T25}'
+    """,
+)
+def qsp1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% Bernoulli sample of documents, content-
+    addressed (salted md5 threshold) — reproducible across runs,
+    engines, partitionings, and retries."""
+    docs = table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.25, salt="s1:").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "qsp2_split_assign",
+    oracle=f"""
+    SELECT CASE
+             WHEN md5('v1:' || doc_id::VARCHAR) < '{_T80}' THEN 'train'
+             WHEN md5('v1:' || doc_id::VARCHAR) < '{_T90}' THEN 'val'
+             ELSE 'test'
+           END AS split,
+           count(*)::BIGINT AS n_docs,
+           min(doc_id) AS min_doc
+    FROM documents GROUP BY 1
+    """,
+)
+def qsp2_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by digest range: stable
+    under dataset growth (new rows never move old rows between
+    splits). Aggregated per split for a compact oracle check."""
+    docs = table(spark, sf_dir, "documents")
+    labelled = assign_splits(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1:"
+    )
+    return labelled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )

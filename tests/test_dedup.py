@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from spotify_pipeline_gcp_spark.operators.dedup import (
+    dedup_components,
     drop_stop_shingles,
     exact_dedup,
     exact_dedup_groups,
@@ -149,3 +150,24 @@ def test_simhash_equal_for_dups_and_bounded(spark):
     # near-dup fingerprints are close in Hamming distance
     ham = bin(fps[1] ^ fps[3]).count("1")
     assert ham <= 6
+
+
+def test_components_transitive_closure(spark):
+    # chain 1-2-3 plus isolated pair (10,11): closure puts {1,2,3}
+    # in one component even though (1,3) is not a pair.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {r.doc_id: r.component for r in dedup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_components_long_chain_converges(spark):
+    # worst-case diameter: a path graph; min label must flood end-to-end
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    comp = {r.doc_id: r.component for r in dedup_components(pairs, max_iter=n + 1).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == n + 1

@@ -1,0 +1,78 @@
+"""Deterministic sampling / split-assignment units."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from spotify_pipeline_gcp_spark.operators.sampling import (
+    assign_splits,
+    fraction_to_hex_threshold,
+    hash_sample,
+    split_column,
+)
+
+
+def test_threshold_encoding():
+    assert fraction_to_hex_threshold(0.0) == "00000000"
+    assert fraction_to_hex_threshold(0.25) == "40000000"
+    assert fraction_to_hex_threshold(0.5) == "80000000"
+    assert fraction_to_hex_threshold(1.0) == "g"  # above any hex digest
+    with pytest.raises(ValueError):
+        fraction_to_hex_threshold(1.5)
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).withColumnRenamed("id", "doc_id")
+
+
+def test_hash_sample_matches_python_md5(spark):
+    got = {r.doc_id for r in hash_sample(_docs(spark), "doc_id", 0.25, "s:").collect()}
+    want = {
+        i
+        for i in range(2000)
+        if hashlib.md5(f"s:{i}".encode()).hexdigest() < "40000000"
+    }
+    assert got == want
+    assert 0.2 < len(got) / 2000 < 0.3  # roughly the asked fraction
+
+
+def test_sample_stable_under_repartition(spark):
+    df = _docs(spark)
+    a = {r.doc_id for r in hash_sample(df, "doc_id", 0.1, "x").collect()}
+    b = {r.doc_id for r in hash_sample(df.repartition(17), "doc_id", 0.1, "x").collect()}
+    assert a == b
+
+
+def test_salt_decorrelates(spark):
+    df = _docs(spark)
+    a = {r.doc_id for r in hash_sample(df, "doc_id", 0.5, "s1").collect()}
+    b = {r.doc_id for r in hash_sample(df, "doc_id", 0.5, "s2").collect()}
+    assert a != b
+    overlap = len(a & b) / len(a)
+    assert 0.3 < overlap < 0.7  # independent halves overlap ~50%
+
+
+def test_split_partition_of_rows(spark):
+    df = assign_splits(
+        _docs(spark), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, "v:"
+    )
+    counts = {r.split: r.n for r in df.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000  # every row exactly one split
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_split_stable_under_growth(spark):
+    # The first 1000 keys keep their split when 1000 more arrive.
+    small = assign_splits(_docs(spark, 1000), "doc_id", {"a": 0.5, "b": 0.5})
+    big = assign_splits(_docs(spark, 2000), "doc_id", {"a": 0.5, "b": 0.5})
+    small_map = {r.doc_id: r.split for r in small.collect()}
+    big_map = {r.doc_id: r.split for r in big.collect()}
+    assert all(big_map[k] == v for k, v in small_map.items())
+
+
+def test_split_column_single_bucket(spark):
+    df = _docs(spark, 10).withColumn("s", split_column("doc_id", {"only": 1.0}))
+    assert {r.s for r in df.collect()} == {"only"}
