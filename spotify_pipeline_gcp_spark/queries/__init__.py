@@ -44,6 +44,7 @@ _MODULES = [
     "spotify_pipeline_gcp_spark.queries.sampling",
     "spotify_pipeline_gcp_spark.queries.relational",
     "spotify_pipeline_gcp_spark.queries.extra",
+    "spotify_pipeline_gcp_spark.queries.relational2",
 ]
 
 

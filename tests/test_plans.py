@@ -58,3 +58,32 @@ def test_single_pass_text_ops_have_no_shuffle(spark):
 def test_bag_aggregate_single_shuffle(spark):
     # groupBy bagging needs exactly one exchange (partial -> final)
     assert exchange_count(_q(spark, "q04_bag_collect")) == 1
+
+
+def test_hash_sample_zero_shuffle_and_pruned(spark):
+    # digest-threshold sampling is a pure filter: no exchange, and
+    # only the projected columns are read
+    df = _q(spark, "qsp1_hash_sample")
+    assert exchange_count(df) == 0
+    schemas = read_schemas(df)
+    assert all("text" not in s for s in schemas), schemas
+
+
+def test_partition_ready_flagship_no_range_exchange(spark):
+    # q44 must hash-repartition, never range-sort globally
+    from spotify_pipeline_gcp_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(_q(spark, "q44_flagship_partition_ready")).lower()
+    assert "rangepartitioning" not in plan, "global sort leaked back in"
+    assert "hashpartitioning(o_orderdate" in plan
+
+
+def test_lsh_verification_has_no_pair_aggregate(spark):
+    # qd5's verification must score candidate pairs via array
+    # intersection, NOT re-aggregate all co-shingled pairs: exactly
+    # one count-style aggregate pattern (the signature min-agg),
+    # and an array_intersect in the projection
+    from spotify_pipeline_gcp_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(_q(spark, "qd5_minhash_lsh_pairs")).lower()
+    assert "array_intersect" in plan
