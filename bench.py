@@ -53,6 +53,7 @@ HEADLINE_EXT = [
     "qt2_quality_score",
     "qt4_fingerprint",
     "qsp1_hash_sample",
+    "qp1_corpus_prep",
 ]
 # Not benched by design (both are oracle-checked for correctness):
 # - qd8_dedup_components: iterative (one job per propagation round) —

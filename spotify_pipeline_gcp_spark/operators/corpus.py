@@ -1,0 +1,87 @@
+"""End-to-end corpus preparation: the composite DAG a training-data
+pipeline actually runs, built from this package's own primitives.
+
+``prepare_corpus`` chains
+    quality filter  ->  exact dedup  ->  deterministic split assign
+over a documents table. Each stage is one of the already-verified
+operators (``operators/text.py`` feature exprs, ``operators/dedup.py``
+digest dedup, ``operators/sampling.py`` digest splits) — the point of
+this module is the COMPOSITION: proving the stages fuse into one lean
+distributed plan rather than three materialized passes.
+
+Scale shape (100 TB): the quality filter is a shuffle-free projection
++ predicate sitting directly on the scan (Catalyst prunes unread
+columns and pushes nothing across the wire); the dedup moves payload
+rows across exactly one hash shuffle; split assignment is again
+shuffle-free (a pure function of ``doc_id``). Total: ONE wide shuffle
+of surviving payloads plus one tiny digest-aggregate shuffle —
+the minimum any content-global dedup needs.
+
+Filters use integer-exact arithmetic (token counts, digit counts) so
+membership is bit-identical across engines — float-threshold filters
+can flip rows at the boundary between engines and silently diverge a
+100 TB job from its spec (cf. qt2, where float SCORES are oracle-safe
+because they are outputs, not membership predicates).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spotify_pipeline_gcp_spark.operators.dedup import exact_dedup
+from spotify_pipeline_gcp_spark.operators.sampling import assign_splits
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_digit_ratio: tuple[int, int] = (1, 5),
+) -> DataFrame:
+    """Web-corpus quality gate with integer-exact predicates.
+
+    Keeps documents with at least ``min_tokens`` whitespace tokens and
+    a digit density of at most ``max_digit_ratio`` (num, den) of the
+    characters (default 1/5 = 20% — the standard boilerplate/
+    table-dump filter), compared cross-multiplied in integers. Adds
+    ``n_tokens`` (reused downstream for token accounting) and prunes
+    nothing else: a single-pass narrow operator.
+    """
+    num, den = max_digit_ratio
+    toks = F.split(F.col(text_col), " ", -1)
+    out = df.withColumn("n_tokens", F.size(toks).cast("long")).withColumn(
+        "digit_chars",
+        F.length(F.regexp_replace(F.col(text_col), "[^0-9]", "")).cast("long"),
+    )
+    return out.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("digit_chars") * den <= F.length(F.col(text_col)) * num)
+    )
+
+
+def prepare_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: Mapping[str, float] | None = None,
+    salt: str = "cp1:",
+    min_tokens: int = 10,
+) -> DataFrame:
+    """Quality-filter, exact-dedup, and split-assign a document table.
+
+    Returns the surviving rows with ``n_tokens``, ``digit_chars`` and
+    ``split`` columns added. Dedup keeps the lowest id per content
+    digest AMONG THE FILTERED ROWS (filter-then-dedup: a kept
+    low-quality copy must not shadow a surviving high-quality one).
+    Split assignment is content-addressed (md5 of salted id), so the
+    train/val/test membership of a document never changes when the
+    corpus grows — the property that prevents cross-version
+    train/test leakage.
+    """
+    filtered = quality_filter(df, text_col, min_tokens=min_tokens)
+    deduped = exact_dedup(filtered, id_col, text_col)
+    w = dict(weights) if weights else {"train": 0.8, "val": 0.1, "test": 0.1}
+    return assign_splits(deduped, id_col, w, salt=salt)

@@ -42,6 +42,7 @@ _MODULES = [
     "spotify_pipeline_gcp_spark.queries.multimodal",
     "spotify_pipeline_gcp_spark.queries.streaming",
     "spotify_pipeline_gcp_spark.queries.sampling",
+    "spotify_pipeline_gcp_spark.queries.corpus",
     "spotify_pipeline_gcp_spark.queries.relational",
     "spotify_pipeline_gcp_spark.queries.extra",
     "spotify_pipeline_gcp_spark.queries.relational2",

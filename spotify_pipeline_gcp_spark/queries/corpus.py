@@ -1,0 +1,71 @@
+"""Corpus-preparation composite query (operators/corpus.py) with a
+full DuckDB oracle: the end-to-end LLM training-data DAG — quality
+filter -> exact dedup -> deterministic split -> per-split accounting —
+verified as ONE query, not just as independent stages."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_pipeline_gcp_spark.operators.corpus import prepare_corpus
+from spotify_pipeline_gcp_spark.operators.sampling import (
+    fraction_to_hex_threshold,
+)
+from spotify_pipeline_gcp_spark.queries import register
+from spotify_pipeline_gcp_spark.queries.compat import table
+
+_T80 = fraction_to_hex_threshold(0.8)
+_T90 = fraction_to_hex_threshold(0.9)
+
+
+@register(
+    "qp1_corpus_prep",
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS digit_chars
+      FROM documents
+    ),
+    filtered AS (
+      SELECT * FROM staged
+      WHERE n_tokens >= 10 AND digit_chars * 5 <= length(text) * 1
+    ),
+    deduped AS (
+      SELECT * FROM filtered
+      WHERE doc_id IN (SELECT min(doc_id) FROM filtered GROUP BY md5(text))
+    ),
+    labelled AS (
+      SELECT *,
+             CASE WHEN md5('cp1:' || doc_id::VARCHAR) < '{_T80}' THEN 'train'
+                  WHEN md5('cp1:' || doc_id::VARCHAR) < '{_T90}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM deduped
+    )
+    SELECT split, lang,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           min(doc_id) AS min_doc
+    FROM labelled GROUP BY 1, 2
+    """,
+)
+def qp1_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep (operators/corpus.py::prepare_corpus):
+    integer-exact quality gate (>=10 tokens, <=20% digits), exact
+    dedup keeping the lowest id per content digest among survivors,
+    content-addressed 80/10/10 split, then per-(split, lang) doc and
+    token accounting — the report a data-curation run ships with.
+
+    Plan shape: filter and split are shuffle-free; the whole DAG
+    executes with one payload shuffle (dedup semi-join) plus two
+    small aggregate exchanges (digest groups, final rollup). At
+    100 TB nothing on the driver grows with data volume.
+    """
+    docs = table(spark, sf_dir, "documents")
+    prepped = prepare_corpus(docs, "doc_id", "text", salt="cp1:")
+    return prepped.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+    )

@@ -1,0 +1,79 @@
+"""Corpus-prep composite: stage semantics + fused plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spotify_pipeline_gcp_spark.operators.corpus import (
+    prepare_corpus,
+    quality_filter,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_quality_filter_integer_exact(spark):
+    docs = _docs(spark)
+    kept = quality_filter(docs, "text", min_tokens=10)
+    rows = kept.select("doc_id", "n_tokens", "digit_chars", "text").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_tokens >= 10
+        assert r.digit_chars * 5 <= len(r.text)
+
+
+def test_quality_filter_rejects(spark):
+    good = "the quick brown fox jumps over the lazy dog again"
+    cases = spark.createDataFrame(
+        [
+            (1, good),  # 10 tokens, 0 digits -> kept
+            (2, "too short doc"),  # < 10 tokens -> dropped
+            (3, "v 11 22 33 44 55 66 77 88 99"),  # digit-dense -> dropped
+            (4, good + " 2024"),  # 4 digits / 54 chars < 20% -> kept
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r.doc_id for r in quality_filter(cases, "text").collect()}
+    assert kept == {1, 4}
+
+
+def test_prepare_corpus_dedup_after_filter(spark):
+    # filter-then-dedup: every surviving digest appears once, and the
+    # survivor is the LOWEST id among FILTERED copies of that digest
+    docs = _docs(spark)
+    out = prepare_corpus(docs, "doc_id", "text").cache()
+    digests = out.select(F.md5("text").alias("h"), "doc_id")
+    per = digests.groupBy("h").count().where(F.col("count") > 1).count()
+    assert per == 0
+    filtered = quality_filter(docs, "text").select(
+        F.md5("text").alias("h"), "doc_id"
+    )
+    expect = filtered.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    missing = expect.join(digests, ["h", "doc_id"], "left_anti").count()
+    assert missing == 0
+    out.unpersist()
+
+
+def test_prepare_corpus_split_stability(spark):
+    # growing the corpus must not move existing rows between splits
+    docs = _docs(spark)
+    small = docs.limit(50)
+    full_assign = {
+        r.doc_id: r.split
+        for r in prepare_corpus(docs, "doc_id", "text")
+        .select("doc_id", "split")
+        .collect()
+    }
+    small_assign = {
+        r.doc_id: r.split
+        for r in prepare_corpus(small, "doc_id", "text")
+        .select("doc_id", "split")
+        .collect()
+    }
+    for doc_id, split in small_assign.items():
+        if doc_id in full_assign:
+            assert full_assign[doc_id] == split

@@ -78,6 +78,12 @@ def test_partition_ready_flagship_no_range_exchange(spark):
     assert "hashpartitioning(o_orderdate" in plan
 
 
+def test_corpus_prep_minimal_exchanges(spark):
+    # full corpus-prep DAG: dedup payload shuffle + digest agg +
+    # final rollup — filter and split stages must add NO exchange
+    assert exchange_count(_q(spark, "qp1_corpus_prep")) <= 4
+
+
 def test_lsh_verification_has_no_pair_aggregate(spark):
     # qd5's verification must score candidate pairs via array
     # intersection, NOT re-aggregate all co-shingled pairs: exactly
