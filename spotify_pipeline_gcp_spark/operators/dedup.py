@@ -90,6 +90,39 @@ def shingles(
     return out.dropDuplicates() if distinct else out
 
 
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct shingle SET per document: (doc_id, sh: array, n_sh).
+
+    Per-document dedup is a row-local property — ``array_distinct``
+    inside the row computes it with ZERO shuffle, unlike
+    ``shingles(distinct=True)`` whose ``dropDuplicates`` shuffles the
+    entire (doc_id, shingle) stream (corpus-sized). Carrying ``n_sh``
+    on the row also makes the separate per-doc size aggregate (another
+    full shuffle) unnecessary for Jaccard consumers. The array form
+    assumes one document's shingle set fits in a task's row buffer —
+    true by construction for training-data documents (MBs at most);
+    web-scale outliers should be length-truncated upstream.
+    """
+    toks = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ", -1).alias("t"),
+    ).where(F.size("t") >= n)
+    window_expr = (
+        f"transform(sequence(0, size(t) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f't[i + {k}]' for k in range(n))}))"
+    )
+    # coalesce makes n_sh provably non-null, so downstream
+    # IsNotNull(n_sh) constraints (inferred e.g. from arithmetic in a
+    # threshold filter) constant-fold instead of inlining this whole
+    # expression tree into a pushed-down Filter (a measured 2x
+    # per-row cost on qd3). sh is never null here (the >= n guard).
+    return toks.select(
+        "doc_id", F.array_distinct(F.expr(window_expr)).alias("sh")
+    ).withColumn("n_sh", F.coalesce(F.size("sh"), F.lit(-1)).cast("long"))
+
+
 def drop_stop_shingles(sh: DataFrame, max_df: int) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``max_df``.
 
@@ -157,7 +190,53 @@ def ngram_jaccard_pairs(
     at scale pass ``max_shingle_df`` (stop-shingle filter, see
     ``drop_stop_shingles``) so no single inverted list dominates a
     partition.
+
+    Default path: per-doc sets come from ``shingle_sets`` (row-local
+    ``array_distinct`` — no corpus-wide distinct shuffle) and the set
+    SIZE rides the exploded rows into the pair aggregate as a group
+    key, so the whole operator is ONE exchange-producing subplan (the
+    exploded posting list, reused for both join sides) plus the pair
+    aggregate — no separate sizes aggregate, no post-join size
+    lookups. With ``max_shingle_df`` (or an injected ``_shingles``
+    table) document frequency is a corpus-wide property, so the
+    row-based shape with its explicit size aggregate is used instead.
     """
+    if _shingles is None and max_shingle_df is None:
+        # explode_outer, deliberately: the >= n-token filter already
+        # guarantees a non-empty shingle array, and non-outer explode
+        # triggers InferFiltersFromGenerate, which inlines the whole
+        # shingling expression tree into pushed-down size()/isnotnull
+        # predicates — evaluating the expensive array build ~4x per
+        # row per side (measured 2x wall-clock on qd3 at sf0.1).
+        # Hash-repartition the posting list by shingle: both join
+        # sides then require the SAME exchange, Catalyst's
+        # ReuseExchange computes the shingling once and reads it
+        # twice — at any corpus size where neither side of a
+        # self-join broadcasts, this partitioning is what the join
+        # would demand anyway, so it costs nothing at scale and
+        # halves the expression work.
+        ex = shingle_sets(df, id_col, text_col, n).select(
+            "doc_id", "n_sh", F.explode_outer("sh").alias("shingle")
+        ).repartition(F.col("shingle"))
+        a, b = ex.alias("a"), ex.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n_sh").alias("na"),
+                F.col("b.n_sh").alias("nb"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+        return common.select(
+            "doc_a", "doc_b", jac.alias("jaccard")
+        ).where(F.col("jaccard") >= threshold)
     sh = _shingles if _shingles is not None else shingles(df, id_col, text_col, n)
     if max_shingle_df is not None:
         sh = drop_stop_shingles(sh, max_shingle_df)
@@ -281,12 +360,11 @@ def minhash_lsh_pairs(
 
     Bands of ``rows_per_band`` signature rows; documents sharing any
     complete band become candidates (hash equi-join on the band key —
-    no all-pairs work). Candidates are then verified with true n-gram
-    Jaccard computed ONLY for candidate docs: the shingle table is
-    semi-joined to candidate ids, collapsed to one sorted shingle
-    array per doc, and each candidate pair scores via
-    ``array_intersect``/``size`` — so verification cost tracks
-    |candidates|, not |co-shingled pairs|. (Joining the full
+    no all-pairs work). Candidate PAIRS are then verified with true
+    n-gram Jaccard: per-doc shingle sets (row-local ``array_distinct``
+    — no shuffle to build) join onto the pair table and each pair
+    scores via ``array_intersect``/``size`` — so pair-scoring cost
+    tracks |candidates|, not |co-shingled pairs|. (Joining the full
     inverted-index pair aggregate instead would make LSH prune
     nothing; Catalyst cannot push a candidate join below a pair
     aggregate.) Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
@@ -294,12 +372,12 @@ def minhash_lsh_pairs(
     With k=8, r=2 (4 bands), P(candidate) = 1-(1-j^2)^4 — ~0.99 for
     j=0.9, ~0.22 for j=0.25: high recall at the dedup-relevant end.
     """
-    # the shingle set feeds signatures AND verification. Measured at
-    # sf0.1: recomputing the subplan beats .cache() (cache-write
-    # overhead > recompute for a cheap explode/distinct), and caching
-    # inside an operator leaks storage across invocations. At much
-    # larger inputs, persist this DF (and unpersist) at the CALLER,
-    # where lifetime is controllable.
+    # In the capped branch the shingle row table feeds signatures AND
+    # verification sets; recomputing that subplan beats .cache()
+    # (cache-write overhead > recompute for a cheap explode/distinct,
+    # measured at sf0.1), and caching inside an operator leaks
+    # storage across invocations. At much larger inputs, persist sh
+    # (and unpersist) at the CALLER, where lifetime is controllable.
     if max_shingle_df is not None:
         # document frequencies need distinct (id, shingle) rows
         sh = drop_stop_shingles(
@@ -328,48 +406,39 @@ def minhash_lsh_pairs(
     key_eq = (F.col("a.band") == F.col("b.band"))
     for r in range(rows_per_band):
         key_eq = key_eq & (F.col(f"a.mh{r}") == F.col(f"b.mh{r}"))
-    candidates = (
-        a.join(b, key_eq & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .dropDuplicates()
-        # The candidate pair table is referenced by BOTH the
-        # verification input (which docs to re-shingle) and the final
-        # join; without truncation Catalyst inlines the whole
-        # shingle→signature→band-join subplan into each branch and
-        # runs it twice. localCheckpoint materializes the (tiny —
-        # two ids per row) pair set once and reuses it; lazy, so
-        # plan construction stays action-free.
-        .localCheckpoint(eager=False)
-    )
-    # Candidate-bounded verification: only docs that appear in some
-    # candidate pair are scored, via one shingle array per doc and
-    # ``array_intersect`` per pair. Work here is O(|candidate docs|)
-    # shingling + O(|candidate pairs|) intersections — independent of
-    # how many co-shingled non-candidate pairs exist in the corpus.
-    cand_docs = candidates.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    candidates = a.join(
+        b, key_eq & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     ).dropDuplicates()
+    # Candidate-bounded verification: each candidate PAIR is scored
+    # with one ``array_intersect`` of per-doc shingle sets — work is
+    # O(corpus) set construction + O(|candidate pairs|) intersections,
+    # independent of how many co-shingled non-candidate pairs exist.
+    # The candidate table is deliberately referenced exactly ONCE
+    # (the verification joins attach sets straight to the pairs), so
+    # the shingle→signature→band subplan runs once with no
+    # materialization barrier. (An earlier shape semi-joined doc ids
+    # out of `candidates` first, which referenced the subplan twice
+    # and needed localCheckpoint to avoid double execution — but
+    # checkpoint blocks pin block-manager memory for the session
+    # lifetime and measurably degraded everything that ran after
+    # repeated invocations.)
     if max_shingle_df is None:
-        # Re-shingle ONLY candidate docs' text (semi-join the narrow
-        # id+text projection, then explode) — avoids a second
-        # full-corpus shingle pass + distinct shuffle. Candidates are
-        # a vanishing fraction of the corpus when LSH is doing its
-        # job, so this recompute is near-free.
-        cand_rows = df.select(id_col, text_col).join(
-            cand_docs.withColumnRenamed("doc_id", id_col),
-            on=id_col,
-            how="left_semi",
+        # Set build is row-local (array_distinct) — no shuffle; the
+        # verification joins shuffle the sets table by doc id, the
+        # same linear cost the semi-join alternative pays.
+        sets = shingle_sets(df, id_col, text_col, n).select(
+            F.col("doc_id"), F.col("sh").alias("sh_set")
         )
-        sh_v = shingles(cand_rows, id_col, text_col, n)
     else:
         # With a stop-shingle cap the verification measure must use
         # the SAME capped shingle space as candidate generation, and
-        # document frequencies are corpus-wide — reuse the capped
-        # table, restricted to candidate docs.
-        sh_v = sh.join(cand_docs, "doc_id", "left_semi")
-    sets = sh_v.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
+        # document frequencies are corpus-wide — re-collect the
+        # capped row table into sets.
+        sets = sh.groupBy("doc_id").agg(
+            F.collect_set("shingle").alias("sh_set")
+        )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"))
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -380,6 +449,20 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a ``localCheckpoint``'s block-manager
+    blocks. Checkpoint blocks live until the session ends unless
+    freed; in a long-lived session (a query service, this repo's
+    bench loop) superseded iteration rounds accumulate and degrade
+    everything that runs after. Reaches through the LogicalRDD plan
+    node (internal API) — on any failure it degrades to the
+    ContextCleaner's GC-driven cleanup, never to an error."""
+    try:
+        df._jdf.queryExecution().optimizedPlan().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def dedup_components(
@@ -434,7 +517,7 @@ def dedup_components(
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
-        labels = (
+        new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
@@ -442,12 +525,20 @@ def dedup_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint()  # eager: materialized before the old
+            # round is released below
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        _unpersist_checkpoint(labels)  # superseded round's blocks
+        labels = new_labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # The final label table is self-contained (checkpointing truncated
+    # its lineage), so the edge list's blocks can be released too.
+    # Only the final round's (node, label) blocks outlive the call —
+    # they ARE the result.
+    _unpersist_checkpoint(edges)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
