@@ -50,6 +50,7 @@ HEADLINE_EXT = [
     "qd6_simhash",
     "qs3_cosine_topk_bucketed",
     "qs4_cosine_topk_blas",
+    "qs6_cosine_topk_ivf_blas",
     "qt2_quality_score",
     "qt4_fingerprint",
     "qsp1_hash_sample",

@@ -278,6 +278,17 @@ def cosine_topk_blas(
     combos = packed.select(
         F.col("items").alias("q_items")
     ).crossJoin(packed.select(F.col("items").alias("d_items")))
+    return _blas_topk_from_combos(combos, k)
+
+
+def _blas_topk_from_combos(combos: DataFrame, k: int) -> DataFrame:
+    """Shared BLAS tail: score each (q_items, d_items) block pair with one
+    NumPy matmul emitting per-(query, block) partial top-k, then merge
+    partials with a ranking window — correct because every global
+    neighbor appears in some block's partial top-k."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
 
     def _unpack(items):
         ids = np.fromiter((r["id"] for r in items), dtype="int64", count=len(items))
@@ -312,6 +323,59 @@ def cosine_topk_blas(
     return partials.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).where(F.col("rank") <= k)
+
+
+def cosine_topk_bucketed_blas(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 4,
+    n_sub: int = 1,
+) -> DataFrame:
+    """IVF-with-BLAS: the production ANN shape. Candidate pruning from
+    ``cosine_topk_bucketed`` (sign-bucket code ≈ IVF cluster id) +
+    the Arrow/NumPy matmul kernel from ``cosine_topk_blas`` — each
+    bucket packs into one block row and scores against ITSELF, so
+    candidate generation needs no join at all (the bucket IS the
+    block) and total FLOPs drop ~2^n_bits vs brute force while each
+    FLOP runs at BLAS speed instead of the interpreted fold.
+
+    ``n_sub`` sub-splits each bucket by id-hash into n_sub² block
+    pairs for when one cluster outgrows a task (at 100 TB: size so a
+    block is ~64-256 MB, same accounting as ``cosine_topk_blas``;
+    skewed clusters are exactly the salting problem — n_sub is the
+    salt). Recall == single-probe bucketing (qs3) by construction;
+    compose with the multi-probe trick (qs5) for boundary recall.
+    Float accumulation order differs from the SQL fold at ulp level,
+    so like qs4 this is a rows-only path; the fold twin (qs3) is the
+    oracle-checked exactness baseline.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("bucket", sign_bucket("v", n_bits))
+    if n_sub > 1:
+        base = base.withColumn("sub", F.pmod(F.xxhash64("id"), F.lit(n_sub)))
+        packed = base.groupBy("bucket", "sub").agg(
+            F.collect_list(F.struct("id", "v")).alias("items")
+        )
+        combos = (
+            packed.alias("a")
+            .join(packed.alias("b"), F.col("a.bucket") == F.col("b.bucket"))
+            .select(
+                F.col("a.items").alias("q_items"),
+                F.col("b.items").alias("d_items"),
+            )
+        )
+    else:
+        packed = base.groupBy("bucket").agg(
+            F.collect_list(F.struct("id", "v")).alias("items")
+        )
+        combos = packed.select(
+            F.col("items").alias("q_items"), F.col("items").alias("d_items")
+        )
+    return _blas_topk_from_combos(combos, k)
 
 
 # Backwards-compatible name; the driver-collect implementation it

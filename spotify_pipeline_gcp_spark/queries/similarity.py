@@ -202,3 +202,22 @@ def qs4_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return cosine_topk_blas(emb, k=5)
+
+
+@register("qs6_cosine_topk_ivf_blas")  # rows-only: BLAS sum order != SQL fold
+def qs6_cosine_topk_ivf_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN shape: IVF-style candidate pruning (qs3's
+    sign-bucket code) fused with the Arrow/NumPy block kernel (qs4's
+    throughput) — operators/similarity.py::cosine_topk_bucketed_blas.
+    Each bucket packs to one block and scores against itself, so
+    candidate generation needs no join at all; FLOPs drop ~2^n_bits
+    vs brute force AND each FLOP runs at BLAS speed. Same pairs as
+    qs3 up to floating-point tie order (asserted in
+    tests/test_similarity.py); rows-only for the same ulp reason as
+    qs4 — qs3 is the oracle-checked fold twin."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        cosine_topk_bucketed_blas,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk_bucketed_blas(emb, k=5, n_bits=4)

@@ -118,3 +118,43 @@ def test_multiprobe_recall_at_least_single_probe(spark):
     # cells: probing 5 of 16 cells must beat the 5/16 ≈ 0.31 floor
     # (clustered real embeddings recover far more)
     assert recall_multi > 0.31
+
+
+def test_ivf_blas_matches_fold_bucketed(spark):
+    # the BLAS hybrid must produce the same (query, neighbor, rank)
+    # triples as the oracle-checked fold twin qs3 (ulp-level cosine
+    # noise must not reorder ranks on this data)
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        cosine_topk_bucketed_blas,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fold = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk_bucketed(emb, k=5, n_bits=4).collect()
+    }
+    blas = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk_bucketed_blas(emb, k=5, n_bits=4).collect()
+    }
+    assert fold == blas
+
+
+def test_ivf_blas_subsplit_same_result(spark):
+    # sub-splitting buckets (the skew salt) must not change results
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        cosine_topk_bucketed_blas,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(150)
+    one = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk_bucketed_blas(emb, k=3, n_sub=1).collect()
+    }
+    split = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk_bucketed_blas(emb, k=3, n_sub=3).collect()
+    }
+    assert one == split
