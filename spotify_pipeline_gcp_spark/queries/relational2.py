@@ -131,3 +131,35 @@ def qk1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
     return salted_agg_sum_count(li, ["l_returnflag"], "l_quantity", buckets=8)
+
+
+@register(
+    "q48_rank_battery",
+    oracle=f"""
+    SELECT c_custkey,
+           c_mktsegment,
+           ntile(4) OVER w::BIGINT AS quartile,
+           {sql_fixed('percent_rank() OVER w', 6)} AS pct_rank,
+           {sql_fixed('cume_dist() OVER w', 6)} AS cum_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q48_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window battery: ntile quartiles,
+    percent_rank, cume_dist per market segment, ordered by account
+    balance with the unique key as tie-breaker (rank functions are
+    only deterministic under a total order). One shuffle (the window
+    partition); at 100 TB the partition key's cardinality (segments)
+    bounds parallelism, so a skewed segment serializes one task —
+    same mitigation menu as any hot key: pre-aggregate, or rank
+    within (segment, salt) and merge via distributed quantiles."""
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        fixed(F.percent_rank().over(w), 6).alias("pct_rank"),
+        fixed(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
