@@ -50,7 +50,19 @@ def _spread(df: DataFrame) -> DataFrame:
     ``getNumPartitions`` inspects the plan without running a job.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # len(inputFiles()) is a pure plan inspection (no RDD
+        # conversion, no job). It under-counts splits for files larger
+        # than maxPartitionBytes — exactly the case where the scan is
+        # already well-split and no spread is needed; the df.rdd
+        # fallback (plan→RDD conversion, still no job) covers sources
+        # with no file listing.
+        n_parts = len(df.inputFiles())
+        if n_parts == 0:
+            raise ValueError("no file listing")
+    except Exception:  # noqa: BLE001 - non-file source / internal API drift
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts < target:
         return df.repartition(target)
     return df
 
@@ -322,23 +334,32 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 8,
     _shingles: DataFrame | None = None,
+    hash_family: str = "sliced",
 ) -> DataFrame:
     """MinHash signatures: (doc_id, seed, minhash) — one row per seed.
 
-    Hash family: lexicographic-min of ``md5(seed || ':' || shingle)``
-    hex digests — k independent permutations approximated by k salted
-    hashes. Constant output size per document regardless of length:
-    this is what makes near-dup feasible at 100 TB (signatures table
-    is ``k * 32`` bytes/doc). Computed wide (one aggregation, see
-    ``_minhash_wide``) and unpivoted to the tall shape AFTER the
-    aggregation, when rows = docs, not docs × shingles.
+    Default hash family is the SLICED one (``_minhash_wide_sliced``):
+    each md5 digest yields four independent 32-bit words, so k hashes
+    cost ceil(k/4) md5 calls per shingle instead of k — the dominant
+    CPU term of signature generation. ``hash_family="salted"`` keeps
+    the one-md5-per-hash family (``_minhash_wide``) for callers that
+    want full-width 128-bit min values. Constant output size per
+    document regardless of length: this is what makes near-dup
+    feasible at 100 TB (signatures table is ~k * 8 bytes/doc sliced).
+    Computed wide (one aggregation) and unpivoted to the tall shape
+    AFTER the aggregation, when rows = docs, not docs × shingles.
     """
     sh = (
         _shingles
         if _shingles is not None
         else shingles(df, id_col, text_col, n, distinct=False)
     )
-    wide = _minhash_wide(sh, num_hashes)
+    if hash_family == "sliced":
+        wide = _minhash_wide_sliced(sh, num_hashes)
+    elif hash_family == "salted":
+        wide = _minhash_wide(sh, num_hashes)
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     stack = ", ".join(f"{i}, m{i}" for i in range(num_hashes))
     return wide.select(
         "doc_id",
@@ -391,6 +412,14 @@ def minhash_lsh_pairs(
     # signature positions [b*r, (b+1)*r). Uses the sliced hash
     # family (ceil(k/4) md5 calls/shingle instead of k) — candidate
     # quality is equivalent and verification is exact regardless.
+    if num_hashes % rows_per_band != 0:
+        # a partial band would silently drop trailing signature
+        # positions — a recall reduction the caller never sees
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by "
+            f"rows_per_band ({rows_per_band}); trailing signature "
+            "positions would be silently dropped"
+        )
     num_bands = num_hashes // rows_per_band
     wide = _minhash_wide_sliced(sh, num_hashes)
     band_stack = ", ".join(
@@ -490,10 +519,19 @@ def dedup_components(
     Per round the label frame is ``localCheckpoint``-ed: iterative
     plans otherwise grow exponentially deep, and each round's input
     is a bounded (node, label) table — the classic iterate-
-    materialize loop. Convergence is detected via the monotonically
-    decreasing sum of labels (labels only ever decrease, so an
-    unchanged sum means a fixpoint; one lightweight agg action per
-    round).
+    materialize loop. Convergence is detected type-agnostically: the
+    new round carries the previous label alongside the new one, and
+    a count of rows where they differ (one filter-count over the
+    just-materialized checkpoint blocks) hits zero exactly at the
+    fixpoint — works for string ids as well as numeric ones, where a
+    label-sum check would silently null out under a failed cast.
+
+    Exhausting ``max_iter`` before the fixpoint raises RuntimeError:
+    partially-propagated labels are indistinguishable from converged
+    output downstream, so truncation must be loud. Near-dup graphs
+    converge in O(cluster diameter) rounds (tiny); a graph that
+    legitimately needs more rounds should raise ``max_iter`` or use
+    the O(log n) star-contraction alternative cited above.
     """
     edges = (
         pairs.select(F.col(node_a).alias("u"), F.col(node_b).alias("v"))
@@ -510,17 +548,23 @@ def dedup_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # `ckpt` tracks the frame that IS the LogicalRDD checkpoint node
+    # (release must target it directly — a projection on top would
+    # make _unpersist_checkpoint a silent no-op); `labels` is the
+    # 2-column view the round logic uses.
+    ckpt = labels
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        new_round = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
+                F.col("label").alias("prev_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
@@ -528,12 +572,22 @@ def dedup_components(
             .localCheckpoint()  # eager: materialized before the old
             # round is released below
         )
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        _unpersist_checkpoint(labels)  # superseded round's blocks
-        labels = new_labels
-        if cur_sum == prev_sum:
+        n_changed = new_round.where(
+            F.col("label") != F.col("prev_label")
+        ).count()
+        _unpersist_checkpoint(ckpt)  # superseded round's blocks
+        ckpt = new_round
+        labels = new_round.select("node", "label")
+        if n_changed == 0:
+            converged = True
             break
-        prev_sum = cur_sum
+    if not converged:
+        _unpersist_checkpoint(edges)
+        raise RuntimeError(
+            f"dedup_components did not converge within max_iter={max_iter} "
+            "rounds; labels are partially propagated. Raise max_iter (graph "
+            "diameter bounds the rounds needed) or switch to star-contraction."
+        )
     # The final label table is self-contained (checkpointing truncated
     # its lineage), so the edge list's blocks can be released too.
     # Only the final round's (node, label) blocks outlive the call —
@@ -551,29 +605,108 @@ def simhash(
     bit j across token hashes; bit j of a token hash is the parity of
     hex digit j of its md5 (engine-portable bit extraction). Tokens
     count with multiplicity. Fingerprints of near-identical documents
-    differ in few bits; exact-equal fingerprints bucket aggressive
-    near-dups with a single groupBy at any scale.
+    differ in few bits; ``simhash_pairs`` finds those via bit-band
+    LSH + Hamming verification, and exact-equal fingerprints bucket
+    aggressive near-dups with a single groupBy at any scale.
+
+    Plan shape: all ``bits`` per-bit contributions are computed as
+    sibling columns of ONE token row (the substring positions are
+    per-column constants) and reduced by ``bits`` sums in ONE
+    groupBy — no bit explode (which would multiply shuffle rows
+    ``bits``×) and no second aggregation; the map-side combine
+    collapses token rows to one row per (partition, doc) before the
+    exchange. Same wide-aggregation trick as ``_minhash_wide``.
     """
     toks = tokenize(df, id_col, text_col).select(
         F.col(id_col).alias("doc_id"), F.md5("token").alias("h")
     )
-    expanded = toks.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+    contribs = [
+        F.expr(
+            f"CAST((((instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1)"
+            f" % 2) * 2 - 1) AS BIGINT)"
+        ).alias(f"c{j}")
+        for j in range(bits)
+    ]
+    per_doc = toks.select("doc_id", *contribs).groupBy("doc_id").agg(
+        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(bits)]
     )
-    contrib = F.expr(
-        "CAST((((instr('0123456789abcdef', substring(h, j + 1, 1)) - 1) % 2)"
-        " * 2 - 1) AS BIGINT)"
+    fingerprint = F.lit(0).cast("long")
+    for j in range(bits):
+        fingerprint = fingerprint + F.when(
+            F.col(f"s{j}") > 0, F.lit(2**j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, found via bit-band
+    LSH over the fingerprint: (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    The fingerprint is split into ``bands`` contiguous bit bands
+    (shift + mask on the long — a projection, no explode of the
+    payload); documents sharing ANY band value become candidates
+    (equi-join on (band, value)), then candidates are verified with
+    ``bit_count(a ^ b) <= max_hamming``. By pigeonhole, any pair
+    within Hamming distance < ``bands`` shares at least one intact
+    band, so recall is EXACT for ``max_hamming <= bands - 1`` (the
+    default 3 with 4 bands) — this LSH is a lossless prefilter, not
+    an approximation, which is what makes the operator oracle-
+    checkable: the oracle verifies the same distance over the same
+    candidate space and gets the same pairs.
+
+    Scale shape: candidate generation shuffles (doc_id, band, value)
+    rows — ``bands`` longs per document, no payload; verification is
+    one integer XOR per candidate. Identical-fingerprint clusters
+    (exact dups) produce their full pair set; run AFTER exact dedup
+    when that blowup is unwanted. One band is ``bits/bands`` wide:
+    widen bands (more bits each) to cut candidates, add bands to
+    raise the guaranteed-recall Hamming radius.
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must be divisible by bands ({bands})")
+    band_width = bits // bands
+    mask = (1 << band_width) - 1
+    fp = simhash(df, id_col, text_col, bits)
+    band_vals = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for b in range(bands)
+        ]
     )
-    per_bit = (
-        expanded.select("doc_id", "j", contrib.alias("c"))
-        .groupBy("doc_id", "j")
-        .agg(F.sum("c").alias("s"))
+    banded = fp.select(
+        "doc_id", "simhash", F.explode(band_vals).alias("p")
+    ).select("doc_id", "simhash", F.col("p.band").alias("band"), F.col("p.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    weight = F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j"))).otherwise(
-        F.lit(0.0)
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(weight).cast("long").alias("simhash")
-    )
+    hamming = F.bit_count(
+        F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+    ).cast("long")
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

@@ -19,6 +19,7 @@ from spotify_pipeline_gcp_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_pairs,
 )
 from spotify_pipeline_gcp_spark.queries import register
 from spotify_pipeline_gcp_spark.queries.compat import table
@@ -99,17 +100,22 @@ def qd3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qd4_minhash_signatures",
     oracle=f"""
     WITH {SHINGLE_CTE},
-    salted AS (
+    sliced AS (
       SELECT doc_id, seed,
-             md5(seed::VARCHAR || ':' || shingle) AS salted
+             substr(md5((CASE WHEN seed < 4 THEN 'a:' ELSE 'b:' END) || shingle),
+                    ((seed % 4) * 8 + 1)::INT, 8) AS word
       FROM shingle CROSS JOIN (SELECT unnest(range(8)) AS seed)
     )
-    SELECT doc_id, seed, min(salted) AS minhash
-    FROM salted GROUP BY doc_id, seed
+    SELECT doc_id, seed, min(word) AS minhash
+    FROM sliced GROUP BY doc_id, seed
     """,
 )
 def qd4_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=8 salted md5 permutations, word-3-grams)."""
+    """MinHash signatures (k=8, word-3-grams) with the SLICED hash
+    family: each md5 digest yields four independent 32-bit words, so
+    8 hashes cost 2 md5 calls per shingle instead of 8 — the
+    signature-generation CPU term drops ~4x (the same family qd5's
+    band keys use; verification there is exact regardless)."""
     sigs = minhash_signatures(
         table(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=8
     )
@@ -244,3 +250,153 @@ def qd8_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
     )
     return dedup_components(pairs)
+
+
+@register(
+    "qd3b_ngram_jaccard_capped",
+    oracle=f"""
+    WITH {SHINGLE_CTE},
+    hot AS (SELECT shingle FROM shingle GROUP BY shingle HAVING count(*) > 4),
+    kept AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingle s ANTI JOIN hot h ON s.shingle = h.shingle
+    ),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM kept GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    """,
+)
+def qd3b_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-shingle-capped Jaccard pairs (``max_shingle_df=4``): the
+    scale knob that bounds every inverted list before the pair join —
+    on natural text the difference between a bounded shuffle and a
+    hot-key n² blowup. Jaccard is over the FILTERED shingle space
+    (standard: stop-shingles carry no dedup signal); at this corpus
+    the cap drops ~150 high-df shingles and the planted near-dup
+    pairs all survive, so the capped and uncapped answers agree —
+    proven here by the driver, not assumed."""
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.8,
+        max_shingle_df=4,
+    )
+
+
+@register(
+    "qd9_simhash_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+    ),
+    expanded AS (
+      SELECT doc_id, h, unnest(range(32)) AS j FROM tok
+    ),
+    per_bit AS (
+      SELECT doc_id, j,
+             sum((((strpos('0123456789abcdef', substr(h, (j + 1)::INT, 1)) - 1) % 2)
+                  * 2 - 1)::BIGINT) AS s
+      FROM expanded GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN power(2.0, j) ELSE 0.0 END)::BIGINT AS simhash
+      FROM per_bit GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * 8)::INT) & 255 AS bv
+      FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS fp_a, b.simhash AS fp_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+    """,
+)
+def qd9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS — bit-band LSH over 32-bit fingerprints
+    (4 bands x 8 bits), Hamming <= 3 verification via
+    ``bit_count(a ^ b)``. With 4 bands the band filter is LOSSLESS
+    for Hamming <= 3 (pigeonhole: 3 flipped bits leave one band
+    intact), so this is exact near-dup pairing, not approximate —
+    the operator SimHash fingerprints were missing (fingerprints
+    alone only bucket EXACT fingerprint equality)."""
+    return simhash_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        bits=32,
+        bands=4,
+        max_hamming=3,
+    )
+
+
+@register(
+    "qd7b_embedding_near_dup_pruned",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+             ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::BIGINT AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) * 1000000 + 0.5) / 1000000
+             AS cosine_r
+    FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.45
+    """,
+)
+def qd7b_embedding_near_dup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs AT SCALE: sign-bucket candidate
+    generation (qs3's coarse code — an equi-join, never all-pairs)
+    feeding qd7's cosine >= tau predicate. This is the actual 100 TB
+    semantic-dedup operator: the pair space shrinks ~2^n_bits before
+    any dot product runs, and the exact fold kernel keeps the result
+    oracle-checkable (the oracle replays bucket + threshold). qd7 is
+    the unpruned exactness twin; recall loss vs qd7 is the standard
+    single-probe ANN trade (cross-bucket pairs are not scored)."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _dot_pre,
+        _double_base,
+        sign_bucket,
+    )
+    from spotify_pipeline_gcp_spark.queries.compat import fixed
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = _double_base(emb, "vec_id", "embedding").withColumn(
+        "bucket", sign_bucket("v", 4)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot_pre(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(cos >= 0.45)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            fixed(cos, 6).alias("cosine_r"),
+        )
+    )

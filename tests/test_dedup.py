@@ -171,3 +171,103 @@ def test_components_long_chain_converges(spark):
     comp = {r.doc_id: r.component for r in dedup_components(pairs, max_iter=n + 1).collect()}
     assert set(comp.values()) == {0}
     assert len(comp) == n + 1
+
+
+def test_components_string_ids(spark):
+    # convergence must be type-agnostic: string node ids would null
+    # out under a numeric-sum convergence check and stop after one
+    # round on a chain — the changed-row count does not care.
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    comp = {r.doc_id: r.component for r in dedup_components(pairs).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_components_max_iter_raises(spark):
+    # a 6-node path needs more than 2 rounds; truncation must be loud,
+    # not silently partial
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(pairs, max_iter=2)
+
+
+def test_lsh_rejects_partial_band(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(
+            _docs(spark), "doc_id", "text", num_hashes=7, rows_per_band=2
+        )
+
+
+def test_simhash_pairs_hamming_recall(spark):
+    # 6 docs: (1,2) exact dup -> hamming 0; (1,3) near dup -> small
+    # hamming; unrelated docs must not appear at a tight threshold.
+    from spotify_pipeline_gcp_spark.operators.dedup import simhash_pairs
+
+    docs = _docs(spark)
+    fps = {
+        r.doc_id: r.simhash
+        for r in simhash(docs, "doc_id", "text", bits=32).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(
+            docs, "doc_id", "text", bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got.get((1, 2)) == 0  # exact dup: identical fingerprint
+    # band LSH is lossless for hamming <= bands-1: EVERY pair within
+    # the radius must be found (pigeonhole), none invented
+    for (a, b), ham in got.items():
+        assert ham <= 3
+        assert bin(fps[a] ^ fps[b]).count("1") == ham
+    expected = {
+        (a, b)
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert set(got) == expected
+
+
+def test_simhash_pairs_respects_band_divisibility(spark):
+    import pytest
+
+    from spotify_pipeline_gcp_spark.operators.dedup import simhash_pairs
+
+    with pytest.raises(ValueError, match="divisible"):
+        simhash_pairs(_docs(spark), "doc_id", "text", bits=30, bands=4)
+
+
+def test_capped_jaccard_bounds_inverted_lists(spark):
+    # a planted hot shingle ("common boilerplate phrase" in all docs)
+    # must be gone from the capped posting list: every surviving
+    # shingle's document frequency is <= max_df, so no inverted list
+    # (join key group) can exceed max_df rows — the property that
+    # bounds the pair join at scale.
+    docs = spark.createDataFrame(
+        [
+            (1, "common boilerplate phrase alpha beta gamma"),
+            (2, "common boilerplate phrase alpha beta delta"),
+            (3, "common boilerplate phrase epsilon zeta eta"),
+            (4, "common boilerplate phrase theta iota kappa"),
+            (5, "common boilerplate phrase lambda mu nu"),
+        ],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    capped = drop_stop_shingles(shingles(docs, "doc_id", "text", n=3), max_df=2)
+    max_list = (
+        capped.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df"))
+        .collect()[0][0]
+    )
+    assert max_list is not None and max_list <= 2
