@@ -381,3 +381,163 @@ def cosine_topk_bucketed_blas(
 # Backwards-compatible name; the driver-collect implementation it
 # once pointed to is gone (it was a driver-memory cliff).
 cosine_topk_pandas = cosine_topk_blas
+
+
+def _unit_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, u: array<double>) — L2-normalized vectors. Division by the
+    fold-computed norm, element order preserved, so both engines (and
+    every downstream dot product) see bitwise-identical unit vectors."""
+    base = _double_base(df, id_col, vec_col)
+    return base.select(
+        "id", F.transform("v", lambda x: x / F.col("norm")).alias("u")
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Trained IVF coarse quantizer: seeded spherical k-means via
+    pure-DataFrame Lloyd's iterations. Returns (cid, c: array<double>)
+    with unit-norm centroids.
+
+    Every step is deterministic AND engine-portable, so the trained
+    model is oracle-checkable bit-for-bit against ANSI SQL:
+
+    - init: the k vectors ranked first by ``md5(id)`` (a seeded
+      pseudo-random draw both engines compute identically);
+    - assign: argmax centroid by fold dot product (ties → lowest cid);
+    - update: per-dimension mean computed as a left fold over the
+      SORTED value list — sorting removes the one nondeterminism
+      (float summation order) a plain ``avg`` would have — then
+      L2-renormalized (spherical k-means, the right variant for
+      cosine/IP search);
+    - a FIXED iteration count (no convergence test), which is what
+      makes the whole training replayable as a finite SQL CTE chain.
+
+    Scale notes: each iteration is one broadcast cross-join (n·k
+    rows, k tiny), one per-point argmax, and one (k·d)-group
+    aggregate; centroids — O(k·d) model state, independent of data
+    volume — are collected to the driver between rounds and
+    re-broadcast, exactly MLlib's KMeans loop structure. The
+    sorted-fold mean costs a per-(cid, dim) sort; at production scale
+    swap it for plain ``avg`` (ulp-level difference, no oracle) and
+    the md5 init ranking for ``RAND_N`` sampling. The iterate-
+    materialize pattern needs no checkpoint here: the loop re-plans
+    from the literal centroid table each round, so plans stay flat.
+    """
+    spark = df.sparkSession
+    from pyspark.sql import Window as W
+
+    pts = _unit_vectors(df, id_col, vec_col)
+    init_w = W.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+    cent = (
+        pts.withColumn("rn", F.row_number().over(init_w))
+        .where(F.col("rn") <= k)
+        .select(
+            (F.col("rn") - 1).cast("long").alias("cid"),
+            F.col("u").alias("c"),
+        )
+    )
+    asg_w = W.partitionBy("id").orderBy(F.col("dot").desc(), F.col("cid"))
+    for _ in range(n_iter):
+        assigned = (
+            pts.crossJoin(F.broadcast(cent))
+            .withColumn("dot", _dot_pre(F.col("u"), F.col("c")))
+            .withColumn("rnk", F.row_number().over(asg_w))
+            .where(F.col("rnk") == 1)
+            .select("id", "u", "cid")
+        )
+        stats = (
+            assigned.select("cid", F.posexplode("u").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.aggregate(
+                        F.sort_array(F.collect_list("val")),
+                        F.lit(0.0),
+                        lambda a, v: a + v,
+                    )
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        mv = F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        )
+        means = stats.groupBy("cid").agg(mv.alias("mv"))
+        new_cent = means.select(
+            "cid",
+            F.transform(
+                "mv", lambda x: x / F.sqrt(_dot_pre(F.col("mv"), F.col("mv")))
+            ).alias("c"),
+        )
+        # O(k·d) model state to the driver, re-broadcast next round —
+        # truncates plan growth; this is model exchange, not data
+        # collection (size independent of |df|).
+        rows = [(r["cid"], list(r["c"])) for r in new_cent.collect()]
+        cent = spark.createDataFrame(rows, "cid long, c array<double>")
+    return cent
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, u, cid): nearest-centroid assignment by fold dot product
+    over unit vectors (ties → lowest cid). Broadcast cross-join +
+    per-point argmax — n·k rows, never n²."""
+    from pyspark.sql import Window as W
+
+    pts = _unit_vectors(df, id_col, vec_col)
+    w = W.partitionBy("id").orderBy(F.col("dot").desc(), F.col("cid"))
+    return (
+        pts.crossJoin(F.broadcast(centroids))
+        .withColumn("dot", _dot_pre(F.col("u"), F.col("c")))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("id", "u", F.col("cid"))
+    )
+
+
+def cosine_topk_kmeans(
+    df: DataFrame,
+    k_neighbors: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    n_iter: int = 2,
+) -> DataFrame:
+    """IVF proper: top-k cosine neighbors with candidates restricted
+    to the same TRAINED k-means cell — ``cosine_topk_bucketed`` with
+    learned centroids instead of sign bits. Data-adaptive cells beat
+    fixed sign-hyperplanes on clustered embeddings (recall at equal
+    candidate volume); candidate generation stays a pure equi-join on
+    the cluster id. Cosine over unit vectors = the fold dot product,
+    so results stay oracle-checkable end-to-end, training included."""
+    from pyspark.sql import Window as W
+
+    cent = kmeans_centroids(df, id_col, vec_col, k=n_clusters, n_iter=n_iter)
+    asg = assign_clusters(df, cent, id_col, vec_col)
+    a, b = asg.alias("a"), asg.alias("b")
+    cos = _dot_pre(F.col("a.u"), F.col("b.u"))
+    pairs = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("query_id"),
+        F.col("b.id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k_neighbors
+    )

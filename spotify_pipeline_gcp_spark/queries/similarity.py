@@ -221,3 +221,117 @@ def qs6_cosine_topk_ivf_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return cosine_topk_bucketed_blas(emb, k=5, n_bits=4)
+
+
+def _ivf_kmeans_oracle(k: int, n_iter: int, d: int, topk: int) -> str:
+    """DuckDB replay of the ENTIRE seeded-k-means training + IVF
+    search as one finite CTE chain — possible because the operator
+    fixes the iteration count and removes every nondeterminism
+    (md5-ranked init, fold dot products, sorted-fold means)."""
+    ctes = [
+        """u AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[]))) AS u
+      FROM embeddings
+    )""",
+        f"""cent0 AS (
+      SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::BIGINT AS cid,
+             u AS c
+      FROM u
+      QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= {k}
+    )""",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"""asg{i} AS (
+      SELECT vec_id, u, cid FROM (
+        SELECT p.vec_id, p.u, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY list_dot_product(p.u, c.c) DESC, c.cid) AS rnk
+        FROM u p CROSS JOIN cent{i} c) t
+      WHERE rnk = 1
+    )"""
+        )
+        ctes.append(
+            f"""stats{i} AS (
+      SELECT cid, j, list_reduce(list_sort(list(u[j])), (a, b) -> a + b) / count(*) AS m
+      FROM asg{i} CROSS JOIN (SELECT unnest(range(1, {d + 1})) AS j)
+      GROUP BY cid, j
+    )"""
+        )
+        ctes.append(
+            f"""mv{i} AS (SELECT cid, list(m ORDER BY j) AS mv FROM stats{i} GROUP BY cid)"""
+        )
+        ctes.append(
+            f"""cent{i + 1} AS (
+      SELECT cid, list_transform(mv, x -> x / sqrt(list_dot_product(mv, mv))) AS c
+      FROM mv{i}
+    )"""
+        )
+    ctes.append(
+        f"""asgf AS (
+      SELECT vec_id, u, cid FROM (
+        SELECT p.vec_id, p.u, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY list_dot_product(p.u, c.c) DESC, c.cid) AS rnk
+        FROM u p CROSS JOIN cent{n_iter} c) t
+      WHERE rnk = 1
+    )"""
+    )
+    ctes.append(
+        """pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             floor(list_dot_product(a.u, b.u) * 1000000 + 0.5) / 1000000 AS cosine_r
+      FROM asgf a JOIN asgf b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, cosine_r,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_r DESC, neighbor_id)::BIGINT AS rank
+    FROM pairs
+    QUALIFY rank <= {topk}
+    """
+    )
+
+
+@register("qs7_cosine_topk_ivf_kmeans", oracle=_ivf_kmeans_oracle(8, 2, 64, 5))
+def qs7_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: seeded spherical k-means
+    (k=8, 2 Lloyd's rounds, pure DataFrame ops) replaces qs3's fixed
+    sign-hyperplanes; search restricts candidates to the learned cell
+    (equi-join on cluster id) before the exact fold kernel. The
+    oracle replays the full training as a CTE chain — init ranking,
+    argmax assignment, sorted-fold means — so even the model is
+    hash-verified, not just the search. Data-adaptive cells beat
+    fixed sign-cuts on clustered data at equal candidate volume
+    (recall asserted vs qs2 in tests/test_similarity.py)."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        assign_clusters,
+        kmeans_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, "vec_id", "embedding", k=8, n_iter=2)
+    asg = assign_clusters(emb, cent, "vec_id", "embedding")
+    a, b = asg.alias("a"), asg.alias("b")
+    cos = fixed(_dot_pre(F.col("a.u"), F.col("b.u")), 6)
+    pairs = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("query_id"),
+        F.col("b.id").alias("neighbor_id"),
+        cos.alias("cosine_r"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= 5
+    )

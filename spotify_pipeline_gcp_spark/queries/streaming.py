@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from spotify_pipeline_gcp_spark.queries import register
 from spotify_pipeline_gcp_spark.queries.compat import sql_fixed
 from spotify_pipeline_gcp_spark.streaming.incremental import (
+    streaming_sessionize,
     streaming_type_rollup,
 )
 
@@ -30,3 +31,43 @@ def qst1_streaming_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete mode, AvailableNow — the reference's daily batch cadence
     expressed as a stream (SURVEY §2.11)."""
     return streaming_type_rollup(spark, sf_dir)
+
+
+@register(
+    "qst2_streaming_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    ),
+    agg AS (
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*)::BIGINT AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT session_start, session_end, user_id, n_events
+    FROM agg
+    WHERE session_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
+def qst2_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming event-time sessionization (session_window, 30-min
+    gap, 1-hour watermark, append mode, AvailableNow) — the streaming
+    twin of batch q30. The oracle replays the gap semantics
+    (session_window merges events whose gap windows OVERLAP, so a new
+    session starts at gap >= 30 min; window end = last event + gap)
+    and the append-mode watermark cutoff (sessions closing within the
+    final watermark of max event time stay in state, unemitted)."""
+    return streaming_sessionize(spark, sf_dir)

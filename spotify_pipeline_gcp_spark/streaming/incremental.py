@@ -53,8 +53,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (ts omitted: the
     parquet TIMESTAMP(NANOS) physical type needs the batch-side
     loader's conversion; streaming demos use the value columns)."""
-    # file footer still carries TIMESTAMP(NANOS) for ts even though the
-    # declared schema omits it; allow nanos so footer validation passes
+    # File footer still carries TIMESTAMP(NANOS) for ts even though the
+    # declared schema omits it; allow nanos so footer validation passes.
+    # Session-global by necessity: nanosAsLong is a SQL conf with no
+    # per-reader option equivalent (probed on Spark 4.1 — a reader
+    # .option("nanosAsLong") does not bypass footer validation), and
+    # the plan is lazy, so save-and-restore around the read would
+    # unset it before execution. The conf is a widening (reads that
+    # worked keep working), so leaving it set is safe.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
@@ -63,6 +69,27 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+
+
+EVENTS_STREAM_TS_SCHEMA = T.StructType(
+    list(EVENTS_STREAM_SCHEMA.fields) + [T.StructField("ts", T.LongType())]
+)
+
+
+def stream_events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events INCLUDING event time: ts is
+    declared as raw nanos (``nanosAsLong``) and converted to a µs
+    timestamp in-plan — the same lossless conversion the batch loader
+    applies (``queries/compat.py::table``), so event-time operators
+    (watermarks, session windows) see identical timestamps in batch
+    and streaming."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_TS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def streaming_dedup(
@@ -115,3 +142,33 @@ def streaming_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time sessionization of the events stream, run to
+    completion under AvailableNow: ``session_window(ts, gap)`` keyed
+    by user — the streaming twin of the batch lag+cumsum sessionizer
+    (q30), same 30-minute inactivity gap.
+
+    Append-mode semantics are part of the contract: a session emits
+    only once the watermark passes its close, so sessions ending
+    within ``watermark`` of the stream's maximum event time remain in
+    state when the query stops and are NOT in the output — the
+    correct streaming behavior (they could still grow), reproduced
+    deterministically by AvailableNow's final no-data microbatch
+    (final watermark = max event time - delay). The batch oracle
+    applies the same cutoff explicitly.
+    """
+    sessions = streaming_session_windows(
+        stream_events_with_ts(spark, sf_dir),
+        ts_col="ts",
+        key_col="user_id",
+        gap=gap,
+        watermark=watermark,
+    )
+    return _run_to_memory(sessions, "append")

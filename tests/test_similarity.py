@@ -158,3 +158,54 @@ def test_ivf_blas_subsplit_same_result(spark):
         for r in cosine_topk_bucketed_blas(emb, k=3, n_sub=3).collect()
     }
     assert one == split
+
+
+def test_kmeans_separable_recall(spark):
+    # Two well-separated direction clusters; k-means with k=2 must
+    # recover them, and IVF search within the learned cells must
+    # reproduce brute-force top-1 exactly (each point's nearest
+    # neighbor lives in its own cluster by construction).
+    import random
+
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        assign_clusters,
+        cosine_topk_kmeans,
+        kmeans_centroids,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(20):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 0.0, 0.0, 1.0]
+        rows.append(
+            (i, [b + rng.uniform(-0.05, 0.05) for b in base])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cent = kmeans_centroids(df, k=2, n_iter=3)
+    asg = {r.id: r.cid for r in assign_clusters(df, cent).collect()}
+    even = {asg[i] for i in range(0, 20, 2)}
+    odd = {asg[i] for i in range(1, 20, 2)}
+    assert len(even) == 1 and len(odd) == 1 and even != odd
+
+    brute = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk(df, k=1).collect()
+    }
+    ivf = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk_kmeans(df, k_neighbors=1, n_clusters=2, n_iter=3).collect()
+    }
+    assert ivf == brute  # full recall on separable data
+
+
+def test_kmeans_deterministic(spark):
+    from spotify_pipeline_gcp_spark.operators.similarity import kmeans_centroids
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 1.0]) for i in range(15)],
+        "vec_id long, embedding array<float>",
+    )
+    a = {r.cid: r.c for r in kmeans_centroids(df, k=3, n_iter=2).collect()}
+    b = {r.cid: r.c for r in kmeans_centroids(df, k=3, n_iter=2).collect()}
+    assert a == b  # bitwise-identical across runs
