@@ -51,6 +51,9 @@ HEADLINE_EXT = [
     "qs3_cosine_topk_bucketed",
     "qs4_cosine_topk_blas",
     "qs6_cosine_topk_ivf_blas",
+    "qs7_cosine_topk_ivf_kmeans",
+    "qd9_simhash_pairs",
+    "qst2_streaming_sessionize",
     "qt2_quality_score",
     "qt4_fingerprint",
     "qsp1_hash_sample",
@@ -85,17 +88,24 @@ def main() -> None:
     for name in names:
         registry[name].fn(spark, sf_dir).count()
 
-    # min of two timed runs: this box shows ±2-3x run-to-run variance
-    # (shared machine); the minimum is the least-noisy steady-state
-    # estimate and what extrapolates to per-row cluster throughput.
+    # min of three timed runs: this box shows ±2-3x run-to-run
+    # variance (shared machine); the minimum is the least-noisy
+    # steady-state estimate and what extrapolates to per-row cluster
+    # throughput. The median is recorded alongside so a regression
+    # can be told apart from one noisy rep (min stable + median up =
+    # noise; both up = real).
+    reps = 3
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(reps):
             t0 = time.time()
             registry[name].fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[reps // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -105,6 +115,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "sf": sf,
             }
         )

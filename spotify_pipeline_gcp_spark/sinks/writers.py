@@ -102,14 +102,29 @@ class ParquetWarehouse:
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def _recover(self, table: str) -> None:
+        """Self-heal the one crash window ``delete_keys`` leaves: if a
+        crash hit between renaming the table aside and moving the
+        rewrite in, the data survives under ``<table>.old`` while the
+        table path is missing. Every access point calls this first, so
+        the rename-back recovery the docstring used to delegate to an
+        operator happens automatically on the next touch."""
+        target = self._path(table)
+        old = target + ".old"
+        if not os.path.isdir(target) and os.path.isdir(old):
+            os.rename(old, target)
+
     def exists(self, table: str) -> bool:
+        self._recover(table)
         return os.path.isdir(self._path(table))
 
     def scan(self, table: str, predicate: str | None = None) -> DataFrame:
+        self._recover(table)
         df = self.spark.read.parquet(self._path(table))
         return df.where(predicate) if predicate else df
 
     def append(self, df: DataFrame, table: str) -> None:
+        self._recover(table)
         df.write.mode("append").parquet(self._path(table))
 
     def delete_keys(self, table: str, keys_df: DataFrame, key_cols: list[str]) -> int:
@@ -128,8 +143,9 @@ class ParquetWarehouse:
         rename-aside: old table → ``<table>.old``, new dir → table,
         then drop ``.old``. A crash at ANY step leaves a complete
         copy on disk (worst case: the table is briefly under the
-        ``.old`` name — recover by renaming back); there is no window
-        where no copy exists, unlike delete-then-move. Concurrent
+        ``.old`` name — ``_recover`` renames it back automatically on
+        the next scan/append/exists); there is no window where no
+        copy exists, unlike delete-then-move. Concurrent
         readers mid-swap can still race the rename pair — true
         isolation needs a manifest format (Delta/Iceberg), out of
         scope for this sink. Returns rows deleted.

@@ -44,3 +44,18 @@ def test_warehouse_roundtrip_idempotent(spark, tmp_path):
     assert wh.scan("plays").count() == 4
     # predicate-pushdown scan path
     assert wh.scan("plays", "played_at = 't4'").count() == 1
+
+
+def test_warehouse_auto_recovers_aside_rename(spark, tmp_path):
+    # simulate a crash between delete_keys' rename-aside and the
+    # move-in: the table exists only under <table>.old; the next
+    # access must transparently rename it back.
+    import os
+
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    wh.append(df, "t")
+    os.rename(str(tmp_path / "t"), str(tmp_path / "t.old"))
+    assert wh.exists("t")  # recovery happened
+    assert wh.scan("t").count() == 2
+    assert not os.path.isdir(str(tmp_path / "t.old"))
