@@ -35,19 +35,22 @@ REGISTRY: dict[str, QuerySpec] = {}
 # queries — driver-verified in r01, but only selfcheck-verified in
 # r02 while the extension families held the window), followed by the
 # modules that changed or gained queries this round (dedup 11,
-# streaming 2, similarity 7, multimodal 2 — exactly filling the 50).
-# The tail outside the window (text, sampling, corpus, core) is
-# unchanged this round and driver-green from r02 (core also r01);
-# tools/selfcheck.py re-verifies all of it against the same oracles
-# every run regardless.
+# streaming 2, multimodal 2, similarity 8 — the window's 50th slot
+# cuts inside similarity so that the single entry left outside is
+# qs8, a rows-only BLAS twin whose fold counterpart qs7 IS in the
+# window and whose agreement is pytest-asserted). The tail outside
+# the window (text, sampling, corpus, core) is unchanged this round
+# and driver-green from r02 (core also r01); tools/selfcheck.py
+# re-verifies all of it against the same oracles every run
+# regardless.
 _MODULES = [
     "spotify_pipeline_gcp_spark.queries.relational",
     "spotify_pipeline_gcp_spark.queries.extra",
     "spotify_pipeline_gcp_spark.queries.relational2",
     "spotify_pipeline_gcp_spark.queries.dedup",
     "spotify_pipeline_gcp_spark.queries.streaming",
-    "spotify_pipeline_gcp_spark.queries.similarity",
     "spotify_pipeline_gcp_spark.queries.multimodal",
+    "spotify_pipeline_gcp_spark.queries.similarity",
     "spotify_pipeline_gcp_spark.queries.text",
     "spotify_pipeline_gcp_spark.queries.sampling",
     "spotify_pipeline_gcp_spark.queries.corpus",

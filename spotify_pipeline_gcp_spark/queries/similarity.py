@@ -255,14 +255,20 @@ def _ivf_kmeans_oracle(k: int, n_iter: int, d: int, topk: int) -> str:
     )"""
         )
         ctes.append(
-            f"""stats{i} AS (
-      SELECT cid, j, list_reduce(list_sort(list(u[j])), (a, b) -> a + b) / count(*) AS m
-      FROM asg{i} CROSS JOIN (SELECT unnest(range(1, {d + 1})) AS j)
-      GROUP BY cid, j
+            f"""grp{i} AS (
+      SELECT cid, list_sort(list(u)) AS us, count(*)::BIGINT AS n
+      FROM asg{i} GROUP BY cid
     )"""
         )
         ctes.append(
-            f"""mv{i} AS (SELECT cid, list(m ORDER BY j) AS mv FROM stats{i} GROUP BY cid)"""
+            f"""mv{i} AS (
+      SELECT cid,
+             list_transform(
+               list_reduce(us, (acc, x) -> list_transform(range(1, {d + 1}),
+                                                          j -> acc[j] + x[j])),
+               s -> s / n) AS mv
+      FROM grp{i}
+    )"""
         )
         ctes.append(
             f"""cent{i + 1} AS (
@@ -300,25 +306,30 @@ def _ivf_kmeans_oracle(k: int, n_iter: int, d: int, topk: int) -> str:
     )
 
 
-@register("qs7_cosine_topk_ivf_kmeans", oracle=_ivf_kmeans_oracle(8, 2, 64, 5))
+@register("qs7_cosine_topk_ivf_kmeans", oracle=_ivf_kmeans_oracle(16, 2, 64, 5))
 def qs7_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a TRAINED coarse quantizer: seeded spherical k-means
-    (k=8, 2 Lloyd's rounds, pure DataFrame ops) replaces qs3's fixed
+    (k=16, 2 Lloyd's rounds, pure DataFrame ops) replaces qs3's fixed
     sign-hyperplanes; search restricts candidates to the learned cell
     (equi-join on cluster id) before the exact fold kernel. The
     oracle replays the full training as a CTE chain — init ranking,
     argmax assignment, sorted-fold means — so even the model is
     hash-verified, not just the search. Data-adaptive cells beat
     fixed sign-cuts on clustered data at equal candidate volume
-    (recall asserted vs qs2 in tests/test_similarity.py)."""
+    (recall asserted vs qs2 in tests/test_similarity.py); qs8 is the
+    BLAS-kernel throughput twin of this same search."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         assign_clusters,
         kmeans_centroids,
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    cent = kmeans_centroids(emb, "vec_id", "embedding", k=8, n_iter=2)
-    asg = assign_clusters(emb, cent, "vec_id", "embedding")
+    cent = kmeans_centroids(emb, "vec_id", "embedding", k=16, n_iter=2)
+    # repartition by the join key so ReuseExchange computes the
+    # assignment subplan once for both self-join sides
+    asg = assign_clusters(emb, cent, "vec_id", "embedding").repartition(
+        F.col("cid")
+    )
     a, b = asg.alias("a"), asg.alias("b")
     cos = fixed(_dot_pre(F.col("a.u"), F.col("b.u")), 6)
     pairs = a.join(
@@ -335,3 +346,23 @@ def qs7_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= 5
     )
+
+
+@register("qs8_cosine_topk_ivf_kmeans_blas")  # rows-only: BLAS sum order != SQL fold
+def qs8_cosine_topk_ivf_kmeans_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF at BLAS speed — k-means cells (qs7's trained
+    quantizer) fused with the Arrow/NumPy block kernel (qs4/qs6's
+    throughput): each learned cell packs to one block and scores
+    against itself, no candidate join. The end state of the ANN
+    ladder: learned pruning AND vectorized scoring. Rows-only for
+    the same ulp reason as qs4/qs6; qs7 is the oracle-checked fold
+    twin over the SAME cells (agreement asserted in
+    tests/test_similarity.py)."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        cosine_topk_kmeans_blas,
+    )
+    from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk_kmeans_blas(emb, k_neighbors=5, n_clusters=16, n_iter=2)

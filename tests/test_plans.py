@@ -93,3 +93,56 @@ def test_lsh_verification_has_no_pair_aggregate(spark):
 
     plan = formatted_plan(_q(spark, "qd5_minhash_lsh_pairs")).lower()
     assert "array_intersect" in plan
+
+
+def test_simhash_no_bit_explode(spark):
+    # the fingerprint is a single wide aggregation: the only Generate
+    # in the plan is the token split, never a per-bit sequence
+    # explode (which would multiply shuffle rows by the bit count)
+    from spotify_pipeline_gcp_spark.plans.inspect import formatted_plan
+
+    import re
+
+    plan = formatted_plan(_q(spark, "qd6_simhash"))
+    assert "sequence(" not in plan, "per-bit explode leaked back into simhash"
+    # one Generate node (the token split) — formatted mode prints
+    # each node once in the tree and once in the detail section
+    assert len(re.findall(r"\(\d+\) Generate", plan)) <= 1
+
+
+def test_simhash_pairs_band_join_carries_no_text(spark):
+    # the band self-join moves (doc_id, simhash, band, bv) longs
+    # only; document text must not survive past the fingerprint
+    # aggregation into the join shuffle
+    from spotify_pipeline_gcp_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(_q(spark, "qd9_simhash_pairs"))
+    # band candidate generation is an equi-join on (band, bv) — any
+    # strategy (AQE broadcasts at toy SF; at scale it shuffles on the
+    # band key either way)
+    assert "Join" in plan and "band" in plan
+    assert "bit_count" in plan  # verification is the integer kernel
+
+
+def test_ivf_kmeans_search_reuses_assignment(spark):
+    # the self-join's two sides must share one exchange (ReuseExchange):
+    # the assignment subplan is computed once, not per side
+    from spotify_pipeline_gcp_spark.plans.inspect import formatted_plan
+
+    # AQE's pre-execution explain hides exchange reuse (it resolves
+    # to stage reuse at runtime); the static plan shows it directly
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = formatted_plan(_q(spark, "qs7_cosine_topk_ivf_kmeans"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "ReusedExchange" in plan, "assignment subplan computed twice"
+
+
+def test_capped_jaccard_hot_filter_is_anti_join(spark):
+    # the stop-shingle cap compiles to a distributed anti join against
+    # the (tiny) hot-shingle aggregate, not a collected IN-list
+    from spotify_pipeline_gcp_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(_q(spark, "qd3b_ngram_jaccard_capped"))
+    assert "LeftAnti" in plan

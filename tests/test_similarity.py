@@ -209,3 +209,30 @@ def test_kmeans_deterministic(spark):
     a = {r.cid: r.c for r in kmeans_centroids(df, k=3, n_iter=2).collect()}
     b = {r.cid: r.c for r in kmeans_centroids(df, k=3, n_iter=2).collect()}
     assert a == b  # bitwise-identical across runs
+
+
+def test_kmeans_blas_matches_fold_kmeans(spark):
+    # the trained-IVF BLAS path must produce the same (query,
+    # neighbor, rank) triples as the fold search over the SAME
+    # learned cells (training is deterministic, so both runs train
+    # identical centroids)
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        cosine_topk_kmeans,
+        cosine_topk_kmeans_blas,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fold = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk_kmeans(
+            emb, k_neighbors=5, n_clusters=4, n_iter=2
+        ).collect()
+    }
+    blas = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk_kmeans_blas(
+            emb, k_neighbors=5, n_clusters=4, n_iter=2
+        ).collect()
+    }
+    assert fold == blas
