@@ -58,11 +58,13 @@ HEADLINE_EXT = [
     "qt4_fingerprint",
     "qsp1_hash_sample",
     "qp1_corpus_prep",
+    "qp2_token_shard_packing",
 ]
-# Not benched by design (both are oracle-checked for correctness):
-# - qd8_dedup_components: iterative (one job per propagation round) —
-#   at toy SF the timing is all per-round scheduling overhead, not
-#   throughput; meaningless to extrapolate.
+# Not benched by design (all oracle-checked for correctness):
+# - qd8_dedup_components / qd10_semantic_dedup_components: iterative
+#   (one job per propagation round) — at toy SF the timing is all
+#   per-round scheduling overhead, not throughput; meaningless to
+#   extrapolate.
 # - q44_flagship_partition_ready: its point is removing q00's global
 #   sort at the SINK, but Catalyst's EliminateSorts removes a
 #   top-level sort under this bench's count() action anyway — a

@@ -85,3 +85,72 @@ def prepare_corpus(
     deduped = exact_dedup(filtered, id_col, text_col)
     w = dict(weights) if weights else {"train": 0.8, "val": 0.1, "test": 0.1}
     return assign_splits(deduped, id_col, w, salt=salt)
+
+
+def token_shard_packing(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    block_width: int = 64,
+) -> DataFrame:
+    """Pack documents into training shards by cumulative token budget:
+    (id, n_tokens, shard_id), documents taken in id order, a new shard
+    each time the running token count crosses ``budget`` — the
+    sequence-packing step that turns a filtered corpus into
+    fixed-size training inputs.
+
+    The global running sum is computed as a TWO-LEVEL prefix sum, not
+    a single global window (an unpartitioned ``ORDER BY`` window is a
+    one-reducer bottleneck — the whole corpus would sort through one
+    task):
+
+    1. block partials: documents group by ``id div block_width``; one
+       hash aggregate gives each block's token sum;
+    2. block offsets: an exclusive running sum over the tiny block-
+       sum table (n/block_width rows — the only ordered pass, over
+       aggregates, not documents);
+    3. per-document prefix: an exclusive within-block window (bounded
+       by ``block_width`` rows per group) plus the block offset,
+       joined back by block id (broadcast at any realistic scale).
+
+    Every step is deterministic (integer sums, id order), so the
+    assignment is oracle-checkable against a plain global-window SQL
+    replay; at 100 TB pick ``block_width`` so the block table stays
+    driver-broadcastable (~1e6 blocks) while within-block windows stay
+    cache-sized.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ", -1)).cast("long").alias("n_tokens"),
+    ).withColumn("block", F.expr(f"doc_id div {block_width}"))
+    block_sums = toks.groupBy("block").agg(
+        F.sum("n_tokens").alias("block_tokens")
+    )
+    w_blocks = W.orderBy("block").rowsBetween(W.unboundedPreceding, -1)
+    offsets = block_sums.select(
+        "block",
+        F.coalesce(F.sum("block_tokens").over(w_blocks), F.lit(0)).alias(
+            "block_offset"
+        ),
+    )
+    w_in = (
+        W.partitionBy("block")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        toks.join(F.broadcast(offsets), "block")
+        .withColumn(
+            "before",
+            F.col("block_offset")
+            + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"before div {budget}").alias("shard_id"),
+        )
+    )

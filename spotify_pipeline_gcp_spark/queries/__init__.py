@@ -34,26 +34,27 @@ REGISTRY: dict[str, QuerySpec] = {}
 # leads with the relational/extra/relational2 breadth set (28
 # queries — driver-verified in r01, but only selfcheck-verified in
 # r02 while the extension families held the window), followed by the
-# modules that changed or gained queries this round (dedup 11,
-# streaming 2, multimodal 2, similarity 8 — the window's 50th slot
-# cuts inside similarity so that the single entry left outside is
-# qs8, a rows-only BLAS twin whose fold counterpart qs7 IS in the
-# window and whose agreement is pytest-asserted). The tail outside
-# the window (text, sampling, corpus, core) is unchanged this round
-# and driver-green from r02 (core also r01); tools/selfcheck.py
-# re-verifies all of it against the same oracles every run
-# regardless.
+# modules that changed or gained queries this round (dedup 12,
+# streaming 2, corpus 2, then similarity with its rows-only BLAS
+# twins ordered last in-module — the window's 50th slot cuts inside
+# similarity so every new ORACLE-bearing query sits inside and the
+# entries left outside are qs6/qs8, rows-only twins whose fold
+# counterparts qs3/qs7 ARE in the window with pytest-asserted
+# agreement). The tail outside the window (multimodal, text,
+# sampling, core) is unchanged this round and driver-green from r02
+# (core also r01); tools/selfcheck.py re-verifies all of it against
+# the same oracles every run regardless.
 _MODULES = [
     "spotify_pipeline_gcp_spark.queries.relational",
     "spotify_pipeline_gcp_spark.queries.extra",
     "spotify_pipeline_gcp_spark.queries.relational2",
     "spotify_pipeline_gcp_spark.queries.dedup",
     "spotify_pipeline_gcp_spark.queries.streaming",
-    "spotify_pipeline_gcp_spark.queries.multimodal",
+    "spotify_pipeline_gcp_spark.queries.corpus",
     "spotify_pipeline_gcp_spark.queries.similarity",
+    "spotify_pipeline_gcp_spark.queries.multimodal",
     "spotify_pipeline_gcp_spark.queries.text",
     "spotify_pipeline_gcp_spark.queries.sampling",
-    "spotify_pipeline_gcp_spark.queries.corpus",
     "spotify_pipeline_gcp_spark.queries.core",
 ]
 

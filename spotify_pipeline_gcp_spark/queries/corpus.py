@@ -69,3 +69,33 @@ def qp1_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.min("doc_id").alias("min_doc"),
     )
+
+
+@register(
+    "qp2_token_shard_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS before
+      FROM t
+    )
+    SELECT doc_id, n_tokens, (before // 2048)::BIGINT AS shard_id FROM cum
+    """,
+)
+def qp2_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents in id order fill fixed token-budget
+    training shards (budget 2048). Spark computes the running count as
+    a two-level prefix sum (block partials + tiny ordered offset pass
+    + bounded within-block windows) — no one-reducer global sort; the
+    oracle replays it as the equivalent single global window."""
+    from spotify_pipeline_gcp_spark.operators.corpus import token_shard_packing
+
+    return token_shard_packing(
+        table(spark, sf_dir, "documents"), "doc_id", "text", budget=2048
+    )

@@ -400,3 +400,66 @@ def qd7b_embedding_near_dup_pruned(spark: SparkSession, sf_dir: str) -> DataFram
             fixed(cos, 6).alias("cosine_r"),
         )
     )
+
+
+@register(
+    "qd10_semantic_dedup_components",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+             ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::BIGINT AS bucket
+      FROM embeddings
+    ),
+    np AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.45
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM np
+      UNION ALL SELECT doc_b, doc_a FROM np
+    ),
+    walk(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+    )
+    SELECT node AS vec_id, min(label) AS component
+    FROM walk GROUP BY node
+    """,
+)
+def qd10_semantic_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup END-TO-END at the scale shape: sign-bucket
+    candidate pruning (equi-join, never all-pairs) -> exact cosine
+    >= 0.45 threshold (qd7b) -> transitive closure into keep-one
+    clusters (qd8's min-label propagation). This is the full
+    embedding-dedup policy a 100 TB pipeline runs: every stage is a
+    bucketed join or an iterate-materialize loop, and the oracle
+    replays pruning + threshold + closure (recursive CTE) exactly."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _dot_pre,
+        _double_base,
+        sign_bucket,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = _double_base(emb, "vec_id", "embedding").withColumn(
+        "bucket", sign_bucket("v", 4)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot_pre(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(cos >= 0.45)
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+    )
+    comp = dedup_components(pairs)
+    return comp.select(F.col("doc_id").alias("vec_id"), "component")

@@ -188,41 +188,6 @@ def qs5_cosine_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("qs4_cosine_topk_blas")  # rows-only: BLAS sum order != SQL fold
-def qs4_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Throughput ANN path: distributed block-matmul with an Arrow-
-    batched NumPy kernel (operators/similarity.py::cosine_topk_blas).
-    Fully distributed — packed block table cross-joined with itself,
-    one BLAS slab per combo, window merge of partial top-k; the
-    driver never holds vector data. Same top-k as qs2 up to
-    floating-point tie order. No SQL oracle: BLAS accumulation order
-    differs at ulp level from a left fold, so the driver records the
-    rows-only check; qs2 is the exact twin."""
-    from spotify_pipeline_gcp_spark.operators.similarity import cosine_topk_blas
-
-    emb = table(spark, sf_dir, "embeddings")
-    return cosine_topk_blas(emb, k=5)
-
-
-@register("qs6_cosine_topk_ivf_blas")  # rows-only: BLAS sum order != SQL fold
-def qs6_cosine_topk_ivf_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production ANN shape: IVF-style candidate pruning (qs3's
-    sign-bucket code) fused with the Arrow/NumPy block kernel (qs4's
-    throughput) — operators/similarity.py::cosine_topk_bucketed_blas.
-    Each bucket packs to one block and scores against itself, so
-    candidate generation needs no join at all; FLOPs drop ~2^n_bits
-    vs brute force AND each FLOP runs at BLAS speed. Same pairs as
-    qs3 up to floating-point tie order (asserted in
-    tests/test_similarity.py); rows-only for the same ulp reason as
-    qs4 — qs3 is the oracle-checked fold twin."""
-    from spotify_pipeline_gcp_spark.operators.similarity import (
-        cosine_topk_bucketed_blas,
-    )
-
-    emb = table(spark, sf_dir, "embeddings")
-    return cosine_topk_bucketed_blas(emb, k=5, n_bits=4)
-
-
 def _ivf_kmeans_oracle(k: int, n_iter: int, d: int, topk: int) -> str:
     """DuckDB replay of the ENTIRE seeded-k-means training + IVF
     search as one finite CTE chain — possible because the operator
@@ -346,6 +311,41 @@ def qs7_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= 5
     )
+
+
+@register("qs4_cosine_topk_blas")  # rows-only: BLAS sum order != SQL fold
+def qs4_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput ANN path: distributed block-matmul with an Arrow-
+    batched NumPy kernel (operators/similarity.py::cosine_topk_blas).
+    Fully distributed — packed block table cross-joined with itself,
+    one BLAS slab per combo, window merge of partial top-k; the
+    driver never holds vector data. Same top-k as qs2 up to
+    floating-point tie order. No SQL oracle: BLAS accumulation order
+    differs at ulp level from a left fold, so the driver records the
+    rows-only check; qs2 is the exact twin."""
+    from spotify_pipeline_gcp_spark.operators.similarity import cosine_topk_blas
+
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk_blas(emb, k=5)
+
+
+@register("qs6_cosine_topk_ivf_blas")  # rows-only: BLAS sum order != SQL fold
+def qs6_cosine_topk_ivf_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN shape: IVF-style candidate pruning (qs3's
+    sign-bucket code) fused with the Arrow/NumPy block kernel (qs4's
+    throughput) — operators/similarity.py::cosine_topk_bucketed_blas.
+    Each bucket packs to one block and scores against itself, so
+    candidate generation needs no join at all; FLOPs drop ~2^n_bits
+    vs brute force AND each FLOP runs at BLAS speed. Same pairs as
+    qs3 up to floating-point tie order (asserted in
+    tests/test_similarity.py); rows-only for the same ulp reason as
+    qs4 — qs3 is the oracle-checked fold twin."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        cosine_topk_bucketed_blas,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk_bucketed_blas(emb, k=5, n_bits=4)
 
 
 @register("qs8_cosine_topk_ivf_kmeans_blas")  # rows-only: BLAS sum order != SQL fold

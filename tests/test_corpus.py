@@ -77,3 +77,29 @@ def test_prepare_corpus_split_stability(spark):
     for doc_id, split in small_assign.items():
         if doc_id in full_assign:
             assert full_assign[doc_id] == split
+
+
+def test_token_shard_packing_budget_and_determinism(spark):
+    from spotify_pipeline_gcp_spark.operators.corpus import token_shard_packing
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = token_shard_packing(docs, budget=50, block_width=4)
+    rows = {r.doc_id: (r.n_tokens, r.shard_id) for r in out.collect()}
+    assert len(rows) == 20
+    assert rows[0][0] == 10  # token counts correct
+    # replay the greedy packing on the driver and compare exactly
+    cum, expected = 0, {}
+    for i in range(20):
+        expected[i] = cum // 50
+        cum += 10 + i
+    assert {k: v[1] for k, v in rows.items()} == expected
+    # shards are contiguous runs in id order, first shard is 0
+    shard_of = [rows[i][1] for i in range(20)]
+    assert shard_of[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(shard_of, shard_of[1:]))
+    # two-level prefix sum must not depend on block width
+    out2 = token_shard_packing(docs, budget=50, block_width=7)
+    assert {r.doc_id: r.shard_id for r in out2.collect()} == expected
