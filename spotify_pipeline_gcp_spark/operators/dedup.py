@@ -367,6 +367,34 @@ def minhash_signatures(
     )
 
 
+def _band_table(
+    sh: DataFrame, num_hashes: int, rows_per_band: int
+) -> DataFrame:
+    """(doc_id, band, mh0..mh{r-1}): LSH band keys straight off the
+    wide signature row — a projection (stack to num_bands rows/doc),
+    NOT a second shuffle. Band b = signature positions
+    [b*r, (b+1)*r). Uses the sliced hash family (ceil(k/4) md5
+    calls/shingle); candidate quality is equivalent and downstream
+    verification is exact regardless."""
+    if num_hashes % rows_per_band != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by "
+            f"rows_per_band ({rows_per_band}); trailing signature "
+            "positions would be silently dropped"
+        )
+    num_bands = num_hashes // rows_per_band
+    wide = _minhash_wide_sliced(sh, num_hashes)
+    band_stack = ", ".join(
+        f"{b}, " + ", ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band))
+        for b in range(num_bands)
+    )
+    mh_cols = ", ".join(f"mh{r}" for r in range(rows_per_band))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({num_bands}, {band_stack}) AS (band, {mh_cols})"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -407,30 +435,7 @@ def minhash_lsh_pairs(
     else:
         # min-agg is duplicate-insensitive → skip the distinct shuffle
         sh = shingles(df, id_col, text_col, n, distinct=False)
-    # Band keys straight off the wide signature row — a projection
-    # (stack to num_bands rows/doc), NOT a second shuffle. Band b =
-    # signature positions [b*r, (b+1)*r). Uses the sliced hash
-    # family (ceil(k/4) md5 calls/shingle instead of k) — candidate
-    # quality is equivalent and verification is exact regardless.
-    if num_hashes % rows_per_band != 0:
-        # a partial band would silently drop trailing signature
-        # positions — a recall reduction the caller never sees
-        raise ValueError(
-            f"num_hashes ({num_hashes}) must be divisible by "
-            f"rows_per_band ({rows_per_band}); trailing signature "
-            "positions would be silently dropped"
-        )
-    num_bands = num_hashes // rows_per_band
-    wide = _minhash_wide_sliced(sh, num_hashes)
-    band_stack = ", ".join(
-        f"{b}, " + ", ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band))
-        for b in range(num_bands)
-    )
-    mh_cols = ", ".join(f"mh{r}" for r in range(rows_per_band))
-    band = wide.select(
-        "doc_id",
-        F.expr(f"stack({num_bands}, {band_stack}) AS (band, {mh_cols})"),
-    )
+    band = _band_table(sh, num_hashes, rows_per_band)
     a, b = band.alias("a"), band.alias("b")
     key_eq = (F.col("a.band") == F.col("b.band"))
     for r in range(rows_per_band):
@@ -715,3 +720,60 @@ def simhash_pairs(
     return cand.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def minhash_lsh_pairs_incremental(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental near-dup: new-batch documents vs an existing
+    corpus, the reference's anti-join delta semantic
+    (``playback_pipeline_curated.py:110``) lifted from exact-key to
+    NEAR-duplicate matching. Output: (doc_old, doc_new, jaccard).
+
+    The band join is old × new only — never old × old, so per-batch
+    cost is O(|new| + matching band buckets), not a re-pairing of the
+    corpus. This is the shape that matters operationally at 100 TB:
+    the existing corpus's signatures and band keys are computed ONCE
+    and stored (k × 8 bytes/doc — here they are derived inline from
+    the old frame, but the operator only touches the old side's BAND
+    TABLE and shingle sets, exactly what a signature store would
+    serve); each daily batch streams new band keys against the stored
+    buckets. Verification is candidate-bounded exact Jaccard, same as
+    ``minhash_lsh_pairs``.
+    """
+    sh_old = shingles(df_old, id_col, text_col, n, distinct=False)
+    sh_new = shingles(df_new, id_col, text_col, n, distinct=False)
+    bo = _band_table(sh_old, num_hashes, rows_per_band).alias("o")
+    bn = _band_table(sh_new, num_hashes, rows_per_band).alias("nw")
+    key_eq = (F.col("o.band") == F.col("nw.band"))
+    for r in range(rows_per_band):
+        key_eq = key_eq & (F.col(f"o.mh{r}") == F.col(f"nw.mh{r}"))
+    candidates = (
+        bo.join(bn, key_eq)
+        .select(
+            F.col("o.doc_id").alias("doc_old"),
+            F.col("nw.doc_id").alias("doc_new"),
+        )
+        .dropDuplicates()
+    )
+    so = shingle_sets(df_old, id_col, text_col, n).select(
+        F.col("doc_id").alias("doc_old"), F.col("sh").alias("sh_o")
+    )
+    sn = shingle_sets(df_new, id_col, text_col, n).select(
+        F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_n")
+    )
+    n_common = F.size(F.array_intersect(F.col("sh_o"), F.col("sh_n")))
+    jac = n_common / (F.size("sh_o") + F.size("sh_n") - n_common)
+    return (
+        candidates.join(so, "doc_old")
+        .join(sn, "doc_new")
+        .select("doc_old", "doc_new", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

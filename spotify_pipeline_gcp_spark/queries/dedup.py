@@ -463,3 +463,99 @@ def qd10_semantic_dedup_components(spark: SparkSession, sf_dir: str) -> DataFram
     )
     comp = dedup_components(pairs)
     return comp.select(F.col("doc_id").alias("vec_id"), "component")
+
+
+NEW_SRC = "('src15', 'src16', 'src17', 'src18', 'src19')"
+
+
+@register(
+    "qd11_incremental_near_dup",
+    oracle=f"""
+    WITH old_docs AS (SELECT * FROM documents WHERE source NOT IN {NEW_SRC}),
+    new_docs AS (SELECT * FROM documents WHERE source IN {NEW_SRC}),
+    tok_o AS (SELECT doc_id, string_split(text, ' ') AS t FROM old_docs),
+    sh_o AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM tok_o WHERE len(t) >= 3
+    ),
+    tok_n AS (SELECT doc_id, string_split(text, ' ') AS t FROM new_docs),
+    sh_n AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM tok_n WHERE len(t) >= 3
+    ),
+    sig_o AS (
+      SELECT doc_id, seed,
+             min(substr(md5((CASE WHEN seed < 4 THEN 'a:' ELSE 'b:' END) || shingle),
+                        ((seed % 4) * 8 + 1)::INT, 8)) AS minhash
+      FROM sh_o CROSS JOIN (SELECT unnest(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    sig_n AS (
+      SELECT doc_id, seed,
+             min(substr(md5((CASE WHEN seed < 4 THEN 'a:' ELSE 'b:' END) || shingle),
+                        ((seed % 4) * 8 + 1)::INT, 8)) AS minhash
+      FROM sh_n CROSS JOIN (SELECT unnest(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    band_o AS (
+      SELECT doc_id, seed // 2 AS band,
+             min(CASE WHEN seed % 2 = 0 THEN minhash END) AS mh0,
+             min(CASE WHEN seed % 2 = 1 THEN minhash END) AS mh1
+      FROM sig_o GROUP BY doc_id, band
+    ),
+    band_n AS (
+      SELECT doc_id, seed // 2 AS band,
+             min(CASE WHEN seed % 2 = 0 THEN minhash END) AS mh0,
+             min(CASE WHEN seed % 2 = 1 THEN minhash END) AS mh1
+      FROM sig_n GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT o.doc_id AS doc_old, nw.doc_id AS doc_new
+      FROM band_o o
+      JOIN band_n nw ON o.band = nw.band AND o.mh0 = nw.mh0 AND o.mh1 = nw.mh1
+    ),
+    sizes_o AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh_o GROUP BY doc_id),
+    sizes_n AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh_n GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_old, c.doc_new, count(*)::BIGINT AS n_common
+      FROM cand c
+      JOIN sh_o a ON a.doc_id = c.doc_old
+      JOIN sh_n b ON b.doc_id = c.doc_new AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_old, c.doc_new,
+           n_common::DOUBLE / (so.n_sh + sn.n_sh - n_common) AS jaccard
+    FROM common c
+    JOIN sizes_o so ON so.doc_id = c.doc_old
+    JOIN sizes_n sn ON sn.doc_id = c.doc_new
+    WHERE n_common::DOUBLE / (so.n_sh + sn.n_sh - n_common) >= 0.8
+    """,
+)
+def qd11_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: a new batch (sources src15-src19, the
+    stand-in for today's partitions) LSH-matched against the existing
+    corpus — old x new band joins only, never a corpus re-pairing.
+    The reference's anti-join delta semantic lifted from exact keys
+    to near-duplicates; per-batch cost is O(|new| + matched buckets)
+    because the old side contributes only its (storable) band table
+    and shingle sets."""
+    from spotify_pipeline_gcp_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    new_srcs = ["src15", "src16", "src17", "src18", "src19"]
+    return minhash_lsh_pairs_incremental(
+        docs.where(~F.col("source").isin(new_srcs)),
+        docs.where(F.col("source").isin(new_srcs)),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=8,
+        rows_per_band=2,
+        threshold=0.8,
+    )

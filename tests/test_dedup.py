@@ -271,3 +271,31 @@ def test_capped_jaccard_bounds_inverted_lists(spark):
         .collect()[0][0]
     )
     assert max_list is not None and max_list <= 2
+
+
+def test_incremental_lsh_old_new_only(spark):
+    # docs 1/2 are exact dups in the OLD corpus; doc 5 (new) matches
+    # them; docs 3/4 pair with nothing new. The incremental operator
+    # must emit old-x-new matches only — no old-x-old or new-x-new.
+    from spotify_pipeline_gcp_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    old = _docs(spark)  # ids 1-4 (1,2 exact dups)
+    new = spark.createDataFrame(
+        [
+            (5, "the quick brown fox jumps over the lazy dog"),  # dup of 1/2
+            (6, "entirely unrelated new content never seen before ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_old, r.doc_new): r.jaccard
+        for r in minhash_lsh_pairs_incremental(
+            old, new, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert got.get((1, 5)) == 1.0 and got.get((2, 5)) == 1.0
+    assert all(dn in (5, 6) for _, dn in got)  # new side only on the right
+    assert all(do in (1, 2, 3, 4) for do, _ in got)
+    assert (1, 2) not in got and (1, 6) not in got
