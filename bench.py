@@ -55,6 +55,8 @@ HEADLINE_EXT = [
     "qs8_cosine_topk_ivf_kmeans_blas",
     "qd9_simhash_pairs",
     "qst2_streaming_sessionize",
+    "qst3_streaming_static_enrich",
+    "qd11_incremental_near_dup",
     "qt2_quality_score",
     "qt4_fingerprint",
     "qsp1_hash_sample",

@@ -673,11 +673,17 @@ def simhash_pairs(
 
     Scale shape: candidate generation shuffles (doc_id, band, value)
     rows — ``bands`` longs per document, no payload; verification is
-    one integer XOR per candidate. Identical-fingerprint clusters
-    (exact dups) produce their full pair set; run AFTER exact dedup
-    when that blowup is unwanted. One band is ``bits/bands`` wide:
-    widen bands (more bits each) to cut candidates, add bands to
-    raise the guaranteed-recall Hamming radius.
+    one integer XOR per candidate. Candidates are deliberately NOT
+    deduplicated before verification: a pair can match in up to
+    ``bands`` bands, but re-verifying a duplicate costs one popcount
+    while deduplicating the full candidate stream costs a shuffle of
+    every candidate — filtering first shrinks the dedup input to the
+    (tiny) surviving pair set (measured 2x on the whole operator at
+    sf0.1). Identical-fingerprint clusters (exact dups) produce
+    their full pair set; run AFTER exact dedup when that blowup is
+    unwanted. One band is ``bits/bands`` wide: widen bands (more
+    bits each) to cut candidates, add bands to raise the
+    guaranteed-recall Hamming radius.
     """
     if bits % bands != 0:
         raise ValueError(f"bits ({bits}) must be divisible by bands ({bands})")
@@ -699,27 +705,25 @@ def simhash_pairs(
         "doc_id", "simhash", F.explode(band_vals).alias("p")
     ).select("doc_id", "simhash", F.col("p.band").alias("band"), F.col("p.bv").alias("bv"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("fp_a"),
-            F.col("b.simhash").alias("fp_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bv") == F.col("b.bv"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("fp_a"),
+        F.col("b.simhash").alias("fp_b"),
     )
     hamming = F.bit_count(
         F.col("fp_a").bitwiseXOR(F.col("fp_b"))
     ).cast("long")
-    return cand.select(
-        "doc_a", "doc_b", hamming.alias("hamming")
-    ).where(F.col("hamming") <= max_hamming)
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
 
 
 def minhash_lsh_pairs_incremental(

@@ -125,69 +125,6 @@ def qs3_cosine_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_pairs(base, same_bucket=True, k=5)
 
 
-@register(
-    "qs5_cosine_topk_multiprobe",
-    oracle=f"""
-    WITH coded AS (
-      SELECT vec_id, embedding,
-             ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-            + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::BIGINT AS bucket
-      FROM coded_src
-    ),
-    probes AS (
-      SELECT vec_id, embedding, xor(bucket, p) AS probe
-      FROM coded CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS p)
-    ),
-    pairs AS (
-      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             {sql_fixed(f'{DOT_AB} / ({NORM.format("a")} * {NORM.format("b")})', 6)} AS cosine_r
-      FROM probes a JOIN coded b ON b.bucket = a.probe AND a.vec_id <> b.vec_id
-    )
-    SELECT query_id, neighbor_id, cosine_r,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cosine_r DESC, neighbor_id)::BIGINT AS rank
-    FROM pairs
-    QUALIFY rank <= 5
-    """.replace("coded_src", "embeddings"),
-)
-def qs5_cosine_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe ANN (operators/similarity.py::cosine_topk_multiprobe
-    shape): each query also probes the n_bits buckets one sign-flip
-    away, recovering boundary-loss recall at (n_bits+1)x candidate
-    cost — the IVF nprobe>1 pattern. Candidate generation remains an
-    equi-join on the probe code."""
-    emb = table(spark, sf_dir, "embeddings")
-    base = _double_base(emb, "vec_id", "embedding").withColumn(
-        "bucket", sign_bucket("v", 4)
-    )
-    probe_codes = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(4)],
-    )
-    probes = base.select(
-        F.col("id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
-        F.explode(probe_codes).alias("probe"),
-    )
-    b = base.alias("b")
-    cos = fixed(
-        _dot_pre(F.col("qv"), F.col("b.v")) / (F.col("qnorm") * F.col("b.norm")), 6
-    )
-    pairs = probes.join(
-        b,
-        (F.col("probe") == F.col("b.bucket")) & (F.col("query_id") != F.col("b.id")),
-    ).select("query_id", F.col("b.id").alias("neighbor_id"), cos.alias("cosine_r"))
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cosine_r").desc(), F.col("neighbor_id")
-    )
-    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
-        F.col("rank") <= 5
-    )
-
-
 def _ivf_kmeans_oracle(k: int, n_iter: int, d: int, topk: int) -> str:
     """DuckDB replay of the ENTIRE seeded-k-means training + IVF
     search as one finite CTE chain — possible because the operator
@@ -305,6 +242,69 @@ def qs7_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.id").alias("neighbor_id"),
         cos.alias("cosine_r"),
     )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= 5
+    )
+
+
+@register(
+    "qs5_cosine_topk_multiprobe",
+    oracle=f"""
+    WITH coded AS (
+      SELECT vec_id, embedding,
+             ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::BIGINT AS bucket
+      FROM coded_src
+    ),
+    probes AS (
+      SELECT vec_id, embedding, xor(bucket, p) AS probe
+      FROM coded CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS p)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {sql_fixed(f'{DOT_AB} / ({NORM.format("a")} * {NORM.format("b")})', 6)} AS cosine_r
+      FROM probes a JOIN coded b ON b.bucket = a.probe AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_r,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_r DESC, neighbor_id)::BIGINT AS rank
+    FROM pairs
+    QUALIFY rank <= 5
+    """.replace("coded_src", "embeddings"),
+)
+def qs5_cosine_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN (operators/similarity.py::cosine_topk_multiprobe
+    shape): each query also probes the n_bits buckets one sign-flip
+    away, recovering boundary-loss recall at (n_bits+1)x candidate
+    cost — the IVF nprobe>1 pattern. Candidate generation remains an
+    equi-join on the probe code."""
+    emb = table(spark, sf_dir, "embeddings")
+    base = _double_base(emb, "vec_id", "embedding").withColumn(
+        "bucket", sign_bucket("v", 4)
+    )
+    probe_codes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(4)],
+    )
+    probes = base.select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.explode(probe_codes).alias("probe"),
+    )
+    b = base.alias("b")
+    cos = fixed(
+        _dot_pre(F.col("qv"), F.col("b.v")) / (F.col("qnorm") * F.col("b.norm")), 6
+    )
+    pairs = probes.join(
+        b,
+        (F.col("probe") == F.col("b.bucket")) & (F.col("query_id") != F.col("b.id")),
+    ).select("query_id", F.col("b.id").alias("neighbor_id"), cos.alias("cosine_r"))
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine_r").desc(), F.col("neighbor_id")
     )

@@ -71,3 +71,24 @@ def qst2_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the append-mode watermark cutoff (sessions closing within the
     final watermark of max event time stay in state, unemitted)."""
     return streaming_sessionize(spark, sf_dir)
+
+
+@register(
+    "qst3_streaming_static_enrich",
+    oracle=f"""
+    SELECT c_mktsegment AS segment, count(*)::BIGINT AS n,
+           {sql_fixed('sum(value)')} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def qst3_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the
+    static customer dimension (broadcast into each microbatch) and
+    rolled up per market segment — complete mode, AvailableNow, so
+    the drained result equals the batch join+GROUP BY oracle."""
+    from spotify_pipeline_gcp_spark.streaming.incremental import (
+        streaming_static_enrich_rollup,
+    )
+
+    return streaming_static_enrich_rollup(spark, sf_dir)

@@ -172,3 +172,27 @@ def streaming_sessionize(
         watermark=watermark,
     )
     return _run_to_memory(sessions, "append")
+
+
+def streaming_static_enrich_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a static
+    dimension (customer) batch-side, then aggregates per segment —
+    the canonical Structured Streaming dimension-join shape. The
+    static side is a plain batch DataFrame broadcast into every
+    microbatch (re-read per batch if the file changes; no state, no
+    watermark needed for an inner equi-join on a static side), so
+    the streaming plan stays a pure pipeline + one stateful agg.
+    """
+    ev = stream_events(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("sum_value"),
+        )
+    )
+    return _run_to_memory(agg, "complete")
