@@ -91,3 +91,30 @@ def assign_splits(
 ) -> DataFrame:
     """Attach a deterministic split label column (see split_column)."""
     return df.withColumn(out_col, split_column(key_col, weights, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic stratified Bernoulli sample: each stratum keeps
+    its own fraction (e.g. downsample dominant languages, keep all of
+    rare ones — the standard corpus-rebalancing move). Membership is
+    the same salted-digest threshold as ``hash_sample``, with the
+    threshold selected per stratum by a CASE expression — still a
+    pure row-local predicate: zero shuffle, reproducible across
+    engines/retries/partitionings, and stable under dataset growth.
+    Strata absent from ``fractions`` keep ``default_fraction``.
+    """
+    digest = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    threshold = F.lit(fraction_to_hex_threshold(default_fraction))
+    for stratum, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(stratum_col) == stratum,
+            F.lit(fraction_to_hex_threshold(frac)),
+        ).otherwise(threshold)
+    return df.where(digest < threshold)

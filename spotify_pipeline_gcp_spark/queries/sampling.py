@@ -62,3 +62,37 @@ def qsp2_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labelled.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc")
     )
+
+
+_T10 = fraction_to_hex_threshold(0.1)
+_T50 = fraction_to_hex_threshold(0.5)
+_T100 = fraction_to_hex_threshold(1.0)
+
+
+@register(
+    "qsp3_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE md5('st1:' || doc_id::VARCHAR) <
+          CASE WHEN lang = 'en' THEN '{_T10}'
+               WHEN lang = 'zh' THEN '{_T100}'
+               ELSE '{_T50}' END
+    """,
+)
+def qsp3_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified sample: downsample dominant English to
+    10%, keep all Chinese, 50% elsewhere — corpus rebalancing as a
+    pure row-local predicate (zero shuffle, plan-asserted), exactly
+    reproducible in any engine."""
+    from spotify_pipeline_gcp_spark.operators.sampling import stratified_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.1, "zh": 1.0},
+        default_fraction=0.5,
+        salt="st1:",
+    ).select("doc_id", "lang")

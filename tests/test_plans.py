@@ -146,3 +146,18 @@ def test_capped_jaccard_hot_filter_is_anti_join(spark):
 
     plan = formatted_plan(_q(spark, "qd3b_ngram_jaccard_capped"))
     assert "LeftAnti" in plan
+
+
+def test_stratified_sample_zero_shuffle(spark):
+    # stratified membership is a row-local predicate: no exchange
+    assert exchange_count(_q(spark, "qsp3_stratified_sample")) == 0
+
+
+def test_shard_packing_single_partition_only_on_block_aggregates(spark):
+    # the two-level prefix sum may globally order ONLY the tiny
+    # block-sum table: exactly one SinglePartition exchange, and the
+    # per-document work stays hash-distributed
+    from spotify_pipeline_gcp_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(_q(spark, "qp2_token_shard_packing"))
+    assert plan.count("SinglePartition") == 1, plan.count("SinglePartition")

@@ -76,3 +76,28 @@ def test_split_stable_under_growth(spark):
 def test_split_column_single_bucket(spark):
     df = _docs(spark, 10).withColumn("s", split_column("doc_id", {"only": 1.0}))
     assert {r.s for r in df.collect()} == {"only"}
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from spotify_pipeline_gcp_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "zh") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(
+        df, "doc_id", "lang", {"en": 0.2, "zh": 1.0}, salt="t:"
+    )
+    got = out.groupBy("lang").count().collect()
+    by_lang = {r.lang: r["count"] for r in got}
+    assert by_lang["zh"] == 1000  # fraction 1.0 keeps every row
+    assert 300 < by_lang["en"] < 500  # ~20% of 2000
+    # deterministic: second run identical membership
+    again = {
+        r.doc_id
+        for r in stratified_sample(
+            df, "doc_id", "lang", {"en": 0.2, "zh": 1.0}, salt="t:"
+        ).collect()
+    }
+    assert again == {r.doc_id for r in out.collect()}
+    # strata not in the map use default_fraction (0.0 -> dropped)
+    df2 = spark.createDataFrame([(1, "fr")], "doc_id long, lang string")
+    assert stratified_sample(df2, "doc_id", "lang", {"en": 1.0}).count() == 0
