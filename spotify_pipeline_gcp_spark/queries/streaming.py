@@ -92,3 +92,33 @@ def qst3_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_static_enrich_rollup(spark, sf_dir)
+
+
+@register(
+    "qst4_streaming_stateful_totals",
+    oracle=f"""
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           {sql_fixed('sum(value)')} AS total_r
+    FROM events GROUP BY user_id
+    """,
+)
+def qst4_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator under the driver's oracle:
+    ``applyInPandasWithState`` per-user running totals (arbitrary
+    Python state in the state store), drained with AvailableNow —
+    the events file arrives as one microbatch, so each user's single
+    update row IS the final total and equals the batch GROUP BY."""
+    from pyspark.sql import functions as F
+
+    from spotify_pipeline_gcp_spark.queries.compat import fixed
+    from spotify_pipeline_gcp_spark.streaming.incremental import (
+        _run_to_memory,
+        stream_events,
+    )
+    from spotify_pipeline_gcp_spark.streaming.stateful import running_user_totals
+
+    totals = running_user_totals(stream_events(spark, sf_dir))
+    out = _run_to_memory(totals, "update")
+    return out.select(
+        "user_id", "n_events", fixed(F.col("total_value")).alias("total_r")
+    )

@@ -97,3 +97,81 @@ def foreach_batch_delta_append(
         .start()
     )
     q.awaitTermination()
+
+
+SESSION_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+
+def _update_totals_ttl(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "closed": [True],
+            }
+        )
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    max_ts = None
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
+    state.update((n, total))
+    # event-time TTL: expire once the WATERMARK (not wall clock)
+    # passes last-seen + gap — deterministic under replay, unlike
+    # processing-time timeouts
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "closed": [False],
+        }
+    )
+
+
+def user_totals_with_ttl(
+    events_stream: DataFrame, ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user running totals whose state EXPIRES: event-time TTL via
+    ``GroupStateTimeout.EventTimeTimeout`` — when the watermark passes
+    a key's timeout timestamp, the function is invoked once more with
+    ``hasTimedOut`` and emits a final ``closed=True`` row while
+    removing the state. This is the bounded-state contract every
+    long-running keyed aggregation needs at scale: state size tracks
+    ACTIVE keys, not all keys ever seen. Watermark-driven (not wall
+    clock), so expiry is deterministic under replay and testable with
+    AvailableNow.
+    """
+    from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
+
+    ensure_package_on_workers(events_stream.sparkSession)
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_totals_ttl,
+            outputStructType=SESSION_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

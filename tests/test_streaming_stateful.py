@@ -71,3 +71,48 @@ def test_warehouse_delete_keys(spark, tmp_path):
     deleted = wh.delete_keys("t", df.where(F.col("k") < 3), ["k"])
     assert deleted == 3
     assert sorted(r.k for r in wh.scan("t").collect()) == list(range(3, 10))
+
+
+def test_user_totals_event_time_ttl_expires_state(spark, tmp_path):
+    # two microbatches (maxFilesPerTrigger=1): user 1's events arrive
+    # in batch 1; batch 2 is 3 hours later (different user), so the
+    # watermark (1h delay) passes user 1's timeout and the state
+    # function runs once more with hasTimedOut -> a closed=True row
+    # with the final totals, state removed.
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from spotify_pipeline_gcp_spark.streaming.incremental import _run_to_memory
+    from spotify_pipeline_gcp_spark.streaming.stateful import user_totals_with_ttl
+
+    src = tmp_path / "stream_src"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    batch1 = spark.createDataFrame(
+        [(1, t0, 2.0), (1, t0 + dt.timedelta(minutes=1), 3.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    batch2 = spark.createDataFrame(
+        [(2, t0 + dt.timedelta(hours=3), 7.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    batch1.coalesce(1).write.parquet(str(src / "b1"))
+    batch2.coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = _run_to_memory(
+        user_totals_with_ttl(stream, "ts", watermark="1 hour"), "update"
+    )
+    rows = [r.asDict() for r in out.orderBy("user_id", "closed").collect()]
+    closed_1 = [r for r in rows if r["user_id"] == 1 and r["closed"]]
+    assert closed_1, f"user 1 state never expired: {rows}"
+    assert closed_1[0]["n_events"] == 2
+    assert closed_1[0]["total_value"] == 5.0
+    # user 1 also emitted a normal update row before expiry
+    assert any(r["user_id"] == 1 and not r["closed"] for r in rows)
