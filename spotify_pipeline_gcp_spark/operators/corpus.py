@@ -154,3 +154,31 @@ def token_shard_packing(
             F.expr(f"before div {budget}").alias("shard_id"),
         )
     )
+
+
+def prepare_corpus_observed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+):
+    """``prepare_corpus`` with free run accounting: returns
+    (prepared_df, Observation). The observation rides the SAME action
+    that consumes the frame (a sink write, typically) and yields
+    {n_docs, total_tokens} afterwards — no second scan, no extra
+    aggregation job. This replaces the reference's pattern of calling
+    ``.count()`` between stages (each count = one full re-execution,
+    ``playback_pipeline.py`` logs row counts this way); ``observe``
+    is the Spark-native accumulator the optimizer carries through
+    the existing plan for free.
+    """
+    from pyspark.sql import Observation
+
+    prepared = prepare_corpus(df, id_col, text_col, salt=salt)
+    obs = Observation("corpus_metrics")
+    out = prepared.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return out, obs

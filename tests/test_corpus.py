@@ -103,3 +103,25 @@ def test_token_shard_packing_budget_and_determinism(spark):
     # two-level prefix sum must not depend on block width
     out2 = token_shard_packing(docs, budget=50, block_width=7)
     assert {r.doc_id: r.shard_id for r in out2.collect()} == expected
+
+
+def test_prepare_corpus_observed_free_metrics(spark, tmp_path):
+    # metrics come from the SAME action as the sink write — no second
+    # scan; values must equal an explicit aggregation of the output
+    from spotify_pipeline_gcp_spark.operators.corpus import (
+        prepare_corpus,
+        prepare_corpus_observed,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (12 + i % 5))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out, obs = prepare_corpus_observed(docs, salt="ob:")
+    out.write.mode("overwrite").parquet(str(tmp_path / "corpus"))
+    got = obs.get
+    expected = prepare_corpus(docs, salt="ob:").agg(
+        {"n_tokens": "sum", "doc_id": "count"}
+    ).collect()[0]
+    assert got["n_docs"] == expected["count(doc_id)"]
+    assert got["total_tokens"] == expected["sum(n_tokens)"]
