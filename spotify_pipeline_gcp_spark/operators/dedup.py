@@ -781,3 +781,42 @@ def minhash_lsh_pairs_incremental(
         .select("doc_old", "doc_new", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def keep_best_per_cluster(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Dedup POLICY: per near-dup cluster, keep the highest-scoring
+    member (ties → lowest id): (component, keep_id, n_members,
+    best_score). ``components`` is ``dedup_components`` output;
+    ``scores`` any (id, score) frame — quality scores, recency, a
+    trained ranker.
+
+    Keep-min-id (the ``exact_dedup`` default) is arbitrary; real
+    curation keeps the BEST copy. The argmax is a partial-aggregable
+    ``max(struct(score, -id))`` — one exchange of (component,
+    partial-max) rows, no ranking window, same trick as the k-means
+    assignment. Pass a deterministic score (integer-derived or
+    fixed-point rounded) so the keeper is reproducible across
+    engines and retries.
+    """
+    joined = components.join(
+        scores.select(F.col(id_col), F.col(score_col)), on=id_col
+    )
+    agg = joined.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid")
+            )
+        ).alias("best"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return agg.select(
+        "component",
+        (-F.col("best.nid")).cast("long").alias("keep_id"),
+        "n_members",
+        F.col("best.s").alias("best_score"),
+    )

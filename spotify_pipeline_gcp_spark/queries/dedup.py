@@ -559,3 +559,72 @@ def qd11_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_per_band=2,
         threshold=0.8,
     )
+
+
+@register(
+    "qd12_keep_best_per_cluster",
+    oracle=f"""
+    WITH RECURSIVE {JACCARD_CTE},
+    np AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM np
+      UNION ALL SELECT doc_b, doc_a FROM np
+    ),
+    walk(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+    ),
+    comp AS (SELECT node AS doc_id, min(label) AS component FROM walk GROUP BY node),
+    feats AS (
+      SELECT doc_id,
+             length(text)::BIGINT AS n_chars_calc,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','a','of','and','to','in','is','it')))::BIGINT AS stop_hits,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS digit_chars,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::BIGINT AS punct_chars
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             floor((least(n_tokens / 100.0, 1.0) * 0.4
+                    + (stop_hits / n_tokens) * 0.3
+                    + (1.0 - digit_chars / n_chars_calc) * 0.2
+                    + (1.0 - punct_chars / n_chars_calc) * 0.1) * 1000000 + 0.5)
+               / 1000000 AS q_r
+      FROM feats
+    ),
+    ranked AS (
+      SELECT c.component, c.doc_id, q.q_r,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY q.q_r DESC, c.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN q ON q.doc_id = c.doc_id
+    )
+    SELECT component, doc_id AS keep_id, n_members::BIGINT AS n_members,
+           q_r AS best_score
+    FROM ranked WHERE rn = 1
+    """,
+)
+def qd12_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup POLICY end-to-end: near-dup pairs -> transitive
+    closure -> keep the highest-QUALITY member per cluster (ties ->
+    lowest id), not the arbitrary lowest-id member. Scores come from
+    the quality operator (fixed-point rounded so the argmax is
+    engine-reproducible); the oracle replays closure + scoring +
+    per-cluster ranking."""
+    from spotify_pipeline_gcp_spark.operators.dedup import keep_best_per_cluster
+    from spotify_pipeline_gcp_spark.operators.text import quality_score
+    from spotify_pipeline_gcp_spark.queries.compat import fixed
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comp = dedup_components(pairs)
+    scores = quality_score(docs, "doc_id", "text").select(
+        "doc_id", fixed(F.col("quality"), 6).alias("q_r")
+    )
+    return keep_best_per_cluster(comp, scores, "doc_id", "q_r").select(
+        "component", "keep_id", "n_members",
+        F.col("best_score"),
+    )

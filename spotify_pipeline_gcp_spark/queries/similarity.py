@@ -26,105 +26,6 @@ DOT_AB = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
 NORM = "sqrt(list_dot_product({0}.embedding::DOUBLE[], {0}.embedding::DOUBLE[]))"
 
 
-@register(
-    "qs1_embed_norms",
-    oracle=f"""
-    SELECT vec_id, label,
-           {sql_fixed('sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))', 6)} AS norm_r
-    FROM embeddings
-    """,
-)
-def qs1_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 norms of the embedding column — the array-arithmetic kernel
-    (zip_with/aggregate fold, pure codegen)."""
-    emb = table(spark, sf_dir, "embeddings")
-    return with_norm(emb).select(
-        "vec_id", "label", fixed(F.col("norm"), 6).alias("norm_r")
-    )
-
-
-def _ranked_pairs(base: DataFrame, same_bucket: bool, k: int) -> DataFrame:
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.id") != F.col("b.id")
-    if same_bucket:
-        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
-    cos = fixed(
-        _dot_pre(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm")),
-        6,
-    )
-    pairs = a.join(b, cond).select(
-        F.col("a.id").alias("query_id"),
-        F.col("b.id").alias("neighbor_id"),
-        cos.alias("cosine_r"),
-    )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cosine_r").desc(), F.col("neighbor_id")
-    )
-    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
-        F.col("rank") <= k
-    )
-
-
-@register(
-    "qs2_cosine_topk",
-    oracle=f"""
-    WITH pairs AS (
-      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             {sql_fixed(f'{DOT_AB} / ({NORM.format("a")} * {NORM.format("b")})', 6)} AS cosine_r
-      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-    )
-    SELECT query_id, neighbor_id, cosine_r,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cosine_r DESC, neighbor_id)::BIGINT AS rank
-    FROM pairs
-    QUALIFY rank <= 5
-    """,
-)
-def qs2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact ANN baseline: brute-force cosine top-5 per vector.
-
-    n² dot products + ranking window. The correctness reference for
-    the bucketed scale path (qs3)."""
-    emb = table(spark, sf_dir, "embeddings")
-    return _ranked_pairs(
-        _double_base(emb, "vec_id", "embedding"), same_bucket=False, k=5
-    )
-
-
-@register(
-    "qs3_cosine_topk_bucketed",
-    oracle=f"""
-    WITH coded AS (
-      SELECT vec_id, embedding,
-             ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-            + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::BIGINT AS bucket
-      FROM embeddings
-    ),
-    pairs AS (
-      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             {sql_fixed(f'{DOT_AB} / ({NORM.format("a")} * {NORM.format("b")})', 6)} AS cosine_r
-      FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-    )
-    SELECT query_id, neighbor_id, cosine_r,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cosine_r DESC, neighbor_id)::BIGINT AS rank
-    FROM pairs
-    QUALIFY rank <= 5
-    """,
-)
-def qs3_cosine_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN: sign-quantized bucketing (IVF shape) restricts
-    candidates to the same coarse cell before the exact kernel —
-    the join volume drops ~16x at 4 bits."""
-    emb = table(spark, sf_dir, "embeddings")
-    base = _double_base(emb, "vec_id", "embedding").withColumn(
-        "bucket", sign_bucket("v", 4)
-    )
-    return _ranked_pairs(base, same_bucket=True, k=5)
-
-
 def _ivf_kmeans_oracle(k: int, n_iter: int, d: int, topk: int) -> str:
     """DuckDB replay of the ENTIRE seeded-k-means training + IVF
     search as one finite CTE chain — possible because the operator
@@ -248,6 +149,105 @@ def qs7_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= 5
     )
+
+
+@register(
+    "qs1_embed_norms",
+    oracle=f"""
+    SELECT vec_id, label,
+           {sql_fixed('sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))', 6)} AS norm_r
+    FROM embeddings
+    """,
+)
+def qs1_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms of the embedding column — the array-arithmetic kernel
+    (zip_with/aggregate fold, pure codegen)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return with_norm(emb).select(
+        "vec_id", "label", fixed(F.col("norm"), 6).alias("norm_r")
+    )
+
+
+def _ranked_pairs(base: DataFrame, same_bucket: bool, k: int) -> DataFrame:
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") != F.col("b.id")
+    if same_bucket:
+        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
+    cos = fixed(
+        _dot_pre(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm")),
+        6,
+    )
+    pairs = a.join(b, cond).select(
+        F.col("a.id").alias("query_id"),
+        F.col("b.id").alias("neighbor_id"),
+        cos.alias("cosine_r"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k
+    )
+
+
+@register(
+    "qs2_cosine_topk",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {sql_fixed(f'{DOT_AB} / ({NORM.format("a")} * {NORM.format("b")})', 6)} AS cosine_r
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_r,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_r DESC, neighbor_id)::BIGINT AS rank
+    FROM pairs
+    QUALIFY rank <= 5
+    """,
+)
+def qs2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: brute-force cosine top-5 per vector.
+
+    n² dot products + ranking window. The correctness reference for
+    the bucketed scale path (qs3)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return _ranked_pairs(
+        _double_base(emb, "vec_id", "embedding"), same_bucket=False, k=5
+    )
+
+
+@register(
+    "qs3_cosine_topk_bucketed",
+    oracle=f"""
+    WITH coded AS (
+      SELECT vec_id, embedding,
+             ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::BIGINT AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {sql_fixed(f'{DOT_AB} / ({NORM.format("a")} * {NORM.format("b")})', 6)} AS cosine_r
+      FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_r,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_r DESC, neighbor_id)::BIGINT AS rank
+    FROM pairs
+    QUALIFY rank <= 5
+    """,
+)
+def qs3_cosine_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: sign-quantized bucketing (IVF shape) restricts
+    candidates to the same coarse cell before the exact kernel —
+    the join volume drops ~16x at 4 bits."""
+    emb = table(spark, sf_dir, "embeddings")
+    base = _double_base(emb, "vec_id", "embedding").withColumn(
+        "bucket", sign_bucket("v", 4)
+    )
+    return _ranked_pairs(base, same_bucket=True, k=5)
 
 
 @register(

@@ -299,3 +299,22 @@ def test_incremental_lsh_old_new_only(spark):
     assert all(dn in (5, 6) for _, dn in got)  # new side only on the right
     assert all(do in (1, 2, 3, 4) for do, _ in got)
     assert (1, 2) not in got and (1, 6) not in got
+
+
+def test_keep_best_per_cluster_policy(spark):
+    from spotify_pipeline_gcp_spark.operators.dedup import keep_best_per_cluster
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.1), (11, 0.1)],
+        "doc_id long, q long" if False else "doc_id long, q double",
+    )
+    out = {
+        r.component: (r.keep_id, r.n_members, r.best_score)
+        for r in keep_best_per_cluster(comp, scores, "doc_id", "q").collect()
+    }
+    assert out[1] == (2, 3, 0.9)  # best score wins; tie (2 vs 3) -> min id
+    assert out[10] == (10, 2, 0.1)
