@@ -59,6 +59,8 @@ HEADLINE_EXT = [
     "qd11_incremental_near_dup",
     "qt2_quality_score",
     "qt4_fingerprint",
+    "qm3_payload_features",
+    "qm4_frame_sample",
     "qsp1_hash_sample",
     "qp1_corpus_prep",
     "qp2_token_shard_packing",

@@ -161,3 +161,10 @@ def test_shard_packing_single_partition_only_on_block_aggregates(spark):
 
     plan = formatted_plan(_q(spark, "qp2_token_shard_packing"))
     assert plan.count("SinglePartition") == 1, plan.count("SinglePartition")
+
+
+def test_multimodal_kernels_no_shuffle(spark):
+    # mapInPandas media kernels are partition-local: fan-out (frames)
+    # and per-payload features add NO exchange over the scan
+    assert exchange_count(_q(spark, "qm3_payload_features")) == 0
+    assert exchange_count(_q(spark, "qm4_frame_sample")) == 0
