@@ -182,3 +182,58 @@ def prepare_corpus_observed(
         F.sum("n_tokens").alias("total_tokens"),
     )
     return out, obs
+
+
+def select_by_token_budget(
+    scored: DataFrame,
+    budget: int,
+    score_col: str = "q_r",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Budget-constrained corpus selection: take documents in
+    priority order (score desc, id asc) until the cumulative token
+    count crosses ``budget`` — "the best B tokens of data", the
+    curation query that turns a scored corpus into a training set.
+    A document is selected iff the tokens BEFORE it (in priority
+    order) are under budget, so overshoot is bounded by one document.
+
+    Distributed shape: the global priority cumsum is two-level, keyed
+    by the SCORE VALUE itself — per-score token sums (one hash
+    aggregate), an exclusive running sum over the distinct-score
+    table (the only ordered pass — distinct rounded scores, orders of
+    magnitude smaller than documents), then an exclusive within-score
+    window ordered by id (bounded groups) plus the score offset,
+    joined back by score. Same pattern as ``token_shard_packing``;
+    requires a deterministic (fixed-point rounded) score so the
+    priority order is total and engine-reproducible.
+    """
+    from pyspark.sql import Window as W
+
+    per_score = scored.groupBy(score_col).agg(
+        F.sum(tokens_col).alias("score_tokens")
+    )
+    w_scores = W.orderBy(F.col(score_col).desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offsets = per_score.select(
+        score_col,
+        F.coalesce(F.sum("score_tokens").over(w_scores), F.lit(0)).alias(
+            "score_offset"
+        ),
+    )
+    w_in = (
+        W.partitionBy(score_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        scored.join(F.broadcast(offsets), score_col)
+        .withColumn(
+            "tokens_before",
+            F.col("score_offset")
+            + F.coalesce(F.sum(tokens_col).over(w_in), F.lit(0)),
+        )
+        .where(F.col("tokens_before") < budget)
+        .select(id_col, score_col, tokens_col, "tokens_before")
+    )

@@ -99,3 +99,56 @@ def qp2_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_shard_packing(
         table(spark, sf_dir, "documents"), "doc_id", "text", budget=2048
     )
+
+
+@register(
+    "qp3_token_budget_selection",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text)::BIGINT AS n_chars_calc,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','a','of','and','to','in','is','it')))::BIGINT AS stop_hits,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS digit_chars,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::BIGINT AS punct_chars
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens,
+             floor((least(n_tokens / 100.0, 1.0) * 0.4
+                    + (stop_hits / n_tokens) * 0.3
+                    + (1.0 - digit_chars / n_chars_calc) * 0.2
+                    + (1.0 - punct_chars / n_chars_calc) * 0.1) * 1000000 + 0.5)
+               / 1000000 AS q_r
+      FROM feats
+    ),
+    cum AS (
+      SELECT doc_id, q_r, n_tokens,
+             COALESCE(sum(n_tokens) OVER (ORDER BY q_r DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0)::BIGINT AS tokens_before
+      FROM scored
+    )
+    SELECT doc_id, q_r, n_tokens, tokens_before
+    FROM cum WHERE tokens_before < 8192
+    """,
+)
+def qp3_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained selection: the highest-quality ~8192 tokens
+    of the corpus, documents taken in (quality desc, id) priority
+    order until the budget is crossed. Spark computes the priority
+    cumsum two-level (per-score sums + tiny ordered offset pass +
+    bounded within-score windows); the oracle replays it as one
+    global window."""
+    from spotify_pipeline_gcp_spark.operators.corpus import select_by_token_budget
+    from spotify_pipeline_gcp_spark.operators.text import quality_score
+    from spotify_pipeline_gcp_spark.queries.compat import fixed
+
+    docs = table(spark, sf_dir, "documents")
+    scored = quality_score(docs, "doc_id", "text").select(
+        "doc_id",
+        fixed(F.col("quality"), 6).alias("q_r"),
+        F.col("n_tokens"),
+    )
+    return select_by_token_budget(scored, budget=8192)

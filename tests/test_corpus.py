@@ -125,3 +125,23 @@ def test_prepare_corpus_observed_free_metrics(spark, tmp_path):
     ).collect()[0]
     assert got["n_docs"] == expected["count(doc_id)"]
     assert got["total_tokens"] == expected["sum(n_tokens)"]
+
+
+def test_select_by_token_budget_priority_and_boundary(spark):
+    from spotify_pipeline_gcp_spark.operators.corpus import select_by_token_budget
+
+    # scores: doc 3 best, then 1, then tie (2, 4) broken by id
+    scored = spark.createDataFrame(
+        [(1, 0.8, 40), (2, 0.5, 40), (3, 0.9, 40), (4, 0.5, 40)],
+        "doc_id long, q_r double, n_tokens long",
+    )
+    got = {
+        r.doc_id: r.tokens_before
+        for r in select_by_token_budget(scored, budget=100).collect()
+    }
+    # priority order: 3 (before 0), 1 (before 40), 2 (before 80,
+    # crosses budget but before < 100 -> included), 4 (before 120, out)
+    assert got == {3: 0, 1: 40, 2: 80}
+    # budget exactly at a boundary excludes the next doc (before == budget)
+    got2 = {r.doc_id for r in select_by_token_budget(scored, budget=80).collect()}
+    assert got2 == {3, 1}
