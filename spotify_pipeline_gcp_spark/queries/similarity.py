@@ -366,3 +366,112 @@ def qs8_cosine_topk_ivf_kmeans_blas(spark: SparkSession, sf_dir: str) -> DataFra
     ensure_package_on_workers(spark)
     emb = table(spark, sf_dir, "embeddings")
     return cosine_topk_kmeans_blas(emb, k_neighbors=5, n_clusters=16, n_iter=2)
+
+
+@register(
+    "qs9_filtered_ann",
+    oracle=f"""
+    WITH filtered AS (
+      SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {sql_fixed(f'{DOT_AB} / ({NORM.format("a")} * {NORM.format("b")})', 6)} AS cosine_r
+      FROM filtered a JOIN filtered b ON a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_r,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_r DESC, neighbor_id)::BIGINT AS rank
+    FROM pairs
+    QUALIFY rank <= 3
+    """,
+)
+def qs9_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: top-k neighbors restricted to vectors
+    satisfying a metadata predicate (label % 2 = 0), the
+    pre-filtering composition. Dedicated vector stores struggle here
+    (post-filtering an ANN result loses recall when the filter is
+    selective; pre-filtering breaks their index); in a relational
+    engine the predicate simply prunes the base table BEFORE
+    candidate generation — Catalyst pushes it into the scan and
+    recall over the filtered universe is exact by construction. At
+    scale the same composition applies in front of the bucketed /
+    BLAS variants (filter, then bucket)."""
+    emb = table(spark, sf_dir, "embeddings").where(F.col("label") % 2 == 0)
+    return _ranked_pairs(
+        _double_base(emb, "vec_id", "embedding"), same_bucket=False, k=3
+    )
+
+
+@register(
+    "qe1_label_centroids",
+    oracle="""
+    WITH u AS (
+      SELECT label,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[]))) AS u
+      FROM embeddings
+    ),
+    grp AS (
+      SELECT label, list_sort(list(u)) AS us, count(*)::BIGINT AS n_vecs
+      FROM u GROUP BY label
+    ),
+    m AS (
+      SELECT label, n_vecs,
+             list_transform(
+               list_reduce(us, (acc, x) -> list_transform(range(1, 65),
+                                                          j -> acc[j] + x[j])),
+               s -> s / n_vecs) AS mv
+      FROM grp
+    )
+    SELECT label, n_vecs,
+           floor(sqrt(list_dot_product(mv, mv)) * 1000000 + 0.5) / 1000000 AS mean_norm_r,
+           floor(mv[1] * 1000000 + 0.5) / 1000000 AS c1_r,
+           floor(mv[2] * 1000000 + 0.5) / 1000000 AS c2_r,
+           floor(mv[3] * 1000000 + 0.5) / 1000000 AS c3_r,
+           floor(mv[4] * 1000000 + 0.5) / 1000000 AS c4_r
+    FROM m
+    """,
+)
+def qe1_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding ANALYTICS: per-label class prototypes — the mean of
+    each label's unit vectors, computed with the same deterministic
+    row-local sorted-fold the k-means trainer uses (one groupBy, no
+    per-dimension explode), so the prototype itself is hash-verified.
+    Emits the mean's norm (a class-coherence signal: near 1 = tight
+    cluster, near 0 = dispersed) and the first four components,
+    fixed-point rounded."""
+    from spotify_pipeline_gcp_spark.operators.similarity import _dot_pre
+
+    emb = table(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pts = (
+        emb.select("label", vd.alias("v"))
+        # norm as a materialized column so the per-element division
+        # lambda does not re-evaluate the fold per component
+        .withColumn("norm", F.sqrt(_dot_pre(F.col("v"), F.col("v"))))
+        .withColumn("u", F.transform("v", lambda x: x / F.col("norm")))
+    )
+    grp = pts.groupBy("label").agg(
+        F.sort_array(F.collect_list("u")).alias("us"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+    zero = F.transform(F.element_at("us", 1), lambda _: F.lit(0.0))
+    summed = F.aggregate(
+        F.col("us"), zero, lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q)
+    )
+    m = grp.select(
+        "label",
+        "n_vecs",
+        F.transform(summed, lambda s: s / F.col("n_vecs")).alias("mv"),
+    )
+    return m.select(
+        "label",
+        "n_vecs",
+        fixed(F.sqrt(_dot_pre(F.col("mv"), F.col("mv"))), 6).alias("mean_norm_r"),
+        *[
+            fixed(F.element_at("mv", j + 1), 6).alias(f"c{j + 1}_r")
+            for j in range(4)
+        ],
+    )
