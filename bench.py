@@ -64,6 +64,9 @@ HEADLINE_EXT = [
     "qsp1_hash_sample",
     "qp1_corpus_prep",
     "qp2_token_shard_packing",
+    "qp3_token_budget_selection",
+    "qs9_filtered_ann",
+    "qe1_label_centroids",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

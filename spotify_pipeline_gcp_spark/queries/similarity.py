@@ -374,10 +374,18 @@ def qs8_cosine_topk_ivf_kmeans_blas(spark: SparkSession, sf_dir: str) -> DataFra
     WITH filtered AS (
       SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0
     ),
+    coded AS (
+      SELECT vec_id, embedding,
+             ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::BIGINT AS bucket
+      FROM filtered
+    ),
     pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              {sql_fixed(f'{DOT_AB} / ({NORM.format("a")} * {NORM.format("b")})', 6)} AS cosine_r
-      FROM filtered a JOIN filtered b ON a.vec_id <> b.vec_id
+      FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
     )
     SELECT query_id, neighbor_id, cosine_r,
            row_number() OVER (PARTITION BY query_id
@@ -387,20 +395,21 @@ def qs8_cosine_topk_ivf_kmeans_blas(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def qs9_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FILTERED vector search: top-k neighbors restricted to vectors
-    satisfying a metadata predicate (label % 2 = 0), the
-    pre-filtering composition. Dedicated vector stores struggle here
-    (post-filtering an ANN result loses recall when the filter is
-    selective; pre-filtering breaks their index); in a relational
-    engine the predicate simply prunes the base table BEFORE
-    candidate generation — Catalyst pushes it into the scan and
-    recall over the filtered universe is exact by construction. At
-    scale the same composition applies in front of the bucketed /
-    BLAS variants (filter, then bucket)."""
+    """FILTERED vector search at the scale shape: a metadata
+    predicate (label % 2 = 0) prunes the base table BEFORE bucketed
+    candidate generation — filter, then bucket, then in-cell top-k.
+    Dedicated vector stores struggle here (post-filtering an ANN
+    result loses recall when the filter is selective; pre-filtering
+    breaks their index); in a relational engine the predicate simply
+    composes — Catalyst pushes it into the parquet scan and recall
+    over the filtered universe equals unfiltered single-probe recall
+    by construction. The same composition applies in front of the
+    multi-probe / k-means / BLAS variants."""
     emb = table(spark, sf_dir, "embeddings").where(F.col("label") % 2 == 0)
-    return _ranked_pairs(
-        _double_base(emb, "vec_id", "embedding"), same_bucket=False, k=3
+    base = _double_base(emb, "vec_id", "embedding").withColumn(
+        "bucket", sign_bucket("v", 4)
     )
+    return _ranked_pairs(base, same_bucket=True, k=3)
 
 
 @register(
