@@ -34,16 +34,16 @@ REGISTRY: dict[str, QuerySpec] = {}
 # leads with the relational/extra/relational2 breadth set (28
 # queries — driver-verified in r01, but only selfcheck-verified in
 # r02 while the extension families held the window), followed by the
-# modules that changed or gained queries this round (dedup 12,
-# streaming 2, corpus 2, then similarity with its rows-only BLAS
-# twins ordered last in-module — the window's 50th slot cuts inside
-# similarity so every new ORACLE-bearing query sits inside and the
-# entries left outside are qs6/qs8, rows-only twins whose fold
-# counterparts qs3/qs7 ARE in the window with pytest-asserted
-# agreement). The tail outside the window (multimodal, text,
-# sampling, core) is unchanged this round and driver-green from r02
-# (core also r01); tools/selfcheck.py re-verifies all of it against
-# the same oracles every run regardless.
+# modules that changed or gained queries this round (dedup,
+# streaming, corpus, then similarity ordered so the round's flagship
+# new query qs7 sits inside the 50th slot). Round 3's new-query
+# demand exceeded 50: outside the window sit the late additions
+# (qs9, qe1, qm3, qm4 — selfcheck-green, first candidates for r4's
+# window), the unchanged r02-green qs2/qs3/qs5 + multimodal/text/
+# sampling/core tails, and the rows-only BLAS twins (qs4/qs6/qs8,
+# fold agreement pytest-asserted). Run tools/window_check.py after
+# any registration change; tools/selfcheck.py re-verifies the FULL
+# registry against the same oracles every run regardless.
 _MODULES = [
     "spotify_pipeline_gcp_spark.queries.relational",
     "spotify_pipeline_gcp_spark.queries.extra",
