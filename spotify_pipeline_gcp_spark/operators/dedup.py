@@ -655,6 +655,7 @@ def simhash_pairs(
     bits: int = 16,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, found via bit-band
     LSH over the fingerprint: (doc_a, doc_b, hamming), doc_a < doc_b.
@@ -684,6 +685,17 @@ def simhash_pairs(
     unwanted. One band is ``bits/bands`` wide: widen bands (more
     bits each) to cut candidates, add bands to raise the
     guaranteed-recall Hamming radius.
+
+    ``max_bucket`` drops (band, value) buckets with more members than
+    the cap from candidate generation — the fingerprint-level
+    stop-shingle filter. A hot bucket contributes ~size²/2 candidate
+    rows ON ONE REDUCER (the join shuffles on the band key), so the
+    cap bounds the worst-case join the same way ``max_shingle_df``
+    bounds the Jaccard inverted lists. The trade is explicit recall
+    loss: a pair is missed iff EVERY band it survives in is hot —
+    with the lossless-radius guarantee this only affects pairs whose
+    intact bands all exceed the cap (boilerplate-dominated regions,
+    where near-dup signal is weakest anyway).
     """
     if bits % bands != 0:
         raise ValueError(f"bits ({bits}) must be divisible by bands ({bands})")
@@ -704,6 +716,15 @@ def simhash_pairs(
     banded = fp.select(
         "doc_id", "simhash", F.explode(band_vals).alias("p")
     ).select("doc_id", "simhash", F.col("p.band").alias("band"), F.col("p.bv").alias("bv"))
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band", "bv")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket)
+            .select("band", "bv")
+        )
+        # tiny by construction (only oversized buckets) — broadcast anti-join
+        banded = banded.join(hot, ["band", "bv"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     cand = a.join(
         b,

@@ -318,3 +318,45 @@ def test_keep_best_per_cluster_policy(spark):
     }
     assert out[1] == (2, 3, 0.9)  # best score wins; tie (2 vs 3) -> min id
     assert out[10] == (10, 2, 0.1)
+
+
+def test_simhash_pairs_bucket_cap_bounds_and_recall(spark):
+    from pyspark.sql import functions as F
+
+    from spotify_pipeline_gcp_spark.operators.dedup import simhash, simhash_pairs
+
+    # many docs sharing boilerplate -> hot band buckets; two exact
+    # dups must still pair through their (non-hot) identical bands
+    docs = spark.createDataFrame(
+        [(i, f"common shared boilerplate text unit {i % 7} extra") for i in range(30)]
+        + [(100, "totally unique payload alpha"), (101, "totally unique payload alpha")],
+        "doc_id long, text string",
+    )
+    capped = simhash_pairs(
+        docs, "doc_id", "text", bits=32, bands=4, max_hamming=3, max_bucket=5
+    )
+    uncapped = simhash_pairs(
+        docs, "doc_id", "text", bits=32, bands=4, max_hamming=3
+    )
+    got_c = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    got_u = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    assert got_c.issubset(got_u)  # cap only removes pairs
+    assert (100, 101) in got_c  # exact dups in small buckets survive
+    # surviving buckets are bounded: recompute band table and assert
+    fps = simhash(docs, "doc_id", "text", bits=32)
+    banded = fps.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * 8).bitwiseAND(F.lit(255)).alias("bv"),
+                )
+                for b in range(4)
+            ])
+        ).alias("p"),
+    ).select(F.col("p.band").alias("band"), F.col("p.bv").alias("bv"))
+    ok_sizes = (
+        banded.groupBy("band", "bv").count().where(F.col("count") <= 5)
+    )
+    assert ok_sizes.count() > 0  # some buckets survive the cap
