@@ -53,6 +53,7 @@ HEADLINE_EXT = [
     "qs6_cosine_topk_ivf_blas",
     "qs7_cosine_topk_ivf_kmeans",
     "qs8_cosine_topk_ivf_kmeans_blas",
+    "qs10_ann_full_blas",
     "qd9_simhash_pairs",
     "qst2_streaming_sessionize",
     "qst3_streaming_static_enrich",

@@ -603,3 +603,114 @@ def cosine_topk_kmeans_blas(
             F.col("items").alias("q_items"), F.col("items").alias("d_items")
         )
     return _blas_topk_from_combos(combos, k_neighbors)
+
+
+def kmeans_centroids_blas(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+) -> "list":
+    """Throughput twin of ``kmeans_centroids``: same seeded init and
+    Lloyd's structure, but each round is ONE ``mapInPandas`` pass
+    emitting per-partition partial (cluster, count, sum-vector) rows
+    — the MLlib KMeans shape. Assignment is a NumPy matmul (argmax
+    ties to lowest cid via argmax-first semantics) and the driver
+    combines O(partitions × k) partials into new centroids — model
+    state only, never data. BLAS accumulation differs from the SQL
+    fold at ulp level, so this trainer has no oracle; the exact
+    trainer is the hash-verified twin (agreement on separable data
+    asserted in tests). Returns the centroid list [(cid, [c...])].
+    """
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
+
+    spark = df.sparkSession
+    ensure_package_on_workers(spark)
+    pts = _unit_vectors(df, id_col, vec_col)
+    init_w = W.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+    init = (
+        pts.withColumn("rn", F.row_number().over(init_w))
+        .where(F.col("rn") <= k)
+        .select((F.col("rn") - 1).alias("cid"), "u")
+        .collect()
+    )
+    cent = np.stack([np.asarray(r["u"], dtype="float64") for r in sorted(init, key=lambda r: r["cid"])])
+
+    d = cent.shape[1]
+    for _ in range(n_iter):
+        C = cent  # closure capture: k x d ndarray, ~KBs
+
+        def partials(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                U = np.stack([np.asarray(u, dtype="float64") for u in pdf["u"]])
+                cids = np.argmax(U @ C.T, axis=1)
+                rows = []
+                for cid in np.unique(cids):
+                    members = U[cids == cid]
+                    rows.append(
+                        (int(cid), int(members.shape[0]), members.sum(axis=0).tolist())
+                    )
+                yield pd.DataFrame(rows, columns=["cid", "cnt", "psum"])
+
+        agg = pts.select("u").mapInPandas(
+            partials, schema="cid long, cnt long, psum array<double>"
+        ).collect()
+        sums = np.zeros((k, d))
+        counts = np.zeros(k)
+        for r in agg:
+            sums[r["cid"]] += np.asarray(r["psum"])
+            counts[r["cid"]] += r["cnt"]
+        live = counts > 0
+        means = sums[live] / counts[live, None]
+        cent = means / np.linalg.norm(means, axis=1, keepdims=True)
+    return [(i, cent[i].tolist()) for i in range(cent.shape[0])]
+
+
+def cosine_topk_kmeans_blas_trained(
+    df: DataFrame,
+    k_neighbors: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    n_sub: int = 1,
+) -> DataFrame:
+    """End-to-end BLAS trained ANN: the ``kmeans_centroids_blas``
+    trainer (matmul assignment, partial-aggregate updates) feeding
+    the bucket-packed BLAS search — training AND search vectorized,
+    the full-throughput production path. Rows-only like qs8; the
+    all-DataFrame qs7 remains the hash-verified exactness twin.
+    """
+    spark = df.sparkSession
+    cent_rows = kmeans_centroids_blas(df, id_col, vec_col, k=n_clusters, n_iter=n_iter)
+    cent = spark.createDataFrame(cent_rows, "cid long, c array<double>")
+    asg = assign_clusters(df, cent, id_col, vec_col).select(
+        "id", F.col("u").alias("v"), F.col("cid").alias("bucket")
+    )
+    if n_sub > 1:
+        asg = asg.withColumn("sub", F.pmod(F.xxhash64("id"), F.lit(n_sub)))
+        packed = asg.groupBy("bucket", "sub").agg(
+            F.collect_list(F.struct("id", "v")).alias("items")
+        )
+        combos = (
+            packed.alias("a")
+            .join(packed.alias("b"), F.col("a.bucket") == F.col("b.bucket"))
+            .select(
+                F.col("a.items").alias("q_items"),
+                F.col("b.items").alias("d_items"),
+            )
+        )
+    else:
+        packed = asg.groupBy("bucket").agg(
+            F.collect_list(F.struct("id", "v")).alias("items")
+        )
+        combos = packed.select(
+            F.col("items").alias("q_items"), F.col("items").alias("d_items")
+        )
+    return _blas_topk_from_combos(combos, k_neighbors)

@@ -484,3 +484,22 @@ def qe1_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(4)
         ],
     )
+
+
+@register("qs10_ann_full_blas")  # rows-only: BLAS training + search
+def qs10_ann_full_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-throughput trained ANN: k-means trained with matmul
+    assignment + per-partition partial-sum updates (the MLlib KMeans
+    shape — one mapInPandas pass per round, driver combines O(k·d)
+    model state), searching with the bucket-packed BLAS kernel.
+    Training AND search vectorized end-to-end; qs7 is the
+    hash-verified all-DataFrame twin, qs8 the half-step (exact
+    trainer + BLAS search)."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        cosine_topk_kmeans_blas_trained,
+    )
+    from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk_kmeans_blas_trained(emb, k_neighbors=5, n_clusters=16, n_iter=2)

@@ -236,3 +236,33 @@ def test_kmeans_blas_matches_fold_kmeans(spark):
         ).collect()
     }
     assert fold == blas
+
+
+def test_blas_trainer_agrees_on_separable_data(spark):
+    # on well-separated clusters the matmul trainer must learn the
+    # same partition of points as the exact fold trainer (ulp noise
+    # cannot flip assignments when margins are wide)
+    import random
+
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        cosine_topk_kmeans,
+        cosine_topk_kmeans_blas_trained,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(24):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 0.0, 0.0, 1.0]
+        rows.append((i, [b + rng.uniform(-0.05, 0.05) for b in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk_kmeans(df, k_neighbors=3, n_clusters=2, n_iter=3).collect()
+    }
+    blas = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk_kmeans_blas_trained(
+            df, k_neighbors=3, n_clusters=2, n_iter=3
+        ).collect()
+    }
+    assert exact == blas
