@@ -383,6 +383,82 @@ def cosine_topk_bucketed_blas(
 cosine_topk_pandas = cosine_topk_blas
 
 
+# Fixed-point scale for deterministic distributed mean aggregation:
+# quantizing each component to round(val * 1e9) makes the per-cell sum
+# an INTEGER sum, which commutes exactly — the aggregate is map-side
+# combinable and partition-order-independent, unlike a float sum whose
+# result shifts at ulp level with partial-aggregation order. |val| <= 1
+# (unit vectors), so a BIGINT sum holds ~9.2e9 members per cell before
+# overflow; the 5e-10 quantization error on the mean is far below the
+# 1e-6 fixed-point rounding every oracle output applies.
+_QSCALE = 10**9
+
+
+def _cell_means(assigned: DataFrame, group_col: str = "cid") -> DataFrame:
+    """(group_col, mv: array<double>, n): per-cell mean vectors via a
+    fully distributed positional aggregate.
+
+    Shape: ``posexplode(u)`` → ``groupBy(group, pos)`` quantized-long
+    sums (map-side combinable — the shuffle carries k·d·partitions
+    partial rows, never member vectors) → per-group re-assembly of the
+    d means ordered by position. No row ever holds more than d scalars,
+    so a cell with 10^9 members costs the same per-row memory as one
+    with 10 — this replaces the previous ``sort_array(collect_list(u))``
+    row-local fold, which packed every member vector of a cell into ONE
+    aggregation row (n/k × d doubles: an OOM at 100× scale).
+
+    Determinism/oracle parity: both engines compute
+    ``sum(floor(val*1e9 + 0.5)::BIGINT)`` — identical IEEE multiply/
+    add/floor per element, then exact integer addition in any order —
+    so the means are bitwise-reproducible and replayable in ANSI SQL
+    (DuckDB: positional unnest + BIGINT sums + ``list(... ORDER BY
+    pos)``).
+    """
+    expl = assigned.select(group_col, F.posexplode("u").alias("pos", "val"))
+    qsums = expl.groupBy(group_col, "pos").agg(
+        F.sum(
+            F.floor(F.col("val") * F.lit(float(_QSCALE)) + F.lit(0.5))
+        ).alias("qsum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("qsum").cast("double") / (F.lit(float(_QSCALE)) * F.col("n"))
+    return (
+        qsums.withColumn("mean", mean)
+        .groupBy(group_col)
+        .agg(
+            # d scalar structs per group — O(d) row width, sorted by the
+            # unique pos so assembly order is deterministic
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            group_col,
+            F.transform("pm", lambda s: s["mean"]).alias("mv"),
+            "n",
+        )
+    )
+
+
+def _seeded_init(pts: DataFrame, k: int) -> DataFrame:
+    """(cid, c): the k vectors ranked first by ``md5(id)`` — a seeded
+    pseudo-random draw both engines compute identically. The global
+    rank is taken with ``orderBy(...).limit(k)`` (TakeOrdered: per-
+    partition top-k, then a k-row merge), NOT a row_number window over
+    the full table — the window form single-partition-sorts all n rows.
+    The residual window here orders only the k survivors."""
+    from pyspark.sql import Window as W
+
+    top = (
+        pts.select("id", "u", F.md5(F.col("id").cast("string")).alias("ik"))
+        .orderBy("ik", "id")
+        .limit(k)
+    )
+    return (
+        top.withColumn("rn", F.row_number().over(W.orderBy("ik", "id")))
+        .select((F.col("rn") - 1).cast("long").alias("cid"), F.col("u").alias("c"))
+    )
+
+
 def _argmax_assign(pts: DataFrame, centroids: DataFrame) -> DataFrame:
     """(id, u, cid): nearest centroid by fold dot product, ties →
     lowest cid. The argmax is a ``max(struct(dot, -cid))`` aggregate,
@@ -433,61 +509,40 @@ def kmeans_centroids(
     model is oracle-checkable bit-for-bit against ANSI SQL:
 
     - init: the k vectors ranked first by ``md5(id)`` (a seeded
-      pseudo-random draw both engines compute identically);
+      pseudo-random draw both engines compute identically), taken
+      with a distributed TakeOrdered, not a full-table window
+      (``_seeded_init``);
     - assign: argmax centroid by fold dot product (ties → lowest cid);
-    - update: the cell mean is a left fold of element-wise array
-      addition over the LEXICOGRAPHICALLY SORTED member list —
-      sorting removes the one nondeterminism (float summation order)
-      a plain ``avg`` would have — then L2-renormalized (spherical
-      k-means, the right variant for cosine/IP search). The whole
-      update is ONE groupBy(cid): members collect into a row-local
-      array and the fold/mean/normalize run inside the row — no
-      per-dimension explode (d× the shuffle rows) and no reassembly
-      aggregation (a second shuffle), which together were ~70% of
-      training wall-clock in the exploded formulation;
+    - update: the cell mean is a positional quantized-integer
+      aggregate (``_cell_means``): posexplode → per-(cid, pos) BIGINT
+      sums of ``floor(val*1e9 + 0.5)`` → re-assembly ordered by pos,
+      then L2-renormalized (spherical k-means, the right variant for
+      cosine/IP search). Integer sums commute exactly, so the mean is
+      deterministic under ANY partitioning/combine order — the
+      property the previous sorted-collect_list fold bought by
+      packing a whole cell's member vectors into ONE aggregation row
+      (n/k × d doubles: an OOM at 100× scale). Here map-side combine
+      collapses the exchange to k·d partial rows per task and no row
+      ever exceeds d scalars;
     - a FIXED iteration count (no convergence test), which is what
       makes the whole training replayable as a finite SQL CTE chain.
 
     Scale notes: each iteration is one broadcast cross-join (n·k
-    rows, k tiny), one per-point argmax, and one (k·d)-group
+    rows, k tiny), one per-point argmax, and one (k·d)-key combinable
     aggregate; centroids — O(k·d) model state, independent of data
     volume — are collected to the driver between rounds and
     re-broadcast, exactly MLlib's KMeans loop structure. The
-    sorted-fold mean costs a per-(cid, dim) sort; at production scale
-    swap it for plain ``avg`` (ulp-level difference, no oracle) and
-    the md5 init ranking for ``RAND_N`` sampling. The iterate-
-    materialize pattern needs no checkpoint here: the loop re-plans
-    from the literal centroid table each round, so plans stay flat.
+    iterate-materialize pattern needs no checkpoint here: the loop
+    re-plans from the literal centroid table each round, so plans
+    stay flat.
     """
     spark = df.sparkSession
-    from pyspark.sql import Window as W
 
     pts = _unit_vectors(df, id_col, vec_col)
-    init_w = W.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
-    cent = (
-        pts.withColumn("rn", F.row_number().over(init_w))
-        .where(F.col("rn") <= k)
-        .select(
-            (F.col("rn") - 1).cast("long").alias("cid"),
-            F.col("u").alias("c"),
-        )
-    )
+    cent = _seeded_init(pts, k)
     for _ in range(n_iter):
         assigned = _argmax_assign(pts, cent)
-        grp = assigned.groupBy("cid").agg(
-            F.sort_array(F.collect_list("u")).alias("us"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        # zero vector derived from the first member (no dimension
-        # parameter needed); fold = element-wise array addition in
-        # sorted member order — deterministic and SQL-replayable
-        zero = F.transform(F.element_at("us", 1), lambda _: F.lit(0.0))
-        summed = F.aggregate(
-            F.col("us"), zero, lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q)
-        )
-        means = grp.select(
-            "cid", F.transform(summed, lambda s: s / F.col("n")).alias("mv")
-        )
+        means = _cell_means(assigned, "cid")
         new_cent = means.select(
             "cid",
             F.transform(
@@ -624,21 +679,19 @@ def kmeans_centroids_blas(
     asserted in tests). Returns the centroid list [(cid, [c...])].
     """
     import numpy as np
-    from pyspark.sql import Window as W
 
     from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
 
     spark = df.sparkSession
     ensure_package_on_workers(spark)
     pts = _unit_vectors(df, id_col, vec_col)
-    init_w = W.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
-    init = (
-        pts.withColumn("rn", F.row_number().over(init_w))
-        .where(F.col("rn") <= k)
-        .select((F.col("rn") - 1).alias("cid"), "u")
-        .collect()
+    init = _seeded_init(pts, k).collect()
+    cent = np.stack(
+        [
+            np.asarray(r["c"], dtype="float64")
+            for r in sorted(init, key=lambda r: r["cid"])
+        ]
     )
-    cent = np.stack([np.asarray(r["u"], dtype="float64") for r in sorted(init, key=lambda r: r["cid"])])
 
     d = cent.shape[1]
     for _ in range(n_iter):

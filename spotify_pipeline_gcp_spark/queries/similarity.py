@@ -30,7 +30,10 @@ def _ivf_kmeans_oracle(k: int, n_iter: int, d: int, topk: int) -> str:
     """DuckDB replay of the ENTIRE seeded-k-means training + IVF
     search as one finite CTE chain — possible because the operator
     fixes the iteration count and removes every nondeterminism
-    (md5-ranked init, fold dot products, sorted-fold means)."""
+    (md5-ranked init, fold dot products, quantized-integer positional
+    means: ``sum(floor(val*1e9+0.5)::BIGINT)`` per (cid, pos) commutes
+    exactly, so the cell mean is identical under any summation
+    order — see ``operators/similarity.py::_cell_means``)."""
     ctes = [
         """u AS (
       SELECT vec_id,
@@ -58,19 +61,23 @@ def _ivf_kmeans_oracle(k: int, n_iter: int, d: int, topk: int) -> str:
     )"""
         )
         ctes.append(
-            f"""grp{i} AS (
-      SELECT cid, list_sort(list(u)) AS us, count(*)::BIGINT AS n
-      FROM asg{i} GROUP BY cid
+            f"""expl{i} AS (
+      SELECT cid, j AS pos, u[j] AS val
+      FROM asg{i} CROSS JOIN (SELECT unnest(range(1, {d + 1})) AS j)
+    )"""
+        )
+        ctes.append(
+            f"""qsum{i} AS (
+      SELECT cid, pos,
+             (sum(CAST(floor(val * 1000000000.0 + 0.5) AS BIGINT)))::BIGINT AS qsum,
+             count(*)::BIGINT AS n
+      FROM expl{i} GROUP BY cid, pos
     )"""
         )
         ctes.append(
             f"""mv{i} AS (
-      SELECT cid,
-             list_transform(
-               list_reduce(us, (acc, x) -> list_transform(range(1, {d + 1}),
-                                                          j -> acc[j] + x[j])),
-               s -> s / n) AS mv
-      FROM grp{i}
+      SELECT cid, list(qsum::DOUBLE / (1000000000.0 * n) ORDER BY pos) AS mv
+      FROM qsum{i} GROUP BY cid
     )"""
         )
         ctes.append(
@@ -422,17 +429,21 @@ def qs9_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                            embedding::DOUBLE[]))) AS u
       FROM embeddings
     ),
-    grp AS (
-      SELECT label, list_sort(list(u)) AS us, count(*)::BIGINT AS n_vecs
-      FROM u GROUP BY label
+    expl AS (
+      SELECT label, j AS pos, u[j] AS val
+      FROM u CROSS JOIN (SELECT unnest(range(1, 65)) AS j)
+    ),
+    qsum AS (
+      SELECT label, pos,
+             (sum(CAST(floor(val * 1000000000.0 + 0.5) AS BIGINT)))::BIGINT AS qsum,
+             count(*)::BIGINT AS n_vecs
+      FROM expl GROUP BY label, pos
     ),
     m AS (
-      SELECT label, n_vecs,
-             list_transform(
-               list_reduce(us, (acc, x) -> list_transform(range(1, 65),
-                                                          j -> acc[j] + x[j])),
-               s -> s / n_vecs) AS mv
-      FROM grp
+      SELECT label,
+             list(qsum::DOUBLE / (1000000000.0 * n_vecs) ORDER BY pos) AS mv,
+             max(n_vecs) AS n_vecs
+      FROM qsum GROUP BY label
     )
     SELECT label, n_vecs,
            floor(sqrt(list_dot_product(mv, mv)) * 1000000 + 0.5) / 1000000 AS mean_norm_r,
@@ -445,35 +456,26 @@ def qs9_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def qe1_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding ANALYTICS: per-label class prototypes — the mean of
-    each label's unit vectors, computed with the same deterministic
-    row-local sorted-fold the k-means trainer uses (one groupBy, no
-    per-dimension explode), so the prototype itself is hash-verified.
-    Emits the mean's norm (a class-coherence signal: near 1 = tight
+    each label's unit vectors, computed with the k-means trainer's
+    quantized positional aggregate (``_cell_means``: posexplode →
+    per-(label, pos) BIGINT sums → ordered re-assembly), so the
+    prototype is hash-verified AND the aggregate is map-side
+    combinable — no row ever holds a label's full member list. Emits
+    the mean's norm (a class-coherence signal: near 1 = tight
     cluster, near 0 = dispersed) and the first four components,
     fixed-point rounded."""
-    from spotify_pipeline_gcp_spark.operators.similarity import _dot_pre
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _cell_means,
+        _dot_pre,
+        _unit_vectors,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
-    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    pts = (
-        emb.select("label", vd.alias("v"))
-        # norm as a materialized column so the per-element division
-        # lambda does not re-evaluate the fold per component
-        .withColumn("norm", F.sqrt(_dot_pre(F.col("v"), F.col("v"))))
-        .withColumn("u", F.transform("v", lambda x: x / F.col("norm")))
+    pts = _unit_vectors(emb, "label", "embedding").select(
+        F.col("id").alias("label"), "u"
     )
-    grp = pts.groupBy("label").agg(
-        F.sort_array(F.collect_list("u")).alias("us"),
-        F.count(F.lit(1)).alias("n_vecs"),
-    )
-    zero = F.transform(F.element_at("us", 1), lambda _: F.lit(0.0))
-    summed = F.aggregate(
-        F.col("us"), zero, lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q)
-    )
-    m = grp.select(
-        "label",
-        "n_vecs",
-        F.transform(summed, lambda s: s / F.col("n_vecs")).alias("mv"),
+    m = _cell_means(pts, "label").select(
+        "label", "mv", F.col("n").alias("n_vecs")
     )
     return m.select(
         "label",

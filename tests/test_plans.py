@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from spotify_pipeline_gcp_spark.plans.inspect import (
     exchange_count,
     join_strategies,
@@ -168,3 +170,30 @@ def test_multimodal_kernels_no_shuffle(spark):
     # and per-payload features add NO exchange over the scan
     assert exchange_count(_q(spark, "qm3_payload_features")) == 0
     assert exchange_count(_q(spark, "qm4_frame_sample")) == 0
+
+
+def test_kmeans_training_mean_is_distributed(spark):
+    # the trainer's cell-mean update must never pack a cluster's
+    # member vectors into one aggregation row (the 100x-scale OOM):
+    # no collect_list over the unit-vector array in the training
+    # plan — the only collect_list is the O(d) (pos, mean) assembly
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _cell_means,
+        _unit_vectors,
+    )
+    from spotify_pipeline_gcp_spark.queries.compat import table
+
+    emb = table(spark, SF, "embeddings")
+    pts = _unit_vectors(emb, "vec_id", "embedding").withColumn(
+        "cid", (F.col("id") % 4).cast("long")
+    )
+    means = _cell_means(pts, "cid")
+    plan = means._jdf.queryExecution().optimizedPlan().toString()
+    assert "sort_array(collect_list" not in plan
+    assert "collect_list(u" not in plan
+    # the positional explode IS the distributed shape
+    assert "posexplode" in plan
+    # partial (map-side) aggregation survives: quantized sums are
+    # plain sum/count aggregates, combinable before the exchange
+    phys = means._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in phys or "HashAggregate" in phys
