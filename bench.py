@@ -52,6 +52,7 @@ HEADLINE_EXT = [
     "qs4_cosine_topk_blas",
     "qs6_cosine_topk_ivf_blas",
     "qs7_cosine_topk_ivf_kmeans",
+    "qs11_cosine_topk_ivf_kmeans_multiprobe",
     "qs8_cosine_topk_ivf_kmeans_blas",
     "qs10_ann_full_blas",
     "qd9_simhash_pairs",

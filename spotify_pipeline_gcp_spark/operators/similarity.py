@@ -613,6 +613,83 @@ def cosine_topk_kmeans(
     )
 
 
+def _topn_probes(pts: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
+    """(id, u, cid): each point's top-``nprobe`` nearest cells by dot
+    product (ties → lowest cid) — ``_argmax_assign`` generalized to
+    n probes. The per-point top-n is a groupBy aggregate over the k
+    scored rows: collect the k tiny (−dot, cid) structs row-local,
+    sort, slice — partial-aggregable like the struct-max, so there is
+    no ranking window and no sort of the n·k scored table; the row
+    payload is bounded by k (the centroid count), never by data.
+    Negating dot for the ascending sort is exact (IEEE sign flip) and
+    cid stays positive, so ties break to the LOWEST cid — the same
+    total order the assignment argmax uses, which guarantees probe
+    rank 1 == the assigned cell."""
+    scored = pts.crossJoin(F.broadcast(centroids)).withColumn(
+        "dot", _dot_pre(F.col("u"), F.col("c"))
+    )
+    best = scored.groupBy("id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("dot")).alias("nd"), F.col("cid")))
+            ),
+            1,
+            nprobe,
+        ).alias("top"),
+        F.first("u").alias("u"),
+    )
+    return best.select("id", "u", F.explode("top").alias("p")).select(
+        "id", "u", F.col("p.cid").alias("cid")
+    )
+
+
+def cosine_topk_kmeans_multiprobe(
+    df: DataFrame,
+    k_neighbors: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Trained IVF with nprobe > 1 — the production recall/cost knob.
+
+    ``cosine_topk_kmeans`` (qs7) probes exactly the assigned cell; a
+    query sitting near a cell boundary misses neighbors filed one
+    cell over. Here each query probes its ``nprobe`` nearest TRAINED
+    centroids (``_topn_probes``) while the database side stays in its
+    single assigned cell, so candidate volume grows ~linearly in
+    nprobe while recall climbs toward exact (nprobe = k IS brute
+    force). This composes the qs5 multi-probe trick with the qs7
+    learned quantizer — the missing rung between them. Candidate
+    generation remains a pure equi-join on the cell id; each (query,
+    neighbor) pair arises at most once because the database vector
+    lives in exactly one cell. Exact fold verification inside the
+    probed cells keeps the whole query oracle-checkable, training
+    included."""
+    from pyspark.sql import Window as W
+
+    cent = kmeans_centroids(df, id_col, vec_col, k=n_clusters, n_iter=n_iter)
+    pts = _unit_vectors(df, id_col, vec_col)
+    asg = _argmax_assign(pts, cent).repartition(F.col("cid"))
+    probes = _topn_probes(pts, cent, nprobe).repartition(F.col("cid"))
+    cos = _dot_pre(F.col("a.u"), F.col("b.u"))
+    pairs = probes.alias("a").join(
+        asg.alias("b"),
+        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("query_id"),
+        F.col("b.id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k_neighbors
+    )
+
+
 def cosine_topk_kmeans_blas(
     df: DataFrame,
     k_neighbors: int = 5,

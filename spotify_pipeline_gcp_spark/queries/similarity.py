@@ -26,7 +26,9 @@ DOT_AB = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
 NORM = "sqrt(list_dot_product({0}.embedding::DOUBLE[], {0}.embedding::DOUBLE[]))"
 
 
-def _ivf_kmeans_oracle(k: int, n_iter: int, d: int, topk: int) -> str:
+def _ivf_kmeans_oracle(
+    k: int, n_iter: int, d: int, topk: int, nprobe: int = 1
+) -> str:
     """DuckDB replay of the ENTIRE seeded-k-means training + IVF
     search as one finite CTE chain — possible because the operator
     fixes the iteration count and removes every nondeterminism
@@ -96,11 +98,24 @@ def _ivf_kmeans_oracle(k: int, n_iter: int, d: int, topk: int) -> str:
       WHERE rnk = 1
     )"""
     )
+    # query side: top-nprobe cells per point (probe rank 1 == the
+    # assigned cell, same total order); database side stays asgf, so
+    # each (query, neighbor) pair arises at most once
+    ctes.append(
+        f"""probes AS (
+      SELECT vec_id, u, cid FROM (
+        SELECT p.vec_id, p.u, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY list_dot_product(p.u, c.c) DESC, c.cid) AS rnk
+        FROM u p CROSS JOIN cent{n_iter} c) t
+      WHERE rnk <= {nprobe}
+    )"""
+    )
     ctes.append(
         """pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              floor(list_dot_product(a.u, b.u) * 1000000 + 0.5) / 1000000 AS cosine_r
-      FROM asgf a JOIN asgf b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      FROM probes a JOIN asgf b ON a.cid = b.cid AND a.vec_id <> b.vec_id
     )"""
     )
     return (
@@ -144,6 +159,52 @@ def qs7_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = fixed(_dot_pre(F.col("a.u"), F.col("b.u")), 6)
     pairs = a.join(
         b,
+        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("query_id"),
+        F.col("b.id").alias("neighbor_id"),
+        cos.alias("cosine_r"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= 5
+    )
+
+
+@register(
+    "qs11_cosine_topk_ivf_kmeans_multiprobe",
+    oracle=_ivf_kmeans_oracle(16, 2, 64, 5, nprobe=2),
+)
+def qs11_cosine_topk_ivf_kmeans_multiprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trained IVF with nprobe=2 — the recall/cost knob of a
+    production IVF index (operators/similarity.py::
+    cosine_topk_kmeans_multiprobe). Each query probes its TWO nearest
+    trained cells (``_topn_probes``: partial-aggregable per-point
+    top-n, no ranking window) while database vectors stay in their
+    one assigned cell; candidate volume ~doubles vs qs7 and recall
+    climbs toward exact (qs2). Completes the ladder qs3 (fixed cells,
+    1 probe) → qs5 (fixed cells, multi-probe) → qs7 (trained cells,
+    1 probe) → qs11 (trained cells, multi-probe). The oracle replays
+    training AND probe ranking as one CTE chain."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _argmax_assign,
+        _topn_probes,
+        _unit_vectors,
+        kmeans_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, "vec_id", "embedding", k=16, n_iter=2)
+    pts = _unit_vectors(emb, "vec_id", "embedding")
+    asg = _argmax_assign(pts, cent).repartition(F.col("cid"))
+    probes = _topn_probes(pts, cent, 2).repartition(F.col("cid"))
+    cos = fixed(_dot_pre(F.col("a.u"), F.col("b.u")), 6)
+    pairs = probes.alias("a").join(
+        asg.alias("b"),
         (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") != F.col("b.id")),
     ).select(
         F.col("a.id").alias("query_id"),

@@ -266,3 +266,46 @@ def test_blas_trainer_agrees_on_separable_data(spark):
         ).collect()
     }
     assert exact == blas
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    # nprobe=2 candidates strictly superset nprobe=1 (probe rank 1 ==
+    # the assigned cell), so recall vs brute force is monotone:
+    # recall(qs7 shape) <= recall(qs11 shape) <= 1; and with enough
+    # probes (nprobe = k) IVF IS brute force.
+    import random
+
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_kmeans,
+        cosine_topk_kmeans_multiprobe,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    brute = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(df, k=3).collect()
+    }
+
+    def recall(res):
+        hits = {(r.query_id, r.neighbor_id) for r in res.collect()}
+        return len(hits & brute) / len(brute)
+
+    r1 = recall(cosine_topk_kmeans(df, k_neighbors=3, n_clusters=6, n_iter=2))
+    r2 = recall(
+        cosine_topk_kmeans_multiprobe(
+            df, k_neighbors=3, n_clusters=6, n_iter=2, nprobe=2
+        )
+    )
+    r_all = recall(
+        cosine_topk_kmeans_multiprobe(
+            df, k_neighbors=3, n_clusters=6, n_iter=2, nprobe=6
+        )
+    )
+    assert r1 <= r2 <= 1.0
+    assert r2 > r1  # on random vectors two probes must recover something
+    assert r_all == 1.0  # probing every cell == brute force
