@@ -52,17 +52,18 @@ def _spread(df: DataFrame) -> DataFrame:
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         # len(inputFiles()) is a pure plan inspection (no RDD
-        # conversion, no job). It under-counts splits for files larger
-        # than maxPartitionBytes — exactly the case where the scan is
-        # already well-split and no spread is needed; the df.rdd
-        # fallback (plan→RDD conversion, still no job) covers sources
-        # with no file listing.
-        n_parts = len(df.inputFiles())
-        if n_parts == 0:
-            raise ValueError("no file listing")
+        # conversion, no job) but only a LOWER BOUND on scan splits:
+        # files larger than maxPartitionBytes split further. So a
+        # file count >= target proves the scan is already parallel
+        # (skip, no shuffle added); a low file count does NOT prove
+        # under-splitting — confirm with the planned partition count
+        # (df.rdd.getNumPartitions(): plan→RDD conversion, still no
+        # job) before paying for a repartition.
+        if len(df.inputFiles()) >= target:
+            return df
     except Exception:  # noqa: BLE001 - non-file source / internal API drift
-        n_parts = df.rdd.getNumPartitions()
-    if n_parts < target:
+        pass
+    if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 
@@ -818,9 +819,12 @@ def keep_best_per_cluster(
 
     Keep-min-id (the ``exact_dedup`` default) is arbitrary; real
     curation keeps the BEST copy. The argmax is a partial-aggregable
-    ``max(struct(score, -id))`` — one exchange of (component,
-    partial-max) rows, no ranking window, same trick as the k-means
-    assignment. Pass a deterministic score (integer-derived or
+    ``min(struct(-score, id))`` — one exchange of (component,
+    partial-min) rows, no ranking window, same trick as the k-means
+    assignment. Negating the NUMERIC score (not the id) makes the
+    tie-break type-agnostic: string doc ids order lexicographically
+    inside the struct min, matching ``dedup_components``' string-id
+    support. Pass a deterministic score (integer-derived or
     fixed-point rounded) so the keeper is reproducible across
     engines and retries.
     """
@@ -828,16 +832,16 @@ def keep_best_per_cluster(
         scores.select(F.col(id_col), F.col(score_col)), on=id_col
     )
     agg = joined.groupBy("component").agg(
-        F.max(
+        F.min(
             F.struct(
-                F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid")
+                (-F.col(score_col)).alias("ns"), F.col(id_col).alias("kid")
             )
         ).alias("best"),
         F.count(F.lit(1)).alias("n_members"),
     )
     return agg.select(
         "component",
-        (-F.col("best.nid")).cast("long").alias("keep_id"),
+        F.col("best.kid").alias("keep_id"),
         "n_members",
-        F.col("best.s").alias("best_score"),
+        (-F.col("best.ns")).alias("best_score"),
     )

@@ -109,47 +109,60 @@ SESSION_TOTALS_SCHEMA = T.StructType(
 )
 
 
-def _update_totals_ttl(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    if state.hasTimedOut:
-        n, total = state.get
-        state.remove()
+def _make_update_totals_ttl(ttl_ms: int):
+    def _update_totals_ttl(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "closed": [True],
+                }
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        max_ts_ms = None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = int(pdf["ts"].max().timestamp() * 1000)
+            max_ts_ms = (
+                batch_max if max_ts_ms is None else max(batch_max, max_ts_ms)
+            )
+        state.update((n, total))
+        # event-time TTL: expire once the WATERMARK passes the key's
+        # last event time + ttl — a real idle gap, so a key that stays
+        # active within its ttl keeps its totals across microbatches.
+        # Spark rejects timeouts <= the current watermark, hence the
+        # watermark+1 floor (a key already idle past its ttl closes at
+        # the next watermark advance).
+        wm = state.getCurrentWatermarkMs()
+        timeout = wm + 1 if max_ts_ms is None else max(max_ts_ms + ttl_ms, wm + 1)
+        state.setTimeoutTimestamp(timeout)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
                 "total_value": [total],
-                "closed": [True],
+                "closed": [False],
             }
         )
-        return
-    n, total = state.get if state.exists else (0, 0.0)
-    max_ts = None
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        batch_max = pdf["ts"].max()
-        max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
-    state.update((n, total))
-    # event-time TTL: expire once the WATERMARK (not wall clock)
-    # passes last-seen + gap — deterministic under replay, unlike
-    # processing-time timeouts
-    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n],
-            "total_value": [total],
-            "closed": [False],
-        }
-    )
+
+    return _update_totals_ttl
 
 
 def user_totals_with_ttl(
-    events_stream: DataFrame, ts_col: str = "ts", watermark: str = "1 hour"
+    events_stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    ttl_ms: int = 3_600_000,
 ) -> DataFrame:
     """Per-user running totals whose state EXPIRES: event-time TTL via
     ``GroupStateTimeout.EventTimeTimeout`` — when the watermark passes
@@ -157,9 +170,11 @@ def user_totals_with_ttl(
     ``hasTimedOut`` and emits a final ``closed=True`` row while
     removing the state. This is the bounded-state contract every
     long-running keyed aggregation needs at scale: state size tracks
-    ACTIVE keys, not all keys ever seen. Watermark-driven (not wall
-    clock), so expiry is deterministic under replay and testable with
-    AvailableNow.
+    ACTIVE keys, not all keys ever seen. The timeout is the key's
+    last event time + ``ttl_ms`` (floored at watermark+1, which Spark
+    requires), so a key expires only after a real idle gap — and
+    because it is watermark-driven (not wall clock), expiry is
+    deterministic under replay and testable with AvailableNow.
     """
     from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
 
@@ -168,7 +183,7 @@ def user_totals_with_ttl(
         events_stream.withWatermark(ts_col, watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_totals_ttl,
+            _make_update_totals_ttl(ttl_ms),
             outputStructType=SESSION_TOTALS_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
