@@ -775,9 +775,50 @@ def minhash_lsh_pairs_incremental(
     ``minhash_lsh_pairs``.
     """
     sh_old = shingles(df_old, id_col, text_col, n, distinct=False)
-    sh_new = shingles(df_new, id_col, text_col, n, distinct=False)
-    bo = _band_table(sh_old, num_hashes, rows_per_band).alias("o")
-    bn = _band_table(sh_new, num_hashes, rows_per_band).alias("nw")
+    stored_bands = _band_table(sh_old, num_hashes, rows_per_band)
+    stored_sets = shingle_sets(df_old, id_col, text_col, n)
+    return near_dup_vs_band_store(
+        stored_bands,
+        stored_sets,
+        df_new,
+        id_col,
+        text_col,
+        n=n,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+        threshold=threshold,
+    )
+
+
+def near_dup_vs_band_store(
+    stored_bands: DataFrame,
+    stored_sets: DataFrame,
+    df_new: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """One incremental-near-dup batch against a PRE-BUILT corpus
+    signature store: ``stored_bands`` is ``_band_table`` output
+    (doc_id, band, mh0..mh{r-1}) and ``stored_sets`` is
+    ``shingle_sets`` output (doc_id, sh, n_sh) for the existing
+    corpus — both computed ONCE and persisted (the signature store a
+    production ingest keeps), so per-batch work is new-side hashing
+    plus the band bucket join. This is the unit of work
+    ``streaming/incremental.py::streaming_incremental_near_dup`` runs
+    per micro-batch; ``minhash_lsh_pairs_incremental`` derives the
+    store inline for the batch-only shape. Output:
+    (doc_old, doc_new, jaccard >= threshold).
+    """
+    bo = stored_bands.alias("o")
+    bn = _band_table(
+        shingles(df_new, id_col, text_col, n, distinct=False),
+        num_hashes,
+        rows_per_band,
+    ).alias("nw")
     key_eq = (F.col("o.band") == F.col("nw.band"))
     for r in range(rows_per_band):
         key_eq = key_eq & (F.col(f"o.mh{r}") == F.col(f"nw.mh{r}"))
@@ -789,7 +830,7 @@ def minhash_lsh_pairs_incremental(
         )
         .dropDuplicates()
     )
-    so = shingle_sets(df_old, id_col, text_col, n).select(
+    so = stored_sets.select(
         F.col("doc_id").alias("doc_old"), F.col("sh").alias("sh_o")
     )
     sn = shingle_sets(df_new, id_col, text_col, n).select(

@@ -30,20 +30,81 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 # Registration order matters: the driver's correctness record keeps
 # the FIRST 50 registered queries. The window ROTATES each round so
-# every query gets a driver row at most one round stale: round 3
-# leads with the relational/extra/relational2 breadth set (28
-# queries — driver-verified in r01, but only selfcheck-verified in
-# r02 while the extension families held the window), followed by the
-# modules that changed or gained queries this round (dedup,
-# streaming, corpus, then similarity ordered so the round's flagship
-# new query qs7 sits inside the 50th slot). Round 3's new-query
-# demand exceeded 50: outside the window sit the late additions
-# (qs9, qe1, qm3, qm4 — selfcheck-green, first candidates for r4's
-# window), the unchanged r02-green qs2/qs3/qs5 + multimodal/text/
-# sampling/core tails, and the rows-only BLAS twins (qs4/qs6/qs8,
-# fold agreement pytest-asserted). Run tools/window_check.py after
-# any registration change; tools/selfcheck.py re-verifies the FULL
-# registry against the same oracles every run regardless.
+# every query gets a driver row at most one round stale. Rotation is
+# now an explicit list edit: ``_WINDOW_ORDER`` below is applied after
+# module import, so module order no longer determines the window.
+#
+# Round-5 window: leads with the six oracle-bearing queries that have
+# NEVER had a driver row (qs11, qe1, qs9, qm3, qm4, qsp3 — the r3 and
+# r4 verdicts' #1 item), then the queries changed this round (qst5
+# new, qst2 oracle tie-break fix, qst4 TTL tz fix, qd9 precondition
+# guard), then the q00–q22 breadth set (driver-stale since r02), then
+# the r02-stale extension tails (qs1/qs2/qs3/qs5, qt1–qt5, qsp1/qsp2,
+# qm1/qm2) and the rows-only BLAS twins (qs4/qs6/qs8/qs10 — qs8/qs10
+# have never had even a rows-only driver row). Out of window this
+# round: everything driver-green in r04 (relational q23–q48 breadth,
+# the dedup family, qst1/qst3, qp1–qp3, qk1, qs7) plus rows-only q36,
+# which gains value-level pytest tolerance checks this round. Run
+# tools/window_check.py after any registration change;
+# tools/selfcheck.py re-verifies the FULL registry every round.
+_WINDOW_ORDER = [
+    # never driver-checked (r4 verdict #1)
+    "qs11_cosine_topk_ivf_kmeans_multiprobe",
+    "qe1_label_centroids",
+    "qs9_filtered_ann",
+    "qm3_payload_features",
+    "qm4_frame_sample",
+    "qsp3_stratified_sample",
+    # changed this round
+    "qst5_streaming_incremental_near_dup",
+    "qst2_streaming_sessionize",
+    "qst4_streaming_stateful_totals",
+    "qd9_simhash_pairs",
+    # q00–q22 breadth set, driver-stale since r02
+    "q00_flagship_pipeline",
+    "q01_project_derived",
+    "q02_filter_isin",
+    "q03_explode_tokens",
+    "q04_bag_collect",
+    "q05_bag_join",
+    "q06_delta_anti_join",
+    "q07_distinct",
+    "q08_pricing_summary",
+    "q09_top_orders",
+    "q10_segment_revenue_topn",
+    "q11_window_topk",
+    "q12_window_running",
+    "q13_union_distinct",
+    "q14_semi_join",
+    "q15_date_trunc_daily",
+    "q16_date_format_monthly",
+    "q17_json_extract",
+    "q18_complete_year",
+    "q19_distinct_count",
+    "q20_pivot_event_types",
+    "q21_rollup",
+    "q22_regional_revenue",
+    # r02-stale extension tails
+    "qs1_embed_norms",
+    "qs2_cosine_topk",
+    "qs3_cosine_topk_bucketed",
+    "qs5_cosine_topk_multiprobe",
+    "qt1_lang_id",
+    "qt2_quality_score",
+    "qt3_token_stats",
+    "qt4_fingerprint",
+    "qt5_token_bpeish",
+    "qsp1_hash_sample",
+    "qsp2_split_assign",
+    "qm1_binary_meta",
+    "qm2_image_decode_meta",
+    # rows-only BLAS twins (qs8/qs10 never driver-checked at all)
+    "qs4_cosine_topk_blas",
+    "qs6_cosine_topk_ivf_blas",
+    "qs8_cosine_topk_ivf_kmeans_blas",
+    "qs10_ann_full_blas",
+]
+
 _MODULES = [
     "spotify_pipeline_gcp_spark.queries.relational",
     "spotify_pipeline_gcp_spark.queries.extra",
@@ -69,9 +130,32 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _apply_window_order() -> None:
+    """Reorder ``REGISTRY`` in place so ``_WINDOW_ORDER`` names lead.
+
+    Names in ``_WINDOW_ORDER`` that are not registered are an error
+    (a typo here would silently mis-compose the driver window); any
+    registered query not named keeps its module-registration order
+    after the windowed prefix. A name may be listed before its query
+    lands only if the module that will define it is still in
+    ``_MODULES`` — enforcement happens post-import, so a missing name
+    means a genuine typo or a removed query.
+    """
+    missing = [n for n in _WINDOW_ORDER if n not in REGISTRY]
+    if missing:
+        raise ValueError(f"_WINDOW_ORDER names not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in _WINDOW_ORDER}
+    for name, spec in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
 def load_all() -> dict[str, QuerySpec]:
     for mod in _MODULES:
         importlib.import_module(mod)
+    _apply_window_order()
     return REGISTRY
 
 

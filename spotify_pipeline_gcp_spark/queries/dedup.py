@@ -468,9 +468,9 @@ def qd10_semantic_dedup_components(spark: SparkSession, sf_dir: str) -> DataFram
 NEW_SRC = "('src15', 'src16', 'src17', 'src18', 'src19')"
 
 
-@register(
-    "qd11_incremental_near_dup",
-    oracle=f"""
+# shared with qst5 (queries/streaming.py): the streaming foreachBatch
+# near-dup drained under AvailableNow equals this batch computation.
+QD11_ORACLE = f"""
     WITH old_docs AS (SELECT * FROM documents WHERE source NOT IN {NEW_SRC}),
     new_docs AS (SELECT * FROM documents WHERE source IN {NEW_SRC}),
     tok_o AS (SELECT doc_id, string_split(text, ' ') AS t FROM old_docs),
@@ -533,8 +533,10 @@ NEW_SRC = "('src15', 'src16', 'src17', 'src18', 'src19')"
     JOIN sizes_o so ON so.doc_id = c.doc_old
     JOIN sizes_n sn ON sn.doc_id = c.doc_new
     WHERE n_common::DOUBLE / (so.n_sh + sn.n_sh - n_common) >= 0.8
-    """,
-)
+    """
+
+
+@register("qd11_incremental_near_dup", oracle=QD11_ORACLE)
 def qd11_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: a new batch (sources src15-src19, the
     stand-in for today's partitions) LSH-matched against the existing

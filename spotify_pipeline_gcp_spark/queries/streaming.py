@@ -122,3 +122,37 @@ def qst4_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFram
     return out.select(
         "user_id", "n_events", fixed(F.col("total_value")).alias("total_r")
     )
+
+
+from spotify_pipeline_gcp_spark.queries.dedup import QD11_ORACLE  # noqa: E402
+
+
+@register(
+    "qst5_streaming_incremental_near_dup",
+    # same computation as batch qd11: AvailableNow drains the whole
+    # delta, so the foreachBatch pair sink equals the batch LSH join
+    # and shares its oracle verbatim.
+    oracle=QD11_ORACLE,
+)
+def qst5_streaming_incremental_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming incremental near-dup: the qd11 delta-vs-corpus LSH
+    inside a ``foreachBatch`` sink against a STORED corpus signature
+    store (bands + shingle sets materialized once), matches appended
+    per micro-batch — the production LLM-ingest dedup shape. Under
+    AvailableNow the single-file delta is one micro-batch, so the
+    drained sink equals batch qd11 and shares its oracle."""
+    from spotify_pipeline_gcp_spark.streaming.incremental import (
+        streaming_incremental_near_dup,
+    )
+
+    return streaming_incremental_near_dup(
+        spark,
+        sf_dir,
+        new_sources=["src15", "src16", "src17", "src18", "src19"],
+        n=3,
+        num_hashes=8,
+        rows_per_band=2,
+        threshold=0.8,
+    )

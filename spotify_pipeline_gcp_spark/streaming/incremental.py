@@ -196,3 +196,154 @@ def streaming_static_enrich_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+DOCUMENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+NEAR_DUP_PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_old", T.LongType()),
+        T.StructField("doc_new", T.LongType()),
+        T.StructField("jaccard", T.DoubleType()),
+    ]
+)
+
+
+def stream_documents(
+    spark: SparkSession, sf_dir: str, sources: list[str]
+) -> DataFrame:
+    """File-source stream over the documents table, filtered to the
+    given sources (the stand-in for 'today's partitions' arriving)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .where(F.col("source").isin(list(sources)))
+    )
+
+
+def streaming_incremental_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    new_sources: list[str],
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+    store_dir: str | None = None,
+) -> DataFrame:
+    """Production LLM-ingest near-dup: the batch delta-vs-corpus LSH
+    (``operators/dedup.py::minhash_lsh_pairs_incremental``, qd11)
+    lifted into a streaming ``foreachBatch`` sink against a STORED
+    corpus signature store.
+
+    Setup (once, not per batch): the existing corpus's LSH band table
+    and shingle sets are materialized to parquet — the signature
+    store a production pipeline maintains (k x 8 bytes/doc for the
+    bands). Then each arriving micro-batch of new documents is
+    hashed, band-joined against the STORED buckets (old x new only,
+    never a corpus re-pairing), exact-verified, and its matches
+    appended to a parquet pairs sink. The reference's daily anti-join
+    delta load (``playback_pipeline_curated.py:110``) generalized
+    from exact keys to near-duplicates, running continuously.
+
+    Under ``Trigger.AvailableNow`` over a single parquet file the
+    whole delta arrives as one micro-batch, so the drained sink
+    equals batch qd11 exactly — which is what makes this
+    oracle-checkable. A multi-batch run produces the same pair SET
+    (each new doc is matched against the corpus in whichever batch
+    it arrives; restarts are idempotent because the checkpoint skips
+    completed batches and the sink is append-per-batch).
+    """
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    corpus = docs.where(~F.col("source").isin(list(new_sources)))
+    delta = stream_documents(spark, sf_dir, new_sources)
+    return run_near_dup_stream(
+        corpus,
+        delta,
+        n=n,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+        threshold=threshold,
+        store_dir=store_dir,
+    )
+
+
+def run_near_dup_stream(
+    corpus_df: DataFrame,
+    delta_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+    store_dir: str | None = None,
+) -> DataFrame:
+    """Build the corpus signature store once, then drain
+    ``delta_stream`` through the per-batch band-join sink and return
+    the accumulated pairs. Factored out of
+    ``streaming_incremental_near_dup`` so tests can drive a genuinely
+    multi-batch delta (``maxFilesPerTrigger=1`` over a multi-file
+    directory) against the same machinery."""
+    import os
+    import tempfile
+
+    from spotify_pipeline_gcp_spark.operators.dedup import (
+        _band_table,
+        near_dup_vs_band_store,
+        shingle_sets,
+        shingles,
+    )
+
+    spark = corpus_df.sparkSession
+    store = store_dir or tempfile.mkdtemp(prefix="near_dup_store_")
+    bands_path = os.path.join(store, "bands")
+    sets_path = os.path.join(store, "sets")
+    pairs_path = os.path.join(store, "pairs")
+    ckpt_path = os.path.join(store, "checkpoint")
+
+    _band_table(
+        shingles(corpus_df, id_col, text_col, n, distinct=False),
+        num_hashes,
+        rows_per_band,
+    ).write.mode("overwrite").parquet(bands_path)
+    shingle_sets(corpus_df, id_col, text_col, n).write.mode(
+        "overwrite"
+    ).parquet(sets_path)
+    stored_bands = spark.read.parquet(bands_path)
+    stored_sets = spark.read.parquet(sets_path)
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        pairs = near_dup_vs_band_store(
+            stored_bands,
+            stored_sets,
+            batch_df,
+            id_col,
+            text_col,
+            n=n,
+            num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
+            threshold=threshold,
+        )
+        pairs.write.mode("append").parquet(pairs_path)
+
+    q = (
+        delta_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # explicit schema: a zero-match run leaves only empty part files
+    return spark.read.schema(NEAR_DUP_PAIRS_SCHEMA).parquet(pairs_path)

@@ -34,3 +34,68 @@ def test_streaming_rollup_equals_batch(spark):
         .collect()
     }
     assert stream == batch
+
+
+def test_streaming_incremental_near_dup_matches_batch(spark):
+    """Single-batch AvailableNow drain == batch qd11 computation."""
+    from pyspark.sql import functions as F
+
+    from spotify_pipeline_gcp_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+    from spotify_pipeline_gcp_spark.streaming.incremental import (
+        streaming_incremental_near_dup,
+    )
+
+    new_srcs = ["src15", "src16", "src17", "src18", "src19"]
+    out = streaming_incremental_near_dup(spark, SF_DIR, new_srcs)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    batch = minhash_lsh_pairs_incremental(
+        docs.where(~F.col("source").isin(new_srcs)),
+        docs.where(F.col("source").isin(new_srcs)),
+        "doc_id",
+        "text",
+    )
+    got = {(r.doc_old, r.doc_new, round(r.jaccard, 9)) for r in out.collect()}
+    want = {(r.doc_old, r.doc_new, round(r.jaccard, 9)) for r in batch.collect()}
+    assert got == want
+    assert got  # non-vacuous: sf0.001 has near-dup pairs across the split
+
+
+def test_streaming_incremental_near_dup_two_batches(spark, tmp_path):
+    """The delta arriving as TWO micro-batches (maxFilesPerTrigger=1)
+    yields the same pair set as one batch: each new doc is matched
+    against the stored corpus signatures in whichever batch it
+    arrives, and the sink appends per batch."""
+    from pyspark.sql import functions as F
+
+    from spotify_pipeline_gcp_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+    from spotify_pipeline_gcp_spark.streaming.incremental import (
+        DOCUMENTS_STREAM_SCHEMA,
+        run_near_dup_stream,
+    )
+
+    new_srcs = ["src15", "src16", "src17", "src18", "src19"]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.where(~F.col("source").isin(new_srcs))
+    delta = docs.where(F.col("source").isin(new_srcs))
+    # land the delta as two separate files so the file source sees
+    # two triggers
+    delta_dir = tmp_path / "delta"
+    half = F.col("doc_id") % 2 == 0
+    delta.where(half).coalesce(1).write.parquet(str(delta_dir / "f0"))
+    delta.where(~half).coalesce(1).write.parquet(str(delta_dir / "f1"))
+    stream = (
+        spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(delta_dir))
+    )
+    out = run_near_dup_stream(corpus, stream, store_dir=str(tmp_path / "store"))
+    batch = minhash_lsh_pairs_incremental(corpus, delta, "doc_id", "text")
+    got = {(r.doc_old, r.doc_new, round(r.jaccard, 9)) for r in out.collect()}
+    want = {(r.doc_old, r.doc_new, round(r.jaccard, 9)) for r in batch.collect()}
+    assert got == want
+    assert got
