@@ -628,6 +628,11 @@ def simhash(
     which is consistently ~30% SLOWER — Spark's conv goes through a
     decimal-string round trip. The readable instr form stays.)
     """
+    if not 1 <= bits <= 63:
+        # the fingerprint is packed into a signed BIGINT: 2**j for
+        # j >= 63 overflows a long deep inside expression construction
+        # instead of failing here at the API boundary.
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
     toks = tokenize(df, id_col, text_col).select(
         F.col(id_col).alias("doc_id"), F.md5("token").alias("h")
     )
@@ -698,6 +703,8 @@ def simhash_pairs(
     intact bands all exceed the cap (boilerplate-dominated regions,
     where near-dup signal is weakest anyway).
     """
+    if not 1 <= bits <= 63:
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
     if bits % bands != 0:
         raise ValueError(f"bits ({bits}) must be divisible by bands ({bands})")
     band_width = bits // bands

@@ -30,11 +30,15 @@ def sql_fixed(expr: str, decimals: int = 2) -> str:
 def table(spark, sf_dir: str, name: str):
     """Load a testdata table, normalizing physical-type quirks.
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects by default. Reading it as raw
-    nanos (``spark.sql.legacy.parquet.nanosAsLong``) and converting to
-    a microsecond timestamp is lossless here (all values are µs-aligned;
-    DuckDB reads the same file as µs TIMESTAMP).
+    ``events.parquet``'s ``ts`` physical type has varied across
+    testdata generations: parquet TIMESTAMP(NANOS) (which Spark's
+    vectorized reader rejects by default — read as raw nanos via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and convert) or
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark reads as
+    TIMESTAMP_NTZ — cast to the session-zone TIMESTAMP every
+    downstream event-time operator expects; wall-clock values are
+    preserved, and the engine session pins UTC). Either way callers
+    see a µs TIMESTAMP with identical values to DuckDB's read.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -44,5 +48,7 @@ def table(spark, sf_dir: str, name: str):
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif ts_field == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -37,7 +37,7 @@ def qst1_streaming_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qst2_streaming_sessionize",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL THEN 1
                   WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1
                   ELSE 0 END AS new_session
@@ -45,8 +45,12 @@ def qst1_streaming_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
+      -- same (ts, event_id) tie-break as the flagged window: with
+      -- ts-only ordering a session-boundary event sharing a timestamp
+      -- with a same-user event could fold into the previous session
+      -- nondeterministically.
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS sid
       FROM flagged

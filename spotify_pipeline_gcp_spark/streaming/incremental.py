@@ -71,25 +71,38 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_STREAM_TS_SCHEMA = T.StructType(
-    list(EVENTS_STREAM_SCHEMA.fields) + [T.StructField("ts", T.LongType())]
-)
-
-
 def stream_events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over events INCLUDING event time: ts is
-    declared as raw nanos (``nanosAsLong``) and converted to a µs
-    timestamp in-plan — the same lossless conversion the batch loader
-    applies (``queries/compat.py::table``), so event-time operators
+    """File-source stream over events INCLUDING event time, normalized
+    to a µs session-zone TIMESTAMP exactly like the batch loader
+    (``queries/compat.py::table``), so event-time operators
     (watermarks, session windows) see identical timestamps in batch
-    and streaming."""
+    and streaming.
+
+    A file stream needs a DECLARED schema, and the right declaration
+    depends on the file's physical type (TIMESTAMP(NANOS) must be
+    declared LongType under ``nanosAsLong``; TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) must be declared TimestampNTZType) — so
+    probe the batch reader's inferred dtype once (footer-only, no
+    data scan) and declare to match."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_field = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    ).get("ts")
+    if ts_field == "bigint":  # TIMESTAMP(NANOS) read as raw nanos
+        ts_type, fix = T.LongType(), F.timestamp_micros(F.expr("ts div 1000"))
+    elif ts_field == "timestamp_ntz":
+        ts_type, fix = T.TimestampNTZType(), F.col("ts").cast("timestamp")
+    else:
+        ts_type, fix = T.TimestampType(), F.col("ts")
+    schema = T.StructType(
+        list(EVENTS_STREAM_SCHEMA.fields) + [T.StructField("ts", ts_type)]
+    )
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_TS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", fix)
 
 
 def streaming_dedup(

@@ -130,9 +130,20 @@ def _make_update_totals_ttl(ttl_ms: int):
         n, total = state.get if state.exists else (0, 0.0)
         max_ts_ms = None
         for pdf in pdfs:
+            if len(pdf) == 0:
+                # an empty chunk would make ts.max() return NaT and
+                # the epoch conversion raise
+                continue
             n += len(pdf)
             total += float(pdf["value"].sum())
-            batch_max = int(pdf["ts"].max().timestamp() * 1000)
+            # epoch ms straight from the datetime64[ns] payload
+            # (Timestamp.value is the raw ns count): no float round
+            # trip, and the naive value is interpreted as-is. Spark
+            # rebases timestamps to spark.sql.session.timeZone before
+            # Arrow transfer, so comparing against the (UTC epoch-ms)
+            # watermark is only correct in a UTC session —
+            # session.py pins it; see user_totals_with_ttl.
+            batch_max = int(pdf["ts"].max().value // 1_000_000)
             max_ts_ms = (
                 batch_max if max_ts_ms is None else max(batch_max, max_ts_ms)
             )
@@ -175,6 +186,12 @@ def user_totals_with_ttl(
     requires), so a key expires only after a real idle gap — and
     because it is watermark-driven (not wall clock), expiry is
     deterministic under replay and testable with AvailableNow.
+
+    Requires a UTC session (``session.py`` pins
+    ``spark.sql.session.timeZone=UTC``): Spark rebases event
+    timestamps to the session zone before they reach pandas, while
+    ``GroupState.getCurrentWatermarkMs`` is UTC epoch ms — in any
+    other zone the TTL comparison would be skewed by the offset.
     """
     from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
 

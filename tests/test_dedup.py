@@ -245,6 +245,21 @@ def test_simhash_pairs_respects_band_divisibility(spark):
         simhash_pairs(_docs(spark), "doc_id", "text", bits=30, bands=4)
 
 
+def test_simhash_rejects_bits_overflowing_long(spark):
+    # the fingerprint packs into a signed BIGINT — bits >= 64 must
+    # fail at the API boundary, not deep in expression construction
+    import pytest
+
+    from spotify_pipeline_gcp_spark.operators.dedup import simhash, simhash_pairs
+
+    with pytest.raises(ValueError, match=r"\[1, 63\]"):
+        simhash(_docs(spark), "doc_id", "text", bits=64)
+    with pytest.raises(ValueError, match=r"\[1, 63\]"):
+        simhash_pairs(_docs(spark), "doc_id", "text", bits=64, bands=4)
+    with pytest.raises(ValueError, match=r"\[1, 63\]"):
+        simhash(_docs(spark), "doc_id", "text", bits=0)
+
+
 def test_capped_jaccard_bounds_inverted_lists(spark):
     # a planted hot shingle ("common boilerplate phrase" in all docs)
     # must be gone from the capped posting list: every surviving

@@ -196,4 +196,9 @@ def test_kmeans_training_mean_is_distributed(spark):
     # partial (map-side) aggregation survives: quantized sums are
     # plain sum/count aggregates, combinable before the exchange
     phys = means._jdf.queryExecution().executedPlan().toString()
-    assert "partial_sum" in phys or "HashAggregate" in phys
+    # 'HashAggregate' alone appears in ANY hash aggregate, combinable
+    # or not — require the partial_sum marker specifically so a
+    # regression to a non-combinable aggregate fails. (An
+    # ObjectHashAggregate still appears downstream for the O(d)
+    # (pos, mean) assembly — that one is fine; the sums are not.)
+    assert "partial_sum" in phys, phys

@@ -99,3 +99,58 @@ def test_streaming_incremental_near_dup_two_batches(spark, tmp_path):
     want = {(r.doc_old, r.doc_new, round(r.jaccard, 9)) for r in batch.collect()}
     assert got == want
     assert got
+
+
+def test_sessionize_oracle_tied_timestamps(spark, tmp_path):
+    """A session-BOUNDARY event that shares its timestamp with another
+    same-user event must land in the NEW session on both engines: the
+    oracle's cumulative-sum window tie-breaks on (ts, event_id) like
+    its flag window — with ts-only ordering the tied non-boundary row
+    could fold into the previous session nondeterministically.
+    session_window merges tied events by construction, so only the
+    oracle can get this wrong."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from spotify_pipeline_gcp_spark.queries import load_all
+
+    def t(h, m):
+        return dt.datetime(2026, 8, 13, h, m)
+
+    rows = [
+        # session 1: two events, closes 09:40
+        (1, t(9, 0), 1, "play", 1.0, "{}"),
+        (2, t(9, 10), 1, "play", 1.0, "{}"),
+        # 40-min silence, then a boundary event TIED with a second
+        # event at the same instant -> one new 2-event session
+        (3, t(9, 50), 1, "play", 1.0, "{}"),
+        (4, t(9, 50), 1, "play", 1.0, "{}"),
+        # far-future singleton advances the watermark past both
+        # sessions' ends; itself stays in state (append mode)
+        (5, t(20, 0), 1, "play", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+
+    spec = load_all()["qst2_streaming_sessionize"]
+    got = {
+        (r.session_start, r.session_end, r.user_id, r.n_events)
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    want = {
+        (r[0], r[1], r[2], r[3]) for r in con.execute(spec.oracle).fetchall()
+    }
+    expected = {
+        (t(9, 0), t(9, 40), 1, 2),
+        (t(9, 50), t(10, 20), 1, 2),
+    }
+    assert got == expected
+    assert want == expected

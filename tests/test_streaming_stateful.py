@@ -116,3 +116,55 @@ def test_user_totals_event_time_ttl_expires_state(spark, tmp_path):
     assert closed_1[0]["total_value"] == 5.0
     # user 1 also emitted a normal update row before expiry
     assert any(r["user_id"] == 1 and not r["closed"] for r in rows)
+
+
+def test_update_totals_ttl_tolerates_empty_chunk():
+    # the pandas iterator may deliver empty chunks; ts.max() on one is
+    # NaT and the epoch conversion would raise. Drive the state fn
+    # directly with a fake GroupState.
+    import datetime as dt
+
+    import pandas as pd
+
+    from spotify_pipeline_gcp_spark.streaming.stateful import (
+        _make_update_totals_ttl,
+    )
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+
+        def __init__(self):
+            self.updated = None
+            self.timeout = None
+
+        def update(self, v):
+            self.updated = v
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+    fn = _make_update_totals_ttl(3_600_000)
+    empty = pd.DataFrame({"user_id": [], "ts": [], "value": []}).astype(
+        {"user_id": "int64", "ts": "datetime64[ns]", "value": "float64"}
+    )
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    full = pd.DataFrame({"user_id": [1, 1], "ts": [t0, t0], "value": [2.0, 3.0]})
+
+    state = FakeState()
+    [out] = list(fn((1,), iter([empty, full, empty]), state))
+    assert state.updated == (2, 5.0)
+    # timeout = last event epoch-ms + ttl, computed tz-naively from
+    # the raw datetime64 payload (UTC-session contract)
+    epoch_ms = int(pd.Timestamp(t0).value // 1_000_000)
+    assert state.timeout == epoch_ms + 3_600_000
+    assert out["n_events"].iloc[0] == 2
+
+    # all-empty batch: no event time -> timeout floors at watermark+1
+    state2 = FakeState()
+    [out2] = list(fn((1,), iter([empty]), state2))
+    assert state2.timeout == 1
+    assert out2["n_events"].iloc[0] == 0
