@@ -614,17 +614,19 @@ def cosine_topk_kmeans(
 
 
 def _topn_probes(pts: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
-    """(id, u, cid): each point's top-``nprobe`` nearest cells by dot
-    product (ties → lowest cid) — ``_argmax_assign`` generalized to
-    n probes. The per-point top-n is a groupBy aggregate over the k
-    scored rows: collect the k tiny (−dot, cid) structs row-local,
-    sort, slice — partial-aggregable like the struct-max, so there is
-    no ranking window and no sort of the n·k scored table; the row
-    payload is bounded by k (the centroid count), never by data.
-    Negating dot for the ascending sort is exact (IEEE sign flip) and
-    cid stays positive, so ties break to the LOWEST cid — the same
-    total order the assignment argmax uses, which guarantees probe
-    rank 1 == the assigned cell."""
+    """(id, u, cid, probe_rank): each point's top-``nprobe`` nearest
+    cells by dot product (ties → lowest cid) — ``_argmax_assign``
+    generalized to n probes. The per-point top-n is a groupBy
+    aggregate over the k scored rows: collect the k tiny (−dot, cid)
+    structs row-local, sort, slice — partial-aggregable like the
+    struct-max, so there is no ranking window and no sort of the n·k
+    scored table; the row payload is bounded by k (the centroid
+    count), never by data. Negating dot for the ascending sort is
+    exact (IEEE sign flip) and cid stays positive, so ties break to
+    the LOWEST cid — the same total order the assignment argmax uses,
+    which guarantees ``probe_rank`` 1 == the assigned cell (so
+    callers needing the assignment filter on it instead of scoring
+    the points a second time)."""
     scored = pts.crossJoin(F.broadcast(centroids)).withColumn(
         "dot", _dot_pre(F.col("u"), F.col("c"))
     )
@@ -638,8 +640,11 @@ def _topn_probes(pts: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame
         ).alias("top"),
         F.first("u").alias("u"),
     )
-    return best.select("id", "u", F.explode("top").alias("p")).select(
-        "id", "u", F.col("p.cid").alias("cid")
+    return best.select("id", "u", F.posexplode("top").alias("pos", "p")).select(
+        "id",
+        "u",
+        F.col("p.cid").alias("cid"),
+        (F.col("pos") + 1).cast("long").alias("probe_rank"),
     )
 
 
@@ -666,17 +671,28 @@ def cosine_topk_kmeans_multiprobe(
     neighbor) pair arises at most once because the database vector
     lives in exactly one cell. Exact fold verification inside the
     probed cells keeps the whole query oracle-checkable, training
-    included."""
+    included.
+
+    The database side's single-cell assignment is NOT a second
+    scoring pass: probe rank 1 IS the argmax assignment (same total
+    order — see ``_topn_probes``), so both join sides are the SAME
+    ranked-probes subplan behind the SAME cid repartition, with the
+    ``probe_rank = 1`` restriction applied as a join-side filter
+    ABOVE the exchange. ReuseExchange then computes the n·k scoring
+    once and the second side replays the shuffle files — the shuffle
+    carries n·nprobe rows instead of n, a small trade for halving
+    the dominant cross-join+fold cost."""
     from pyspark.sql import Window as W
 
     cent = kmeans_centroids(df, id_col, vec_col, k=n_clusters, n_iter=n_iter)
     pts = _unit_vectors(df, id_col, vec_col)
-    asg = _argmax_assign(pts, cent).repartition(F.col("cid"))
     probes = _topn_probes(pts, cent, nprobe).repartition(F.col("cid"))
     cos = _dot_pre(F.col("a.u"), F.col("b.u"))
     pairs = probes.alias("a").join(
-        asg.alias("b"),
-        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") != F.col("b.id")),
+        probes.alias("b"),
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("b.probe_rank") == F.lit(1))
+        & (F.col("a.id") != F.col("b.id")),
     ).select(
         F.col("a.id").alias("query_id"),
         F.col("b.id").alias("neighbor_id"),

@@ -189,9 +189,14 @@ def qs11_cosine_topk_ivf_kmeans_multiprobe(
     climbs toward exact (qs2). Completes the ladder qs3 (fixed cells,
     1 probe) → qs5 (fixed cells, multi-probe) → qs7 (trained cells,
     1 probe) → qs11 (trained cells, multi-probe). The oracle replays
-    training AND probe ranking as one CTE chain."""
+    training AND probe ranking as one CTE chain.
+
+    The database side's assignment is probe rank 1 of the SAME
+    ranked-probes subplan (identical total order — see
+    ``_topn_probes``), filtered in the join condition above the
+    shared cid exchange, so ReuseExchange runs the n·k scoring pass
+    once instead of twice."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
-        _argmax_assign,
         _topn_probes,
         _unit_vectors,
         kmeans_centroids,
@@ -200,12 +205,13 @@ def qs11_cosine_topk_ivf_kmeans_multiprobe(
     emb = table(spark, sf_dir, "embeddings")
     cent = kmeans_centroids(emb, "vec_id", "embedding", k=16, n_iter=2)
     pts = _unit_vectors(emb, "vec_id", "embedding")
-    asg = _argmax_assign(pts, cent).repartition(F.col("cid"))
     probes = _topn_probes(pts, cent, 2).repartition(F.col("cid"))
     cos = fixed(_dot_pre(F.col("a.u"), F.col("b.u")), 6)
     pairs = probes.alias("a").join(
-        asg.alias("b"),
-        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") != F.col("b.id")),
+        probes.alias("b"),
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("b.probe_rank") == F.lit(1))
+        & (F.col("a.id") != F.col("b.id")),
     ).select(
         F.col("a.id").alias("query_id"),
         F.col("b.id").alias("neighbor_id"),

@@ -202,3 +202,14 @@ def test_kmeans_training_mean_is_distributed(spark):
     # ObjectHashAggregate still appears downstream for the O(d)
     # (pos, mean) assembly — that one is fine; the sums are not.)
     assert "partial_sum" in phys, phys
+
+
+def test_multiprobe_ivf_scores_once(spark):
+    # qs11's database-side assignment is probe rank 1 of the SAME
+    # ranked-probes subplan as the query side — after execution the
+    # adaptive plan must show the shared cid exchange REUSED, i.e.
+    # the n*k point-x-centroid scoring ran once, not twice
+    df = _q(spark, "qs11_cosine_topk_ivf_kmeans_multiprobe")
+    df.collect()
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in phys, phys
