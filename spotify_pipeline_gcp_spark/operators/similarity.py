@@ -439,6 +439,52 @@ def _cell_means(assigned: DataFrame, group_col: str = "cid") -> DataFrame:
     )
 
 
+def label_centroids_wide(
+    df: DataFrame, group_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """(group_col, mv: array<double>, n): per-group mean of the
+    group's UNIT vectors — ``_cell_means``' quantized positional
+    aggregate fused into ONE wide groupBy for a statically known
+    dimension (the embedding dim is part of the data contract, so
+    ``dim`` sibling sum columns are available at plan time — the same
+    wide-aggregation trick ``simhash`` uses for its per-bit sums).
+
+    vs the posexplode shape: normalization happens inline per element
+    (``v[j]/norm`` — no second scan building a unit-vector array),
+    there is no d× row fan-out, and the single map-side-combinable
+    aggregation shuffles one ``d+1``-scalar row per (partition,
+    group) instead of d rows — one exchange instead of two. Row width
+    is bounded by d (model property, never data volume), so the shape
+    holds at any corpus scale; for very large or runtime-variable d,
+    ``_cell_means``' positional shape is the generic fallback.
+
+    Quantization is identical to ``_cell_means`` (per-element
+    ``floor((v[j]/norm)*1e9 + 0.5)`` then exact BIGINT sums), so the
+    result is bitwise-reproducible and replays in ANSI SQL unchanged.
+    """
+    base = _double_base(df, group_col, vec_col)
+    qsums = [
+        F.sum(
+            F.floor(
+                (F.element_at("v", j + 1) / F.col("norm"))
+                * F.lit(float(_QSCALE))
+                + F.lit(0.5)
+            )
+        ).alias(f"q{j}")
+        for j in range(dim)
+    ]
+    agg = base.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *qsums)
+    mv = F.array(
+        *[
+            F.col(f"q{j}").cast("double") / (F.lit(float(_QSCALE)) * F.col("n"))
+            for j in range(dim)
+        ]
+    )
+    return agg.select(
+        F.col("id").alias(group_col), mv.alias("mv"), "n"
+    )
+
+
 def _seeded_init(pts: DataFrame, k: int) -> DataFrame:
     """(cid, c): the k vectors ranked first by ``md5(id)`` — a seeded
     pseudo-random draw both engines compute identically. The global

@@ -523,25 +523,22 @@ def qs9_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def qe1_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding ANALYTICS: per-label class prototypes — the mean of
-    each label's unit vectors, computed with the k-means trainer's
-    quantized positional aggregate (``_cell_means``: posexplode →
-    per-(label, pos) BIGINT sums → ordered re-assembly), so the
-    prototype is hash-verified AND the aggregate is map-side
-    combinable — no row ever holds a label's full member list. Emits
-    the mean's norm (a class-coherence signal: near 1 = tight
-    cluster, near 0 = dispersed) and the first four components,
-    fixed-point rounded."""
+    each label's unit vectors, via the trainer's quantized-BIGINT
+    aggregation FUSED into one wide groupBy
+    (``label_centroids_wide``: normalization inline per element, d
+    sibling sums, one exchange — the embedding dim is statically
+    known, so no posexplode fan-out is needed); the prototype stays
+    hash-verified and map-side combinable — no row ever holds a
+    label's full member list. Emits the mean's norm (a
+    class-coherence signal: near 1 = tight cluster, near 0 =
+    dispersed) and the first four components, fixed-point rounded."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
-        _cell_means,
         _dot_pre,
-        _unit_vectors,
+        label_centroids_wide,
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    pts = _unit_vectors(emb, "label", "embedding").select(
-        F.col("id").alias("label"), "u"
-    )
-    m = _cell_means(pts, "label").select(
+    m = label_centroids_wide(emb, "label", "embedding", dim=64).select(
         "label", "mv", F.col("n").alias("n_vecs")
     )
     return m.select(
