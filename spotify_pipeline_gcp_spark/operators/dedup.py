@@ -662,6 +662,7 @@ def simhash_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket: int | None = None,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, found via bit-band
     LSH over the fingerprint: (doc_a, doc_b, hamming), doc_a < doc_b.
@@ -686,11 +687,22 @@ def simhash_pairs(
     while deduplicating the full candidate stream costs a shuffle of
     every candidate — filtering first shrinks the dedup input to the
     (tiny) surviving pair set (measured 2x on the whole operator at
-    sf0.1). Identical-fingerprint clusters (exact dups) produce
-    their full pair set; run AFTER exact dedup when that blowup is
-    unwanted. One band is ``bits/bands`` wide: widen bands (more
-    bits each) to cut candidates, add bands to raise the
-    guaranteed-recall Hamming radius.
+    sf0.1). One band is ``bits/bands`` wide: widen bands (more bits
+    each) to cut candidates, add bands to raise the guaranteed-recall
+    Hamming radius.
+
+    Identical-fingerprint clusters (exact or near-exact dups) produce
+    their FULL pair set — a c-member clique contributes c·(c-1)/2
+    pairs on one band reducer, the quadratic blowup no bucket cap can
+    see when c spans many buckets' worth of identical values.
+    ``collapse_identical=True`` makes the precondition executable:
+    one combinable groupBy keeps the minimum ``doc_id`` per distinct
+    fingerprint before banding, so each clique is represented once,
+    intra-clique pairs (Hamming 0 among themselves) vanish, and
+    cross-clique near-dup pairs survive via the representative.
+    Members of a collapsed clique are exact-dup territory — recover
+    them with ``dedup_exact``/``keep_best`` upstream (default False
+    preserves the full-pair contract qd9's oracle checks).
 
     ``max_bucket`` drops (band, value) buckets with more members than
     the cap from candidate generation — the fingerprint-level
@@ -710,6 +722,8 @@ def simhash_pairs(
     band_width = bits // bands
     mask = (1 << band_width) - 1
     fp = simhash(df, id_col, text_col, bits)
+    if collapse_identical:
+        fp = fp.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
     band_vals = F.array(
         *[
             F.struct(

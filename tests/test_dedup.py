@@ -245,6 +245,56 @@ def test_simhash_pairs_respects_band_divisibility(spark):
         simhash_pairs(_docs(spark), "doc_id", "text", bits=30, bands=4)
 
 
+def test_simhash_pairs_collapse_identical_fingerprint_clique(spark):
+    # a planted clique of identical documents would contribute
+    # c*(c-1)/2 pairs on one band reducer — collapse_identical=True
+    # represents each distinct fingerprint once (min doc_id), so
+    # intra-clique pairs vanish while cross-clique near-dup pairs
+    # survive via the representative.
+    from spotify_pipeline_gcp_spark.operators.dedup import simhash_pairs
+
+    clique_text = (
+        "the very same boilerplate document body repeated verbatim"
+        " across many shards of the corpus"
+    )
+    near_text = clique_text + "!"  # hamming 2 at bits=32
+    docs = spark.createDataFrame(
+        [(i, clique_text) for i in range(1, 7)] + [(7, near_text), (8, "zq")],
+        "doc_id long, text string",
+    )
+    full = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(
+            docs, "doc_id", "text", bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    collapsed = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(
+            docs,
+            "doc_id",
+            "text",
+            bits=32,
+            bands=4,
+            max_hamming=3,
+            collapse_identical=True,
+        ).collect()
+    }
+    clique = set(range(1, 7))
+    # default: the quadratic clique pair set is all there (contract)
+    assert {(a, b) for a, b in full if a in clique and b in clique} == {
+        (a, b) for a in clique for b in clique if a < b
+    }
+    # collapsed: no intra-clique pair survives...
+    assert not {(a, b) for a, b in collapsed if a in clique and b in clique}
+    # ...the clique is represented by its min doc_id, and its
+    # near-dup neighbour is still found through that representative
+    near_hits = [(a, b) for a, b in collapsed if b == 7 or a == 7]
+    assert near_hits and all(a == 1 or b == 1 for a, b in near_hits if 7 in (a, b))
+    # the unrelated doc stays unpaired either way
+    assert not [p for p in collapsed if 8 in p]
+
+
 def test_simhash_rejects_bits_overflowing_long(spark):
     # the fingerprint packs into a signed BIGINT — bits >= 64 must
     # fail at the API boundary, not deep in expression construction
