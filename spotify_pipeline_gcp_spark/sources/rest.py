@@ -135,6 +135,63 @@ class ArtistGenresSource:
         return self.spark.createDataFrame(rows, schema=ARTIST_GENRES_SCHEMA)
 
 
+RECOMMENDATIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("popularity", T.LongType()),
+        T.StructField(
+            "artists",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField("name", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+class RecommendationsSource:
+    """S4: ``v1/recommendations?seed_tracks=csv`` -> one row per
+    recommended track.
+
+    Dead code in the reference (``spotify_api.py:108-125`` defines
+    ``get_recommendations`` but nothing calls it, and it passes the
+    seed list under the wrong param name ``ids``); built here as a
+    first-class source to close the §2.1 surface — same injected-
+    fetcher seam, correct ``seed_tracks`` param, declared schema.
+    """
+
+    ENDPOINT = "v1/recommendations"
+
+    def __init__(self, spark: SparkSession, fetcher: Fetcher | None = None):
+        self.spark = spark
+        self.fetcher = fetcher
+
+    def load(self, seed_track_ids: list[str], limit: int = 20) -> DataFrame:
+        doc = _require_fetcher(self.fetcher)(
+            self.ENDPOINT,
+            {"seed_tracks": ",".join(seed_track_ids), "limit": limit},
+        )
+        rows = [
+            {
+                "id": t.get("id"),
+                "name": t.get("name"),
+                "popularity": t.get("popularity"),
+                "artists": [
+                    {"id": a.get("id"), "name": a.get("name")}
+                    for a in (t.get("artists") or [])
+                ],
+            }
+            for t in doc.get("tracks") or []
+        ]
+        return self.spark.createDataFrame(rows, schema=RECOMMENDATIONS_SCHEMA)
+
+
 def extract_track_ids(doc: dict) -> list[str]:
     """CSV id-list helper (ref ``spotify_api.py:37-50``), deduped,
     order-preserving."""

@@ -79,3 +79,34 @@ def test_id_extraction_matches_reference_semantics():
     assert extract_artist_ids(doc) == ["a1", "a2", "a3"]
     # reference quirk: only artists[0] (spotify_api.py:59)
     assert extract_artist_ids(doc, first_only=True) == ["a1", "a2"]
+
+
+def test_recommendations_source(spark):
+    from spotify_pipeline_gcp_spark.sources.rest import RecommendationsSource
+
+    calls = []
+
+    def fake_fetch(endpoint, params):
+        calls.append((endpoint, params))
+        return {
+            "tracks": [
+                {
+                    "id": "t9",
+                    "name": "Rec One",
+                    "popularity": 61,
+                    "artists": [{"id": "a1", "name": "Artist"}],
+                },
+                {"id": "t10", "name": "Rec Two", "popularity": 12, "artists": []},
+            ]
+        }
+
+    out = RecommendationsSource(spark, fake_fetch).load(["t1", "t2"], limit=2)
+    rows = {r.id: r for r in out.collect()}
+    assert calls == [
+        ("v1/recommendations", {"seed_tracks": "t1,t2", "limit": 2})
+    ]
+    assert rows["t9"].artists[0].name == "Artist"
+    assert rows["t10"].popularity == 12
+    # empty response -> empty frame with the declared schema intact
+    empty = RecommendationsSource(spark, lambda e, p: {}).load(["t1"])
+    assert empty.count() == 0 and "popularity" in empty.columns
