@@ -93,6 +93,70 @@ def assign_splits(
     return df.withColumn(out_col, split_column(key_col, weights, salt))
 
 
+def digest_unit(key_col: str, salt: str = "", digest_col: str = "_d") -> Column:
+    """Uniform [0, 1) from the first 8 hex digits of the salted md5,
+    via an integer digit fold (the same engine-portable hex
+    extraction ``simhash`` uses): exact BIGINT arithmetic, then ONE
+    division by 2^32 — both engines produce the identical double, so
+    a threshold COMPUTED FROM DATA (not a precompiled hex literal
+    like ``fraction_to_hex_threshold``) compares identically.
+    Requires ``digest_col`` bound to the salted md5 (kept as a named
+    column so codegen computes the digest once, not 8 times)."""
+    terms = " + ".join(
+        f"(instr('{_HEX}', substring({digest_col}, {j + 1}, 1)) - 1)"
+        f" * CAST({16 ** (7 - j)} AS BIGINT)"
+        for j in range(8)
+    )
+    return F.expr(f"({terms}) / 4294967296.0")
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    target: Mapping[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic domain-mixture sampler: draw the LARGEST corpus
+    whose domain proportions match ``target`` (weights over domain
+    values; domains absent from the mapping are dropped) — the
+    data-mixing step in front of every multi-source training run.
+
+    The feasible total is capped by the scarcest domain relative to
+    its weight (``cap = min(avail_d / w_d)``); each domain then keeps
+    ``w_d * cap / avail_d`` of its rows by digest threshold. Rates
+    are DATA-DEPENDENT, so membership uses ``digest_unit``'s exact
+    integer fold rather than a precompiled hex literal.
+
+    Scale shape: one combinable count per domain, an O(#domains)
+    broadcast of the rate table back onto the corpus, and a pure
+    row-local predicate — no corpus shuffle anywhere; Bernoulli
+    thresholds realize the mixture in expectation (exact-count
+    quotas would need a per-domain global sort)."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(d, float(w)) for d, w in sorted(target.items())],
+        f"{domain_col} string, w double",
+    )
+    avail = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_avail")
+    )
+    j = avail.join(F.broadcast(wdf), domain_col)
+    cap = j.agg(F.min(F.col("n_avail") / F.col("w")).alias("cap"))
+    rates = j.crossJoin(F.broadcast(cap)).select(
+        domain_col,
+        ((F.col("w") * F.col("cap")) / F.col("n_avail")).alias("keep_frac"),
+    )
+    keyed = df.withColumn(
+        "_d", F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    )
+    return (
+        keyed.join(F.broadcast(rates), domain_col)
+        .where(digest_unit(key_col, salt) < F.col("keep_frac"))
+        .drop("_d", "keep_frac")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

@@ -112,6 +112,81 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of an already-split token array —
+    empty array below n tokens (guarded: ``sequence`` would count
+    DOWN for a negative span)."""
+    joined = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n, F.transform(joined, gram)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dup3_ratio: float = 0.2,
+) -> DataFrame:
+    """Within-document repetition features (the Gopher-style repeated
+    n-gram filters): fraction of 2-gram and 3-gram OCCURRENCES that
+    are duplicates of an earlier occurrence, plus a keep flag at
+    ``max_dup3_ratio``. Boilerplate, scraper loops, and degenerate
+    generations score high; clean prose scores near zero.
+
+    Pure array built-ins on the row (``transform``/``array_distinct``)
+    — no explode, no shuffle, linear scan; the keep flag is a plain
+    predicate Catalyst can push wherever the filter composes."""
+    toks = _tokens(text_col)
+    out = [F.col(id_col)]
+    for n in (2, 3):
+        grams = _word_ngrams(toks, n)
+        total = F.size(grams).cast("long")
+        dups = (total - F.size(F.array_distinct(grams))).cast("long")
+        ratio = F.when(total > 0, dups / total).otherwise(F.lit(0.0))
+        out += [total.alias(f"n{n}_grams"), ratio.alias(f"dup{n}_ratio")]
+    return df.select(*out).withColumn(
+        "keep", F.col("dup3_ratio") <= F.lit(max_dup3_ratio)
+    )
+
+
+def contamination_pairs(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark contamination check: (doc_id, bench_id, n_shared) for
+    every corpus document sharing at least one word ``n``-gram with a
+    held-out benchmark document — the standard decontamination gate
+    in front of any training-data export.
+
+    Scale shape: the benchmark side is SMALL by definition (eval sets,
+    not corpora), so its distinct n-gram table broadcasts; the corpus
+    side explodes to (doc, gram) rows that hash-join the broadcast
+    WITHOUT shuffling the corpus, and the only exchange is the final
+    per-(doc, bench) count — bounded by actual collisions, not corpus
+    size. Distinct-per-side before the join keeps a gram that repeats
+    inside one document from double-counting."""
+    def gram_rows(frame: DataFrame, out_id: str) -> DataFrame:
+        toks = _tokens(text_col)
+        return frame.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(_word_ngrams(toks, n))).alias("gram"),
+        )
+
+    hits = gram_rows(df, "doc_id").join(
+        F.broadcast(gram_rows(bench, "bench_id")), "gram"
+    )
+    return hits.groupBy("doc_id", "bench_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint per document.
 

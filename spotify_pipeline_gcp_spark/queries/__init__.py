@@ -36,15 +36,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 #
 # Round-5 window: leads with the six oracle-bearing queries that have
 # NEVER had a driver row (qs11, qe1, qs9, qm3, qm4, qsp3 — the r3 and
-# r4 verdicts' #1 item), then the queries changed this round (qst5
-# new, qst2 oracle tie-break fix, qst4 TTL tz fix, qd9 precondition
-# guard), then the q00–q22 breadth set (driver-stale since r02), then
-# the r02-stale extension tails (qs1/qs2/qs3/qs5, qt1–qt5, qsp1/qsp2,
-# qm1/qm2) and the rows-only BLAS twins (qs4/qs6/qs8/qs10 — qs8/qs10
-# have never had even a rows-only driver row). Out of window this
-# round: everything driver-green in r04 (relational q23–q48 breadth,
-# the dedup family, qst1/qst3, qp1–qp3, qk1, qs7) plus rows-only q36,
-# which gains value-level pytest tolerance checks this round. Run
+# r4 verdicts' #1 item), then the three queries NEW this round
+# (qt6/qt7/qsp4), then the queries changed this round (qst5 new, qst2
+# oracle tie-break fix, qst4 TTL tz fix, qd9 precondition guard),
+# then the q00–q22 breadth set (driver-stale since r02), then the
+# r02-stale extension tails (qs1/qs2/qs3/qs5, qt1–qt5, qsp1/qsp2,
+# qm2) and the never-driver-checked rows-only BLAS twins qs8/qs10.
+# Out of window this round: everything driver-green in r04
+# (relational q23–q48 breadth, the dedup family, qst1/qst3, qp1–qp3,
+# qk1, qs7), rows-only q36 (which gained value-level pytest
+# tolerance checks this round), and qs4/qs6/qm1 (r2 driver rows,
+# modules unchanged — displaced by the three new queries). Run
 # tools/window_check.py after any registration change;
 # tools/selfcheck.py re-verifies the FULL registry every round.
 _WINDOW_ORDER = [
@@ -55,6 +57,10 @@ _WINDOW_ORDER = [
     "qm3_payload_features",
     "qm4_frame_sample",
     "qsp3_stratified_sample",
+    # new this round (never driver-checked, oracle-bearing)
+    "qt6_repetition_filter",
+    "qt7_contamination",
+    "qsp4_domain_mixture",
     # changed this round
     "qst5_streaming_incremental_near_dup",
     "qst2_streaming_sessionize",
@@ -96,11 +102,10 @@ _WINDOW_ORDER = [
     "qt5_token_bpeish",
     "qsp1_hash_sample",
     "qsp2_split_assign",
-    "qm1_binary_meta",
     "qm2_image_decode_meta",
-    # rows-only BLAS twins (qs8/qs10 never driver-checked at all)
-    "qs4_cosine_topk_blas",
-    "qs6_cosine_topk_ivf_blas",
+    # rows-only BLAS twins that never had ANY driver row (qs4/qs6 and
+    # qm1 rotate out this round — each has an r2 driver row and its
+    # module is unchanged — to make room for qt6/qt7/qsp4)
     "qs8_cosine_topk_ivf_kmeans_blas",
     "qs10_ann_full_blas",
 ]

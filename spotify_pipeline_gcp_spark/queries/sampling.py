@@ -96,3 +96,53 @@ def qsp3_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_fraction=0.5,
         salt="st1:",
     ).select("doc_id", "lang")
+
+
+_MIX = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_VALUES = ", ".join(f"('{d}', {w})" for d, w in sorted(_MIX.items()))
+_UNIT_FOLD = " + ".join(
+    f"(strpos('0123456789abcdef', substring(_d, {j + 1}, 1)) - 1)"
+    f" * {16 ** (7 - j)}::BIGINT"
+    for j in range(8)
+)
+
+
+@register(
+    "qsp4_domain_mixture",
+    oracle=f"""
+    WITH avail AS (
+      SELECT source, count(*)::BIGINT AS n_avail FROM documents GROUP BY source
+    ),
+    tgt(source, w) AS (VALUES {_MIX_VALUES}),
+    j AS (
+      SELECT avail.source, n_avail, w FROM avail JOIN tgt USING (source)
+    ),
+    cap AS (SELECT min(n_avail / w) AS cap FROM j),
+    fr AS (
+      SELECT source, (w * (SELECT cap FROM cap)) / n_avail AS keep_frac
+      FROM j
+    ),
+    d AS (
+      SELECT doc_id, source, md5('mix:' || doc_id::VARCHAR) AS _d
+      FROM documents
+    )
+    SELECT d.doc_id, d.source
+    FROM d JOIN fr USING (source)
+    WHERE ({_UNIT_FOLD}) / 4294967296.0 < fr.keep_frac
+    """,
+)
+def qsp4_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture draw: the largest deterministic sample whose
+    source proportions hit a 50/30/20 target over three domains
+    (others dropped). Keep rates are DATA-DEPENDENT (computed from
+    per-domain counts), so membership uses the exact integer digest
+    fold both engines reproduce bit-for-bit
+    (operators/sampling.py::domain_mixture_sample)."""
+    from spotify_pipeline_gcp_spark.operators.sampling import (
+        domain_mixture_sample,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return domain_mixture_sample(
+        docs, "doc_id", "source", _MIX, salt="mix:"
+    ).select("doc_id", "source")

@@ -3,13 +3,16 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spotify_pipeline_gcp_spark.operators.text import (
     MOD_PRIME,
     STOPWORDS,
+    contamination_pairs,
     fingerprint,
     lang_id,
     quality_score,
+    repetition_stats,
     token_stats,
 )
 from spotify_pipeline_gcp_spark.queries import register
@@ -132,6 +135,80 @@ def qt5_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0))
         .cast("long")
         .alias("number_runs"),
+    )
+
+
+def _sql_ngrams(n: int) -> str:
+    """DuckDB word n-grams of ``toks`` (guarded below n tokens)."""
+    join = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(generate_series(1, len(toks) - {n - 1}), "
+        f"i -> {join}) ELSE []::VARCHAR[] END"
+    )
+
+
+@register(
+    "qt6_repetition_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, {_sql_ngrams(2)} AS g2, {_sql_ngrams(3)} AS g3 FROM t
+    )
+    SELECT doc_id,
+           len(g2)::BIGINT AS n2_grams,
+           CASE WHEN len(g2) > 0
+                THEN (len(g2) - len(list_distinct(g2))) / len(g2)
+                ELSE 0.0 END AS dup2_ratio,
+           len(g3)::BIGINT AS n3_grams,
+           CASE WHEN len(g3) > 0
+                THEN (len(g3) - len(list_distinct(g3))) / len(g3)
+                ELSE 0.0 END AS dup3_ratio,
+           (CASE WHEN len(g3) > 0
+                 THEN (len(g3) - len(list_distinct(g3))) / len(g3)
+                 ELSE 0.0 END) <= 0.2 AS keep
+    FROM g
+    """,
+)
+def qt6_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition features (Gopher-style repeated
+    2-/3-gram occurrence fractions) + keep flag — array built-ins
+    only, shuffle-free (operators/text.py::repetition_stats)."""
+    return repetition_stats(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "qt7_contamination",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             list_distinct({_sql_ngrams(4)}) AS grams
+      FROM t
+    ),
+    bg AS (SELECT doc_id AS bench_id, unnest(grams) AS gram
+           FROM g WHERE source = 'src0'),
+    cg AS (SELECT doc_id, unnest(grams) AS gram
+           FROM g WHERE source <> 'src0')
+    SELECT cg.doc_id, bg.bench_id, count(*)::BIGINT AS n_shared
+    FROM cg JOIN bg USING (gram)
+    GROUP BY cg.doc_id, bg.bench_id
+    """,
+)
+def qt7_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination gate: corpus docs sharing any word
+    4-gram with a held-out benchmark set (here: the ``src0`` slice) —
+    benchmark n-grams broadcast, corpus side never shuffles
+    (operators/text.py::contamination_pairs)."""
+    docs = table(spark, sf_dir, "documents")
+    return contamination_pairs(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=4,
     )
 
 

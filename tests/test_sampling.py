@@ -101,3 +101,29 @@ def test_stratified_sample_rates_and_determinism(spark):
     # strata not in the map use default_fraction (0.0 -> dropped)
     df2 = spark.createDataFrame([(1, "fr")], "doc_id long, lang string")
     assert stratified_sample(df2, "doc_id", "lang", {"en": 1.0}).count() == 0
+
+
+def test_domain_mixture_sample_proportions(spark):
+    from spotify_pipeline_gcp_spark.operators.sampling import (
+        domain_mixture_sample,
+    )
+
+    rows = [(i, f"src{i % 4}") for i in range(4000)]  # 1000 per domain
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    target = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = domain_mixture_sample(df, "doc_id", "source", target, salt="t:")
+    counts = {r.source: r.n for r in out.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    # src3 is not in the target: dropped entirely
+    assert "src3" not in counts
+    # cap = min(1000/0.5, 1000/0.3, 1000/0.2) = 2000
+    # expected keeps: src0 1000 (frac 1.0), src1 600, src2 400
+    assert counts["src0"] == 1000
+    assert abs(counts["src1"] - 600) < 80   # Bernoulli tolerance ~3 sigma
+    assert abs(counts["src2"] - 400) < 80
+    # deterministic: second draw identical row-for-row
+    again = domain_mixture_sample(df, "doc_id", "source", target, salt="t:")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )

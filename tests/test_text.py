@@ -56,3 +56,44 @@ def test_fingerprint_order_sensitive(spark):
     fps = {r.doc_id: r.fingerprint for r in fingerprint(df, "doc_id", "text").collect()}
     assert fps[1] == fps[3]  # deterministic
     assert fps[1] != fps[2]  # order matters (unlike bag-of-words)
+
+
+def test_repetition_stats_planted(spark):
+    from spotify_pipeline_gcp_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),      # one distinct 2-/3-gram
+            (2, "all tokens here are different"),  # no repeats
+            (3, "x"),                              # below n-gram length
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+    assert rows[1].n3_grams == 3 and rows[1].dup3_ratio == 2 / 3
+    assert rows[1].n2_grams == 4 and rows[1].dup2_ratio == 3 / 4
+    assert not rows[1].keep
+    assert rows[2].dup3_ratio == 0.0 and rows[2].keep
+    assert rows[3].n2_grams == 0 and rows[3].dup3_ratio == 0.0 and rows[3].keep
+
+
+def test_contamination_pairs_planted(spark):
+    from spotify_pipeline_gcp_spark.operators.text import contamination_pairs
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares two distinct 4-grams with the benchmark
+            (1, "he said the quick brown fox jumps again"),
+            (2, "completely unrelated text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.bench_id): r.n_shared
+        for r in contamination_pairs(corpus, bench, "doc_id", "text", n=4).collect()
+    }
+    assert got == {(1, 100): 2}  # 'the quick brown fox', 'quick brown fox jumps'
