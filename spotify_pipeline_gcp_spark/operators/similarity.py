@@ -118,10 +118,37 @@ def cosine_topk(
     )
 
 
+def index_size_for(n_vectors: int, target_cell: int = 256) -> int:
+    """Cells (buckets or k-means clusters) an ANN index needs so the
+    average cell holds ~``target_cell`` vectors. THE scale knob for
+    every fixed-partition ANN shape here: within-cell candidate pairs
+    grow as n²/cells, so cells must grow WITH the corpus or the
+    self-join quietly goes quadratic — measured at the 10x scale
+    bench (SCALE_BENCH_r05: qs3 with its 16 buckets pinned for the
+    oracle went x77 on x10 data; the same query auto-sized stays
+    ~linear). Rule of thumb: cells = n / target_cell, target sized so
+    one cell's vectors fit a task's memory (256 x 64 doubles ≈ 128 KB
+    — far below any executor budget; at 100 TB keep cells ≲ a few
+    thousand rows and let AQE split stragglers)."""
+    return max(1, n_vectors // max(1, target_cell))
+
+
+def sign_bits_for(n_vectors: int, target_bucket: int = 256) -> int:
+    """Sign-bucket bit count so the average bucket holds
+    ~``target_bucket`` vectors (see ``index_size_for``); clamped to
+    the vector dim elsewhere by the caller."""
+    return max(1, math.ceil(math.log2(index_size_for(n_vectors, target_bucket))))
+
+
 def sign_bucket(vec_col: str, n_bits: int = 4) -> Column:
     """Coarse quantization code: sign bits of the first ``n_bits``
     components. A deterministic stand-in for trained IVF centroids —
-    the partitioning shape is identical (code = cluster id)."""
+    the partitioning shape is identical (code = cluster id).
+
+    ``n_bits`` is a SCALE knob, not a constant: fix it and the
+    within-bucket self-join grows n²/2^bits — size it with
+    ``sign_bits_for`` (registered queries pin small values only so
+    their oracles replay byte-identically at every sf)."""
     code = F.lit(0)
     for j in range(n_bits):
         code = code + F.when(
@@ -482,6 +509,44 @@ def label_centroids_wide(
     )
     return agg.select(
         F.col("id").alias(group_col), mv.alias("mv"), "n"
+    )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: (id, scale_r,
+    max_abs_err_r, mean_abs_err_r) — the storage/compute compression
+    step every large vector corpus applies (4x smaller than float32,
+    SIMD-friendly dot products), emitted with its reconstruction
+    error so the recall cost is measured, not assumed.
+
+    scale = max|v|/127 (zero vectors keep scale 1 to avoid 0/0);
+    codes are ``floor(x/scale + 0.5)`` — explicit half-up, the
+    engine-portable rounding this repo standardizes on — and errors
+    are recomputed per element as ``|x - code*scale|``. Everything is
+    a row-local array expression: no shuffle, no UDF; the mean error
+    folds left-to-right so both engines accumulate identically."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("id"), v.alias("v"))
+    max_abs = F.array_max(F.transform(F.col("v"), F.abs))
+    scale = F.when(max_abs > 0, max_abs / F.lit(127.0)).otherwise(F.lit(1.0))
+    base = base.withColumn("scale", scale)
+    err = F.transform(
+        F.col("v"),
+        lambda x: F.abs(
+            x - F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale")
+        ),
+    )
+    base = base.withColumn("err", err)
+    mean_err = F.aggregate(
+        F.col("err"), F.lit(0.0), lambda acc, e: acc + e
+    ) / F.size(F.col("err"))
+    return base.select(
+        "id",
+        F.col("scale").alias("scale_raw"),
+        F.array_max("err").alias("max_abs_err_raw"),
+        mean_err.alias("mean_abs_err_raw"),
     )
 
 

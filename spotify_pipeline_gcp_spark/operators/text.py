@@ -187,6 +187,38 @@ def contamination_pairs(
     )
 
 
+# Portable (RE2 ∩ Java) PII patterns, applied in a FIXED order so
+# both engines see identical intermediate strings.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ips", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "[IP]"),
+    ("phones", r"\+?[0-9][0-9 ()-]{7,}[0-9]", "[PHONE]"),
+]
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction: per-document match counts + the scrubbed text —
+    the privacy gate in front of any corpus export. Emails, IPv4ish
+    addresses, and phone-number runs are matched with patterns in the
+    RE2/Java-portable intersection and replaced by typed placeholders
+    IN ORDER (emails, then IPs, then phones), so counts and the final
+    string are engine-reproducible. Single codegen pass, no shuffle.
+
+    Heuristic by design (regex PII detection always is): the driver's
+    synthetic corpus exercises the zero-match path end-to-end; the
+    planted-fixture pytest carries the match semantics."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = F.col(text_col)
+    for _, pat, rep in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, rep)
+    return df.select(F.col(id_col), *counts, clean.alias("clean_text"))
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint per document.
 

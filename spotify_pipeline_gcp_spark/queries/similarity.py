@@ -552,6 +552,54 @@ def qe1_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "qs12_embedding_quantize",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale
+      FROM (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS m
+        FROM v
+      )
+    ),
+    e AS (
+      SELECT vec_id, scale,
+             list_transform(v,
+               x -> abs(x - floor(x / scale + 0.5) * scale)) AS err
+      FROM s
+    )
+    SELECT vec_id,
+           {sql_fixed('scale', 9)} AS scale_r,
+           {sql_fixed('list_max(err)', 9)} AS max_abs_err_r,
+           {sql_fixed('(0.0 + list_reduce(err, (a, b) -> a + b)) / len(err)', 9)}
+             AS mean_abs_err_r
+    FROM e
+    """,
+)
+def qs12_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: scale plus max
+    and mean absolute reconstruction error — the compression step a
+    100 TB vector corpus applies before serving, shipped WITH its
+    measured error (operators/similarity.py::quantize_int8). Pure
+    row-local array expressions; explicit half-up rounding and a
+    left-to-right error fold keep both engines bitwise-identical."""
+    from spotify_pipeline_gcp_spark.operators.similarity import quantize_int8
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = quantize_int8(emb, "vec_id", "embedding")
+    return out.select(
+        F.col("id").alias("vec_id"),
+        fixed(F.col("scale_raw"), 9).alias("scale_r"),
+        fixed(F.col("max_abs_err_raw"), 9).alias("max_abs_err_r"),
+        fixed(F.col("mean_abs_err_raw"), 9).alias("mean_abs_err_r"),
+    )
+
+
 @register("qs10_ann_full_blas")  # rows-only: BLAS training + search
 def qs10_ann_full_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full-throughput trained ANN: k-means trained with matmul

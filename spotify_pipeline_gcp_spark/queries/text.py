@@ -7,10 +7,12 @@ from pyspark.sql import functions as F
 
 from spotify_pipeline_gcp_spark.operators.text import (
     MOD_PRIME,
+    PII_PATTERNS,
     STOPWORDS,
     contamination_pairs,
     fingerprint,
     lang_id,
+    pii_scrub,
     quality_score,
     repetition_stats,
     token_stats,
@@ -210,6 +212,33 @@ def qt7_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n=4,
     )
+
+
+_PII_COUNTS = ",\n           ".join(
+    f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+    for name, pat, _ in PII_PATTERNS
+)
+_PII_CLEAN = "text"
+for _name, _pat, _rep in PII_PATTERNS:
+    _PII_CLEAN = f"regexp_replace({_PII_CLEAN}, '{_pat}', '{_rep}', 'g')"
+
+
+@register(
+    "qt8_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           {_PII_COUNTS},
+           {_PII_CLEAN} AS clean_text
+    FROM documents
+    """,
+)
+def qt8_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction counts + scrubbed text (emails/IPs/phones,
+    fixed order, RE2-and-Java-portable patterns). The synthetic
+    corpus has no PII, so the driver row verifies the zero-match
+    path and full-text passthrough; planted fixtures in pytest carry
+    the match semantics (operators/text.py::pii_scrub)."""
+    return pii_scrub(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @register(

@@ -309,3 +309,23 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert r1 <= r2 <= 1.0
     assert r2 > r1  # on random vectors two probes must recover something
     assert r_all == 1.0  # probing every cell == brute force
+
+
+def test_quantize_int8_error_bounds(spark):
+    # the symmetric int8 error bound: |x - q*scale| <= scale/2 with
+    # scale = max|v|/127; zero vectors quantize losslessly (scale 1)
+    from spotify_pipeline_gcp_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 127.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.id: r for r in quantize_int8(df, "vec_id", "embedding").collect()}
+    assert abs(rows[1].scale_raw - 1.0) < 1e-12
+    assert rows[1].max_abs_err_raw <= rows[1].scale_raw / 2 + 1e-12
+    assert rows[1].mean_abs_err_raw <= rows[1].max_abs_err_raw
+    assert rows[2].scale_raw == 1.0
+    assert rows[2].max_abs_err_raw == 0.0 and rows[2].mean_abs_err_raw == 0.0

@@ -97,3 +97,23 @@ def test_contamination_pairs_planted(spark):
         for r in contamination_pairs(corpus, bench, "doc_id", "text", n=4).collect()
     }
     assert got == {(1, 100): 2}  # 'the quick brown fox', 'quick brown fox jumps'
+
+
+def test_pii_scrub_planted(spark):
+    from spotify_pipeline_gcp_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or +1 (555) 123-4567 now"),
+            (2, "server at 192.168.0.1 responded"),
+            (3, "no personal data in this sentence"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs, "doc_id", "text").collect()}
+    assert rows[1].n_emails == 1 and rows[1].n_phones == 1
+    assert "[EMAIL]" in rows[1].clean_text and "[PHONE]" in rows[1].clean_text
+    assert "example" not in rows[1].clean_text
+    assert rows[2].n_ips == 1 and "[IP]" in rows[2].clean_text
+    assert rows[3].clean_text == "no personal data in this sentence"
+    assert (rows[3].n_emails, rows[3].n_ips, rows[3].n_phones) == (0, 0, 0)
