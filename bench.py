@@ -69,6 +69,12 @@ HEADLINE_EXT = [
     "qp3_token_budget_selection",
     "qs9_filtered_ann",
     "qe1_label_centroids",
+    "qt6_repetition_filter",
+    "qt7_contamination",
+    "qt8_pii_scrub",
+    "qsp4_domain_mixture",
+    "qs12_embedding_quantize",
+    "qst5_streaming_incremental_near_dup",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative
