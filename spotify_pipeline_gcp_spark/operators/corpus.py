@@ -237,3 +237,36 @@ def select_by_token_budget(
         .where(F.col("tokens_before") < budget)
         .select(id_col, score_col, tokens_col, "tokens_before")
     )
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 4,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Assign each row to a score-quantile curriculum bucket (1 =
+    lowest quartile .. ``n_buckets`` = highest) — the phase labelling
+    a curriculum-ordered training export keys its shards by.
+
+    NOT an ``ntile`` window: a global ranking window single-partition-
+    sorts the corpus. Instead the n-1 exact percentile thresholds
+    collapse to ONE broadcast row and assignment is a pure row-local
+    comparison sum — the same percentile-broadcast pattern as q32's
+    scalar subquery, so the only non-linear work is the percentile
+    aggregate itself (t-digest-able at 100 TB via percentile_approx;
+    exact here to stay oracle-checkable). Boundary semantics: a row
+    equal to a threshold stays in the LOWER bucket, matching
+    ``quantile_cont`` replay in ANSI SQL."""
+    ps = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    th = df.agg(F.expr(f"percentile({score_col}, array({ps}))").alias("_th"))
+    bucket = F.lit(1).cast("long")
+    for j in range(n_buckets - 1):
+        bucket = bucket + F.when(
+            F.col(score_col) > F.element_at("_th", j + 1), F.lit(1)
+        ).otherwise(F.lit(0)).cast("long")
+    return (
+        df.crossJoin(F.broadcast(th))
+        .withColumn(out_col, bucket)
+        .drop("_th")
+    )

@@ -36,8 +36,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 #
 # Round-5 window: leads with the six oracle-bearing queries that have
 # NEVER had a driver row (qs11, qe1, qs9, qm3, qm4, qsp3 — the r3 and
-# r4 verdicts' #1 item), then the five queries NEW this round
-# (qt6/qt7/qt8/qsp4/qs12), then the queries changed this round (qst5 new, qst2
+# r4 verdicts' #1 item), then the six queries NEW this round
+# (qt6/qt7/qt8/qsp4/qs12/qp4), then the queries changed this round (qst5 new, qst2
 # oracle tie-break fix, qst4 TTL tz fix, qd9 precondition guard),
 # then the q00–q22 breadth set (driver-stale since r02), then the
 # r02-stale extension tails (qs1/qs2/qs3/qs5, qt1–qt5, qsp1/qsp2,
@@ -45,8 +45,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 # Out of window this round: everything driver-green in r04
 # (relational q23–q48 breadth, the dedup family, qst1/qst3, qp1–qp3,
 # qk1, qs7), rows-only q36 (which gained value-level pytest
-# tolerance checks this round), and qs4/qs6/qm1/qt1/qsp1 (r2 driver
-# rows, modules unchanged — displaced by the five new queries). Run
+# tolerance checks this round), and qs4/qs6/qm1/qt1/qsp1/qm2 (r2
+# driver rows, modules unchanged — displaced by the six new queries).
+# Run
 # tools/window_check.py after any registration change;
 # tools/selfcheck.py re-verifies the FULL registry every round.
 _WINDOW_ORDER = [
@@ -63,6 +64,7 @@ _WINDOW_ORDER = [
     "qt8_pii_scrub",
     "qsp4_domain_mixture",
     "qs12_embedding_quantize",
+    "qp4_curriculum_buckets",
     # changed this round
     "qst5_streaming_incremental_near_dup",
     "qst2_streaming_sessionize",
@@ -102,7 +104,6 @@ _WINDOW_ORDER = [
     "qt4_fingerprint",
     "qt5_token_bpeish",
     "qsp2_split_assign",
-    "qm2_image_decode_meta",
     # rows-only BLAS twins that never had ANY driver row (qs4/qs6 and
     # qm1 rotate out this round — each has an r2 driver row and its
     # module is unchanged — to make room for qt6/qt7/qsp4)

@@ -152,3 +152,49 @@ def qp3_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens"),
     )
     return select_by_token_budget(scored, budget=8192)
+
+
+@register(
+    "qp4_curriculum_buckets",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    t AS (
+      SELECT quantile_cont(n_tokens, [0.25, 0.5, 0.75]) AS th FROM s
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             (1 + (n_tokens > th[1])::INT + (n_tokens > th[2])::INT
+                + (n_tokens > th[3])::INT)::BIGINT AS bucket
+      FROM s, t
+    )
+    SELECT bucket,
+           count(*)::BIGINT AS n_docs,
+           min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens,
+           sum(n_tokens)::BIGINT AS total_tokens
+    FROM b GROUP BY bucket
+    """,
+)
+def qp4_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum manifest: documents quartiled by token count
+    (short -> long, the standard length curriculum) with per-phase
+    doc/token accounting. Thresholds are ONE broadcast percentile
+    row, assignment a row-local comparison sum — no ranking window,
+    no corpus sort (operators/corpus.py::curriculum_buckets)."""
+    from spotify_pipeline_gcp_spark.operators.corpus import curriculum_buckets
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+    )
+    b = curriculum_buckets(scored, "n_tokens", n_buckets=4)
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

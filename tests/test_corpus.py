@@ -145,3 +145,28 @@ def test_select_by_token_budget_priority_and_boundary(spark):
     # budget exactly at a boundary excludes the next doc (before == budget)
     got2 = {r.doc_id for r in select_by_token_budget(scored, budget=80).collect()}
     assert got2 == {3, 1}
+
+
+def test_curriculum_buckets_boundaries(spark):
+    # scores 1..8, quartile thresholds 2.75/4.5/6.25 -> two per bucket;
+    # a row equal to a threshold stays in the LOWER bucket
+    from pyspark.sql import functions as F
+
+    from spotify_pipeline_gcp_spark.operators.corpus import curriculum_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 9)], "id long, score double"
+    )
+    got = {r.id: r.bucket for r in curriculum_buckets(df, "score").collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}
+    # exact-threshold ties: with scores 1..5 the interpolation indexes
+    # land ON datapoints (thresholds exactly 2, 3, 4), so each
+    # threshold value itself must stay in the LOWER bucket
+    df2 = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 6)], "id long, score double"
+    )
+    got2 = {r.id: r.bucket for r in curriculum_buckets(df2, "score").collect()}
+    assert got2 == {1: 1, 2: 1, 3: 2, 4: 3, 5: 4}
+    # no ranking window over the corpus: the plan has no Window node
+    plan = curriculum_buckets(df, "score")._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
