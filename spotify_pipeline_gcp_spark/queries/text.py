@@ -183,7 +183,10 @@ def qt6_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qt7_contamination",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+      -- empty-token filter matches the Spark side's \\S+ tokenization
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
     ),
     g AS (
       SELECT doc_id, source,

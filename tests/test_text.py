@@ -117,3 +117,21 @@ def test_pii_scrub_planted(spark):
     assert rows[2].n_ips == 1 and "[IP]" in rows[2].clean_text
     assert rows[3].clean_text == "no personal data in this sentence"
     assert (rows[3].n_emails, rows[3].n_ips, rows[3].n_phones) == (0, 0, 0)
+
+
+def test_contamination_pairs_whitespace_tokens(spark):
+    # gram extraction is \S+-token based: double spaces yield no empty
+    # tokens, so the planted overlap is still found across them
+    from spotify_pipeline_gcp_spark.operators.text import contamination_pairs
+
+    bench = spark.createDataFrame(
+        [(9, "alpha beta  gamma delta tail")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "prefix alpha beta gamma delta")], "doc_id long, text string"
+    )
+    got = [
+        (r.doc_id, r.bench_id, r.n_shared)
+        for r in contamination_pairs(corpus, bench, "doc_id", "text", n=4).collect()
+    ]
+    assert got == [(1, 9, 1)]  # 'alpha beta gamma delta' despite the double space
