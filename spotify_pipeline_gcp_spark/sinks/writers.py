@@ -154,8 +154,54 @@ class ParquetWarehouse:
         existing = self.scan(table)
         deleted = existing.join(keys, on=key_cols, how="left_semi").count()
         keep = existing.join(keys, on=key_cols, how="left_anti")
+        self._swap_in(keep, table)
+        return deleted
+
+    def merge_upsert(
+        self, df: DataFrame, table: str, key_cols: list[str]
+    ) -> None:
+        """MERGE (upsert): incoming rows replace existing rows that
+        share their key; everything else is kept — the standard
+        warehouse `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
+        INSERT` for whole-row updates, and the missing third verb next
+        to ``append`` (insert-only) and ``delete_keys``.
+
+        One distributed plan: keep = existing ⟕̸ incoming-keys, then
+        keep ∪ incoming, written via the same rename-aside swap as
+        ``delete_keys`` (crash-safe at every step, ``_recover`` heals
+        the one rename window). Incoming rows are deduplicated on the
+        key (last-writer ambiguity is refused rather than silently
+        resolved: duplicate incoming keys raise). Copy-on-write at
+        table granularity — a manifest format (Delta/Iceberg) narrows
+        the rewrite to matched files; the plan shape is identical.
+        """
+        incoming = df
+        dup = (
+            incoming.groupBy(*key_cols).count().where("count > 1").limit(1)
+        )
+        if dup.count() > 0:
+            raise ValueError(
+                f"merge_upsert: incoming rows contain duplicate keys on {key_cols}"
+            )
+        if not self.exists(table):
+            incoming.write.mode("overwrite").parquet(self._path(table))
+            return
+        existing = self.scan(table)
+        keys = incoming.select(*key_cols).dropDuplicates()
+        keep = existing.join(keys, on=key_cols, how="left_anti")
+        merged = keep.unionByName(incoming.select(*existing.columns))
+        self._swap_in(merged, table)
+
+    def _swap_in(self, df: DataFrame, table: str) -> None:
+        """Materialize ``df`` then swap it in as the new table state:
+        write to temp, rename table aside, move rewrite in, drop the
+        old copy. A crash at any step leaves a complete copy on disk
+        (worst case under ``<table>.old``, healed by ``_recover``);
+        there is no window with no copy. Concurrent readers mid-swap
+        can still race the rename pair — true isolation needs a
+        manifest format, out of scope for this sink."""
         tmp = tempfile.mkdtemp(prefix="wh_rewrite_")
-        keep.write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").parquet(tmp)
         target = self._path(table)
         old = target + ".old"
         if os.path.exists(old):  # leftover from a prior crash
@@ -163,4 +209,3 @@ class ParquetWarehouse:
         os.rename(target, old)
         shutil.move(tmp, target)
         shutil.rmtree(old)
-        return deleted

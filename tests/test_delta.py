@@ -59,3 +59,40 @@ def test_warehouse_auto_recovers_aside_rename(spark, tmp_path):
     assert wh.exists("t")  # recovery happened
     assert wh.scan("t").count() == 2
     assert not os.path.isdir(str(tmp_path / "t.old"))
+
+
+def test_merge_upsert(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spotify_pipeline_gcp_spark.sinks.writers import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double",
+    )
+    # first merge on a missing table creates it
+    wh.merge_upsert(base, "t", ["id"])
+    assert wh.scan("t").count() == 3
+
+    # update id=2, insert id=4; 1 and 3 untouched
+    delta = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "id long, name string, v double"
+    )
+    wh.merge_upsert(delta, "t", ["id"])
+    got = {r.id: (r.name, r.v) for r in wh.scan("t").collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    # duplicate incoming keys are refused, table unchanged
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(5, "x", 1.0), (5, "y", 2.0)], "id long, name string, v double"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        wh.merge_upsert(bad, "t", ["id"])
+    assert wh.scan("t").count() == 4
+
+    # idempotent: merging the same delta again is a no-op in effect
+    wh.merge_upsert(delta, "t", ["id"])
+    assert {r.id: (r.name, r.v) for r in wh.scan("t").collect()} == got
