@@ -128,6 +128,13 @@ def qst4_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# NOT registered: running_user_totals_tws (the Spark 4
+# transformWithState successor API) needs google.protobuf in the
+# Python environment, which this sandbox lacks — the operator is
+# env-gated in streaming/stateful.py with a clear error and a
+# skipif-gated test; qst4 keeps the applyInPandasWithState twin
+# driver-verified with the same oracle.
+
 from spotify_pipeline_gcp_spark.queries.dedup import QD11_ORACLE  # noqa: E402
 
 

@@ -207,3 +207,67 @@ def user_totals_with_ttl(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def running_user_totals_tws(events_stream: DataFrame) -> DataFrame:
+    """Per-user running totals on the Spark 4 ``transformWithState``
+    API — the successor to ``applyInPandasWithState`` (typed state
+    handles: ValueState/ListState/MapState + timers, state schema
+    evolution, RocksDB-backed at scale). Same semantics as
+    ``running_user_totals``; kept side-by-side so both state APIs
+    stay covered — new deployments should prefer this one.
+
+    Env-gated: the transformWithState Python runner speaks protobuf
+    to the JVM state server, so ``google.protobuf`` must be
+    installed (it is not bundled with PySpark). Without it the
+    runner crashes deep in stream initialization — fail loudly at
+    the API boundary instead (the same injected-seam policy as the
+    HTTP fetcher and image codec).
+    """
+    import importlib.util
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        has_protobuf = False
+    if not has_protobuf:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the google.protobuf "
+            "package (PySpark's state-server protocol); install "
+            "protobuf or use running_user_totals "
+            "(applyInPandasWithState) which has identical semantics"
+        )
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    ensure_package_on_workers(events_stream.sparkSession)
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        TotalsProcessor(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -168,3 +168,34 @@ def test_update_totals_ttl_tolerates_empty_chunk():
     [out2] = list(fn((1,), iter([empty]), state2))
     assert state2.timeout == 1
     assert out2["n_events"].iloc[0] == 0
+
+
+def test_transform_with_state_env_gate(spark):
+    # the Spark 4 transformWithState API needs google.protobuf; in
+    # this sandbox it is absent, so the operator must refuse at the
+    # API boundary instead of crashing the streaming runner. When
+    # protobuf IS present, the real path must equal the
+    # applyInPandasWithState twin.
+    import importlib.util
+
+    import pytest
+
+    from spotify_pipeline_gcp_spark.streaming.incremental import (
+        _run_to_memory,
+        stream_events,
+    )
+    from spotify_pipeline_gcp_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_user_totals_tws(stream_events(spark, sf))
+        return
+    out = _run_to_memory(running_user_totals_tws(stream_events(spark, sf)), "update")
+    assert out.count() > 0
