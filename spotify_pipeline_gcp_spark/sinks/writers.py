@@ -192,6 +192,29 @@ class ParquetWarehouse:
         merged = keep.unionByName(incoming.select(*existing.columns))
         self._swap_in(merged, table)
 
+    def compact(self, table: str, target_file_bytes: int = 128 * 1024**2) -> int:
+        """Compact a table's files to ~``target_file_bytes`` each —
+        the countermeasure to incremental ``append``'s small-files
+        problem (every micro-batch/daily delta adds files; scans pay
+        per-file open/footer cost, so a year of appends can make a
+        small table slow). Sizes from the files on disk, rewrites via
+        the same crash-safe swap as delete/merge. Returns the new
+        file count.
+
+        At 100 TB you compact PARTITIONS on a schedule, not whole
+        tables; with a manifest format this is OPTIMIZE/rewrite-
+        data-files. The plan shape (size -> repartition -> swap) is
+        the same."""
+        self._recover(table)
+        target = self._path(table)
+        total_bytes = sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(target, "*.parquet"))
+        )
+        n_files = max(1, -(-total_bytes // max(1, target_file_bytes)))
+        self._swap_in(self.scan(table).repartition(n_files), table)
+        return len(glob.glob(os.path.join(target, "*.parquet")))
+
     def _swap_in(self, df: DataFrame, table: str) -> None:
         """Materialize ``df`` then swap it in as the new table state:
         write to temp, rename table aside, move rewrite in, drop the

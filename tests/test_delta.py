@@ -96,3 +96,29 @@ def test_merge_upsert(spark, tmp_path):
     # idempotent: merging the same delta again is a no-op in effect
     wh.merge_upsert(delta, "t", ["id"])
     assert {r.id: (r.name, r.v) for r in wh.scan("t").collect()} == got
+
+
+def test_compact_small_files(spark, tmp_path):
+    import glob as g
+
+    from spotify_pipeline_gcp_spark.sinks.writers import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    # ten tiny appends -> many small files (the incremental-load shape)
+    for i in range(10):
+        wh.append(
+            spark.range(i * 100, (i + 1) * 100).selectExpr(
+                "id", "id * 2 AS v"
+            ).repartition(4),
+            "t",
+        )
+    before = len(g.glob(str(tmp_path / "wh" / "t" / "*.parquet")))
+    assert before >= 20
+    total = wh.scan("t").count()
+    after = wh.compact("t")
+    assert after < before // 4
+    # content unchanged
+    assert wh.scan("t").count() == total
+    assert wh.scan("t").agg({"v": "sum"}).first()[0] == sum(
+        2 * i for i in range(1000)
+    )
