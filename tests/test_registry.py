@@ -26,3 +26,18 @@ def test_entry_smoke(spark):
         "partkeys",
         "n_items",
     ]
+
+
+def test_window_order_applied():
+    # the driver records the FIRST 50 registered queries; the explicit
+    # _WINDOW_ORDER list must lead the registry exactly, reference
+    # only real queries, and fill the window completely
+    from spotify_pipeline_gcp_spark.queries import _WINDOW_ORDER, load_all
+
+    reg = load_all()
+    names = list(reg)
+    assert len(_WINDOW_ORDER) == 50
+    assert len(set(_WINDOW_ORDER)) == 50
+    assert names[: len(_WINDOW_ORDER)] == _WINDOW_ORDER
+    missing = [n for n in _WINDOW_ORDER if n not in reg]
+    assert not missing
