@@ -75,6 +75,8 @@ HEADLINE_EXT = [
     "qsp4_domain_mixture",
     "qs12_embedding_quantize",
     "qst5_streaming_incremental_near_dup",
+    "qs13_cosine_topk_bucketed_sized",
+    "qs14_cosine_topk_ivf_kmeans_sized",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative
@@ -86,6 +88,40 @@ HEADLINE_EXT = [
 #   top-level sort under this bench's count() action anyway — a
 #   count-terminal bench is blind to the difference. The measured
 #   partitioned-parquet WRITE delta is recorded in PERFORMANCE.md.
+
+
+def _calibration(spark, sf_dir: str, reps: int = 3) -> dict[str, float]:
+    """Fixed-work probes recorded as ``_calibration`` in every bench
+    JSON so cross-round ratios can be normalized for box drift
+    (BENCH_r04→r05 drifted ~1.4x uniformly, swallowing real wins).
+
+    ``cpu_sec``: a pure-codegen range fold — constant work, no IO, no
+    data dependence, the cleanest box-speed probe. ``scan_sec``: a
+    lineitem scan+aggregate — same row count every round at a given
+    sf, exercising the parquet read path the queries share. To
+    drift-normalize round A vs round B, divide per-query times by the
+    rounds' respective calibration times."""
+    def cpu() -> None:
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum((id * 2654435761) % 1000003) AS s"
+        ).collect()
+
+    def scan() -> None:
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+            "sum(l_extendedprice * (1.0 - l_discount)) AS rev",
+            "count(*) AS n",
+        ).collect()
+
+    out: dict[str, float] = {}
+    for key, fn in (("cpu_sec", cpu), ("scan_sec", scan)):
+        fn()  # warm
+        runs = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            runs.append(time.time() - t0)
+        out[key] = round(min(runs), 3)
+    return out
 
 
 def main() -> None:
@@ -134,6 +170,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "_calibration": _calibration(spark, sf_dir),
                 "sf": sf,
             }
         )

@@ -34,81 +34,75 @@ REGISTRY: dict[str, QuerySpec] = {}
 # now an explicit list edit: ``_WINDOW_ORDER`` below is applied after
 # module import, so module order no longer determines the window.
 #
-# Round-5 window: leads with the six oracle-bearing queries that have
-# NEVER had a driver row (qs11, qe1, qs9, qm3, qm4, qsp3 — the r3 and
-# r4 verdicts' #1 item), then the six queries NEW this round
-# (qt6/qt7/qt8/qsp4/qs12/qp4), then the queries changed this round (qst5 new, qst2
-# oracle tie-break fix, qst4 TTL tz fix, qd9 precondition guard),
-# then the q00–q22 breadth set (driver-stale since r02), then the
-# r02-stale extension tails (qs1/qs2/qs3/qs5, qt1–qt5, qsp1/qsp2,
-# qm2) and the never-driver-checked rows-only BLAS twins qs8/qs10.
-# Out of window this round: everything driver-green in r04
-# (relational q23–q48 breadth, the dedup family, qst1/qst3, qp1–qp3,
-# qk1, qs7), rows-only q36 (which gained value-level pytest
-# tolerance checks this round), and qs4/qs6/qm1/qt1/qsp1/qm2 (r2
-# driver rows, modules unchanged — displaced by the six new queries).
-# Run
-# tools/window_check.py after any registration change;
+# Round-6 window: leads with the two queries NEW this round (the
+# auto-sized ANN shapes qs13/qs14 — r5 verdict #1: the 100 TB index
+# sizing gets a driver-checked row), then the six r2-stale queries
+# displaced last round (qs4/qs6/qm1/qm2/qt1/qsp1 — their last driver
+# rows are three rounds old), then the entire r4-green set that is
+# now two rounds stale: the qd dedup family (incl. qd11/qd8, both
+# touched this round), qst1/qst3, qp1–qp3, qs7, qk1, and the
+# q23/q29–q48 relational breadth. Out of window this round:
+# everything driver-green in r05 (50 rows), plus q24–q28 (r4-green,
+# trivial unchanged set-op/string/null modules — first in line for
+# the r7 rotation).
+# Run tools/window_check.py after any registration change;
 # tools/selfcheck.py re-verifies the FULL registry every round.
 _WINDOW_ORDER = [
-    # never driver-checked (r4 verdict #1)
-    "qs11_cosine_topk_ivf_kmeans_multiprobe",
-    "qe1_label_centroids",
-    "qs9_filtered_ann",
-    "qm3_payload_features",
-    "qm4_frame_sample",
-    "qsp3_stratified_sample",
-    # new this round (never driver-checked, oracle-bearing)
-    "qt6_repetition_filter",
-    "qt7_contamination",
-    "qt8_pii_scrub",
-    "qsp4_domain_mixture",
-    "qs12_embedding_quantize",
-    "qp4_curriculum_buckets",
-    # changed this round
-    "qst5_streaming_incremental_near_dup",
-    "qst2_streaming_sessionize",
-    "qst4_streaming_stateful_totals",
-    "qd9_simhash_pairs",
-    # q00–q22 breadth set, driver-stale since r02
-    "q00_flagship_pipeline",
-    "q01_project_derived",
-    "q02_filter_isin",
-    "q03_explode_tokens",
-    "q04_bag_collect",
-    "q05_bag_join",
-    "q06_delta_anti_join",
-    "q07_distinct",
-    "q08_pricing_summary",
-    "q09_top_orders",
-    "q10_segment_revenue_topn",
-    "q11_window_topk",
-    "q12_window_running",
-    "q13_union_distinct",
-    "q14_semi_join",
-    "q15_date_trunc_daily",
-    "q16_date_format_monthly",
-    "q17_json_extract",
-    "q18_complete_year",
-    "q19_distinct_count",
-    "q20_pivot_event_types",
-    "q21_rollup",
-    "q22_regional_revenue",
-    # r02-stale extension tails
-    "qs1_embed_norms",
-    "qs2_cosine_topk",
-    "qs3_cosine_topk_bucketed",
-    "qs5_cosine_topk_multiprobe",
-    "qt2_quality_score",
-    "qt3_token_stats",
-    "qt4_fingerprint",
-    "qt5_token_bpeish",
-    "qsp2_split_assign",
-    # rows-only BLAS twins that never had ANY driver row (qs4/qs6 and
-    # qm1 rotate out this round — each has an r2 driver row and its
-    # module is unchanged — to make room for qt6/qt7/qsp4)
-    "qs8_cosine_topk_ivf_kmeans_blas",
-    "qs10_ann_full_blas",
+    # new this round — the auto-sized ANN shapes (r5 verdict #1)
+    "qs13_cosine_topk_bucketed_sized",
+    "qs14_cosine_topk_ivf_kmeans_sized",
+    # r2-stale (displaced from the r5 window)
+    "qs4_cosine_topk_blas",
+    "qs6_cosine_topk_ivf_blas",
+    "qm1_binary_meta",
+    "qm2_image_decode_meta",
+    "qt1_lang_id",
+    "qsp1_hash_sample",
+    # dedup family (r4-green; qd11/qd8 touched this round)
+    "qd11_incremental_near_dup",
+    "qd8_dedup_components",
+    "qd1_dedup_exact_groups",
+    "qd2_dedup_exact_keep",
+    "qd3_ngram_jaccard_pairs",
+    "qd3b_ngram_jaccard_capped",
+    "qd4_minhash_signatures",
+    "qd5_minhash_lsh_pairs",
+    "qd6_simhash",
+    "qd7_embedding_near_dup",
+    "qd7b_embedding_near_dup_pruned",
+    "qd9b_simhash_pairs_capped",
+    "qd10_semantic_dedup_components",
+    "qd12_keep_best_per_cluster",
+    # streaming + corpus + similarity + skew (r4-green)
+    "qst1_streaming_type_rollup",
+    "qst3_streaming_static_enrich",
+    "qp1_corpus_prep",
+    "qp2_token_shard_packing",
+    "qp3_token_budget_selection",
+    "qs7_cosine_topk_ivf_kmeans",
+    "qk1_salted_agg",
+    # relational breadth (r4-green)
+    "q23_full_outer_join",
+    "q29_window_lag_lead",
+    "q30_sessionize",
+    "q31_asof_last_click",
+    "q32_scalar_subquery",
+    "q33_conditional_agg",
+    "q34_array_agg_ops",
+    "q35_exact_percentiles",
+    "q36_approx_aggregates",
+    "q37_unpivot",
+    "q38_map_ops",
+    "q39_date_arith",
+    "q40_json_bag",
+    "q41_big_orders_having",
+    "q42_above_group_avg",
+    "q43_ratio_metric",
+    "q44_flagship_partition_ready",
+    "q45_cube",
+    "q46_range_frame",
+    "q47_range_join",
+    "q48_rank_battery",
 ]
 
 _MODULES = [

@@ -27,7 +27,12 @@ NORM = "sqrt(list_dot_product({0}.embedding::DOUBLE[], {0}.embedding::DOUBLE[]))
 
 
 def _ivf_kmeans_oracle(
-    k: int, n_iter: int, d: int, topk: int, nprobe: int = 1
+    k: int | str,
+    n_iter: int,
+    d: int,
+    topk: int,
+    nprobe: int = 1,
+    extra_cte: str = "",
 ) -> str:
     """DuckDB replay of the ENTIRE seeded-k-means training + IVF
     search as one finite CTE chain — possible because the operator
@@ -35,8 +40,13 @@ def _ivf_kmeans_oracle(
     (md5-ranked init, fold dot products, quantized-integer positional
     means: ``sum(floor(val*1e9+0.5)::BIGINT)`` per (cid, pos) commutes
     exactly, so the cell mean is identical under any summation
-    order — see ``operators/similarity.py::_cell_means``)."""
-    ctes = [
+    order — see ``operators/similarity.py::_cell_means``).
+
+    ``k`` may be an SQL expression string (e.g. a scalar subquery over
+    a sizing CTE passed via ``extra_cte``) so the data-adaptive index
+    size — cells grown WITH the corpus, the 100 TB shape — is replayed
+    by the oracle from the same count arithmetic the engine runs."""
+    ctes = ([extra_cte] if extra_cte else []) + [
         """u AS (
       SELECT vec_id,
              list_transform(embedding::DOUBLE[],
@@ -617,3 +627,118 @@ def qs10_ann_full_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_on_workers(spark)
     emb = table(spark, sf_dir, "embeddings")
     return cosine_topk_kmeans_blas_trained(emb, k_neighbors=5, n_clusters=16, n_iter=2)
+
+
+# Index-sizing arithmetic the oracle mirrors: bits =
+# least(32, greatest(1, ceil(log2(greatest(1, n // 256))))) — the SQL
+# replay of operators/similarity.py::sign_bits_for (target_bucket=256,
+# clamped to 32 so 1<<bit stays far from BIGINT sign; identical
+# integer-division + log2-on-integers arithmetic in both engines).
+_SIZED_BITS_SQL = (
+    "least(32, greatest(1, CAST(ceil(log2(greatest(1, count(*) // 256)))"
+    " AS BIGINT)))"
+)
+
+
+@register(
+    "qs13_cosine_topk_bucketed_sized",
+    oracle=f"""
+    WITH nb AS (
+      SELECT {_SIZED_BITS_SQL} AS bits FROM embeddings
+    ),
+    coded AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(range(1, (SELECT bits FROM nb) + 1),
+                  j -> CASE WHEN embedding[j] > 0 THEN 1 << (j - 1) ELSE 0 END))
+                  AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {sql_fixed(f'{DOT_AB} / ({NORM.format("a")} * {NORM.format("b")})', 6)} AS cosine_r
+      FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_r,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_r DESC, neighbor_id)::BIGINT AS rank
+    FROM pairs
+    QUALIFY rank <= 5
+    """,
+)
+def qs13_cosine_topk_bucketed_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTO-SIZED sign-bucket ANN — qs3's shape with the index
+    grown from the corpus size instead of pinned: bits =
+    ``sign_bits_for(count)`` so the average bucket holds ~256 vectors
+    at ANY scale. This is the production shape: with buckets pinned,
+    within-bucket candidates grow n²/2^bits (SCALE_BENCH_r05 measured
+    qs3's pinned 16 buckets at x77 on x10 data; auto-sized the same
+    query stays ~linear). The oracle replays the SAME sizing
+    arithmetic from the same count — ceil(log2(n // 256)) is exact
+    integer-input math in both engines — so the data-adaptive index
+    is hash-verified, not just the search. The count() is one
+    footer-stats job producing a single scalar; at 100 TB it is noise
+    next to the candidate join it right-sizes."""
+    from spotify_pipeline_gcp_spark.operators.similarity import sign_bits_for
+
+    emb = table(spark, sf_dir, "embeddings")
+    n_bits = min(32, sign_bits_for(emb.count()))
+    base = _double_base(emb, "vec_id", "embedding").withColumn(
+        "bucket", sign_bucket("v", n_bits)
+    )
+    return _ranked_pairs(base, same_bucket=True, k=5)
+
+
+@register(
+    "qs14_cosine_topk_ivf_kmeans_sized",
+    oracle=_ivf_kmeans_oracle(
+        "(SELECT k FROM sizek)",
+        2,
+        64,
+        5,
+        extra_cte=(
+            "sizek AS (SELECT greatest(1, count(*) // 256) AS k"
+            " FROM embeddings)"
+        ),
+    ),
+)
+def qs14_cosine_topk_ivf_kmeans_sized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The AUTO-SIZED trained IVF — qs7's trained quantizer with
+    k = ``index_size_for(count)`` cells (n / 256) instead of a pinned
+    16, so cell population stays constant as the corpus grows and the
+    within-cell self-join stays ~linear (the k ≈ √n-to-n/c rebalance
+    SCALE_BENCH_r05 measured: pinned k=16 went x6.5 on x10 data).
+    The oracle computes k from the same count inside a sizing CTE and
+    replays training + search with it — the data-adaptive model stays
+    hash-verified end to end. At tiny sf the sizing yields k=1 (one
+    cell = exact brute force): correct degradation — small corpora
+    don't need pruning."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        assign_clusters,
+        index_size_for,
+        kmeans_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    k = index_size_for(emb.count())
+    cent = kmeans_centroids(emb, "vec_id", "embedding", k=k, n_iter=2)
+    asg = assign_clusters(emb, cent, "vec_id", "embedding").repartition(
+        F.col("cid")
+    )
+    a, b = asg.alias("a"), asg.alias("b")
+    cos = fixed(_dot_pre(F.col("a.u"), F.col("b.u")), 6)
+    pairs = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("query_id"),
+        F.col("b.id").alias("neighbor_id"),
+        cos.alias("cosine_r"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= 5
+    )

@@ -329,3 +329,78 @@ def test_quantize_int8_error_bounds(spark):
     assert rows[1].mean_abs_err_raw <= rows[1].max_abs_err_raw
     assert rows[2].scale_raw == 1.0
     assert rows[2].max_abs_err_raw == 0.0 and rows[2].mean_abs_err_raw == 0.0
+
+
+def test_index_sizing_arithmetic():
+    # the sizing rule both engines replay: cells = n // 256 (>=1),
+    # bits = ceil(log2(cells)) (>=1) — exact integer-input math
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        index_size_for,
+        sign_bits_for,
+    )
+
+    assert index_size_for(0) == 1 and index_size_for(500) == 1
+    assert index_size_for(2_000) == 7
+    assert index_size_for(20_000) == 78
+    assert index_size_for(1_000_000) == 3906
+    assert sign_bits_for(500) == 1          # degenerate: 2 buckets
+    assert sign_bits_for(2_000) == 3        # ceil(log2(7))
+    assert sign_bits_for(20_000) == 7       # ceil(log2(78))
+    assert sign_bits_for(1_000_000) == 12
+    # monotone in n: a bigger corpus never gets a smaller index
+    sizes = [index_size_for(n) for n in (10**3, 10**5, 10**7, 10**9)]
+    assert sizes == sorted(sizes)
+
+
+def test_sized_bucketed_matches_manual_bits(spark):
+    # qs13's auto-sized plan must equal qs3's shape run with the SAME
+    # bit count computed by hand — the sizing is the only difference
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        sign_bits_for,
+    )
+    from spotify_pipeline_gcp_spark.queries.similarity import (
+        _double_base,
+        _ranked_pairs,
+        sign_bucket,
+    )
+    from spotify_pipeline_gcp_spark.queries.compat import table
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = table(spark, sf_dir, "embeddings")
+    n_bits = min(32, sign_bits_for(emb.count()))
+    base = _double_base(emb, "vec_id", "embedding").withColumn(
+        "bucket", sign_bucket("v", n_bits)
+    )
+    manual = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in _ranked_pairs(base, same_bucket=True, k=5).collect()
+    }
+    from spotify_pipeline_gcp_spark.queries.similarity import (
+        qs13_cosine_topk_bucketed_sized,
+    )
+
+    sized = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in qs13_cosine_topk_bucketed_sized(spark, sf_dir).collect()
+    }
+    assert sized == manual and len(sized) > 0
+
+
+def test_sized_ivf_degenerates_to_exact_at_tiny_n(spark):
+    # at n < 512 the sizing yields k=1 — one cell, so the sized IVF
+    # (qs14) must return exactly the brute-force top-k (qs2)
+    from spotify_pipeline_gcp_spark.queries.similarity import (
+        qs2_cosine_topk,
+        qs14_cosine_topk_ivf_kmeans_sized,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in qs2_cosine_topk(spark, sf_dir).collect()
+    }
+    sized = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in qs14_cosine_topk_ivf_kmeans_sized(spark, sf_dir).collect()
+    }
+    assert sized == exact and len(sized) > 0

@@ -35,8 +35,12 @@ QUERIES = [
     "qd8_dedup_components",      # iterative label propagation
     "qp2_token_shard_packing",   # two-level prefix sums
     "qt2_quality_score",         # text scoring scan
-    "qs3_cosine_topk_bucketed",  # sign-bucket ANN
-    "qs7_cosine_topk_ivf_kmeans",  # trained IVF (train + search)
+    "qs3_cosine_topk_bucketed",  # sign-bucket ANN (pinned 16 buckets — known x77 cliff, kept as the cautionary row)
+    "qs13_cosine_topk_bucketed_sized",  # AUTO-SIZED sign-bucket ANN — the production shape
+    "qs7_cosine_topk_ivf_kmeans",  # trained IVF (train + search; pinned k=16)
+    "qs14_cosine_topk_ivf_kmeans_sized",  # AUTO-SIZED trained IVF
+    "qd11_incremental_near_dup", # incremental near-dup (the every-batch ingest path)
+    "qst2_streaming_sessionize", # streaming sessionization
     "qe1_label_centroids",       # wide positional means
     "qsp1_hash_sample",          # digest-threshold sampling
 ]
@@ -83,11 +87,17 @@ def main() -> int:
             flush=True,
         )
 
+    from bench import _calibration  # repo-root bench.py (same sys.path insert)
+
     doc = {
         "base": base,
         "scaled": scaled,
-        "factor": 10,
+        "factor": int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10")),
         "queries": results,
+        "_calibration": {
+            "base": _calibration(spark, base),
+            "scaled": _calibration(spark, scaled),
+        },
     }
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
