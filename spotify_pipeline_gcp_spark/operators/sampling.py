@@ -93,15 +93,18 @@ def assign_splits(
     return df.withColumn(out_col, split_column(key_col, weights, salt))
 
 
-def digest_unit(key_col: str, salt: str = "", digest_col: str = "_d") -> Column:
+def digest_unit(digest_col: str = "_d") -> Column:
     """Uniform [0, 1) from the first 8 hex digits of the salted md5,
     via an integer digit fold (the same engine-portable hex
     extraction ``simhash`` uses): exact BIGINT arithmetic, then ONE
     division by 2^32 — both engines produce the identical double, so
     a threshold COMPUTED FROM DATA (not a precompiled hex literal
     like ``fraction_to_hex_threshold``) compares identically.
-    Requires ``digest_col`` bound to the salted md5 (kept as a named
-    column so codegen computes the digest once, not 8 times)."""
+    The value derives ENTIRELY from ``digest_col``, which the caller
+    must have bound to the salted md5 of its key (kept as a named
+    column so codegen computes the digest once, not 8 times) — the
+    key/salt pair deliberately does not appear here so the signature
+    can't suggest it recomputes the digest."""
     terms = " + ".join(
         f"(instr('{_HEX}', substring({digest_col}, {j + 1}, 1)) - 1)"
         f" * CAST({16 ** (7 - j)} AS BIGINT)"
@@ -152,7 +155,7 @@ def domain_mixture_sample(
     )
     return (
         keyed.join(F.broadcast(rates), domain_col)
-        .where(digest_unit(key_col, salt) < F.col("keep_frac"))
+        .where(digest_unit("_d") < F.col("keep_frac"))
         .drop("_d", "keep_frac")
     )
 

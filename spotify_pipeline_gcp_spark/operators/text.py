@@ -184,10 +184,12 @@ def contamination_pairs(
     pat = rf"(?:^|(?<= ))(?=((\S+ ){{{n - 1}}}\S+))"
 
     def gram_rows(frame: DataFrame, out_id: str) -> DataFrame:
-        # single-space normalize first so grams span runs of
-        # whitespace and the captured strings are single-space-joined
-        # (= the oracle's filtered-token join)
-        norm = F.regexp_replace(F.trim(F.col(text_col)), " +", " ")
+        # normalize ALL whitespace (\s+, not just spaces — tabs and
+        # newlines must separate tokens the same way the \S+ token
+        # definition implies) to single spaces first, so grams span
+        # runs of any whitespace and the captured strings are
+        # single-space-joined (= the oracle's filtered-token join)
+        norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
         grams = F.regexp_extract_all(norm, F.lit(pat), 1)
         return frame.select(
             F.col(id_col).alias(out_id),

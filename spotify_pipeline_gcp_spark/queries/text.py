@@ -183,9 +183,11 @@ def qt6_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qt7_contamination",
     oracle=f"""
     WITH t AS (
-      -- empty-token filter matches the Spark side's \\S+ tokenization
+      -- \\s -> ' ' then split + empty-token filter == \\S+ runs,
+      -- matching the Spark side's whitespace-normalized tokenization
       SELECT doc_id, source,
-             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             list_filter(string_split(regexp_replace(text, '\\s', ' ', 'g'), ' '),
+                         x -> x <> '') AS toks
       FROM documents
     ),
     g AS (

@@ -175,22 +175,35 @@ class ParquetWarehouse:
         table granularity — a manifest format (Delta/Iceberg) narrows
         the rewrite to matched files; the plan shape is identical.
         """
-        incoming = df
-        dup = (
-            incoming.groupBy(*key_cols).count().where("count > 1").limit(1)
+        from spotify_pipeline_gcp_spark.operators.dedup import (
+            _unpersist_checkpoint,
         )
-        if dup.count() > 0:
-            raise ValueError(
-                f"merge_upsert: incoming rows contain duplicate keys on {key_cols}"
+
+        # Materialize incoming ONCE before the duplicate check: the
+        # frame is referenced twice (dup-key count, then the rewrite),
+        # and a non-deterministic input recomputed between the two
+        # could pass the check yet write duplicate keys. localCheckpoint
+        # pins the checked rows as THE rows written; blocks are
+        # released after the swap.
+        incoming = df.localCheckpoint(eager=True)
+        try:
+            dup = (
+                incoming.groupBy(*key_cols).count().where("count > 1").limit(1)
             )
-        if not self.exists(table):
-            incoming.write.mode("overwrite").parquet(self._path(table))
-            return
-        existing = self.scan(table)
-        keys = incoming.select(*key_cols).dropDuplicates()
-        keep = existing.join(keys, on=key_cols, how="left_anti")
-        merged = keep.unionByName(incoming.select(*existing.columns))
-        self._swap_in(merged, table)
+            if dup.count() > 0:
+                raise ValueError(
+                    f"merge_upsert: incoming rows contain duplicate keys on {key_cols}"
+                )
+            if not self.exists(table):
+                incoming.write.mode("overwrite").parquet(self._path(table))
+                return
+            existing = self.scan(table)
+            keys = incoming.select(*key_cols).dropDuplicates()
+            keep = existing.join(keys, on=key_cols, how="left_anti")
+            merged = keep.unionByName(incoming.select(*existing.columns))
+            self._swap_in(merged, table)
+        finally:
+            _unpersist_checkpoint(incoming)
 
     def compact(self, table: str, target_file_bytes: int = 128 * 1024**2) -> int:
         """Compact a table's files to ~``target_file_bytes`` each —
@@ -207,9 +220,27 @@ class ParquetWarehouse:
         the same."""
         self._recover(table)
         target = self._path(table)
+        # A hive-partitioned layout (key=value subdirectories) would be
+        # silently FLATTENED by this whole-table rewrite (scan folds the
+        # partition column in; the rewrite writes one flat dir) — and a
+        # top-level glob would size it as 0 bytes. Refuse loudly:
+        # partitioned tables compact per-partition on a schedule.
+        part_dirs = [
+            d
+            for d in os.listdir(target)
+            if os.path.isdir(os.path.join(target, d)) and "=" in d
+        ]
+        if part_dirs:
+            raise ValueError(
+                f"compact: table '{table}' has a partitioned layout "
+                f"({part_dirs[0]}, ...); whole-table compaction would "
+                "flatten it. Compact individual partitions instead."
+            )
         total_bytes = sum(
             os.path.getsize(f)
-            for f in glob.glob(os.path.join(target, "*.parquet"))
+            for f in glob.glob(
+                os.path.join(target, "**", "*.parquet"), recursive=True
+            )
         )
         n_files = max(1, -(-total_bytes // max(1, target_file_bytes)))
         self._swap_in(self.scan(table).repartition(n_files), table)

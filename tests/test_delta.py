@@ -122,3 +122,18 @@ def test_compact_small_files(spark, tmp_path):
     assert wh.scan("t").agg({"v": "sum"}).first()[0] == sum(
         2 * i for i in range(1000)
     )
+
+
+def test_compact_refuses_partitioned_layout(spark, tmp_path):
+    import pytest as _pytest
+
+    from spotify_pipeline_gcp_spark.sinks.writers import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    # write a hive-partitioned table directly into the warehouse dir
+    df = spark.range(100).selectExpr("id", "id % 3 AS part")
+    df.write.partitionBy("part").parquet(str(tmp_path / "wh" / "t"))
+    with _pytest.raises(ValueError, match="partitioned layout"):
+        wh.compact("t")
+    # layout untouched by the refusal
+    assert wh.scan("t").count() == 100

@@ -135,3 +135,25 @@ def test_contamination_pairs_whitespace_tokens(spark):
         for r in contamination_pairs(corpus, bench, "doc_id", "text", n=4).collect()
     ]
     assert got == [(1, 9, 1)]  # 'alpha beta gamma delta' despite the double space
+
+
+def test_contamination_pairs_tabs_newlines(spark):
+    # tabs and newlines separate tokens exactly like spaces (\s+
+    # normalization): the planted 4-gram spans a tab and a newline
+    from spotify_pipeline_gcp_spark.operators.text import contamination_pairs
+
+    bench = spark.createDataFrame(
+        [(9, "alpha\tbeta gamma\ndelta tail")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta\tgamma delta"),
+            (2, "alpha-beta gamma delta unrelated"),  # no token match
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.doc_id, r.bench_id, r.n_shared)
+        for r in contamination_pairs(corpus, bench, "doc_id", "text", n=4).collect()
+    ]
+    assert got == [(1, 9, 1)]
