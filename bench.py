@@ -102,7 +102,7 @@ def _calibration(spark, sf_dir: str, reps: int = 3) -> dict[str, float]:
     drift-normalize round A vs round B, divide per-query times by the
     rounds' respective calibration times."""
     def cpu() -> None:
-        spark.range(0, 200_000_000, 1, 32).selectExpr(
+        spark.range(0, 1_000_000_000, 1, 32).selectExpr(
             "sum((id * 2654435761) % 1000003) AS s"
         ).collect()
 

@@ -538,7 +538,19 @@ def dedup_components(
     converge in O(cluster diameter) rounds (tiny); a graph that
     legitimately needs more rounds should raise ``max_iter`` or use
     the O(log n) star-contraction alternative cited above.
+
+    Checkpoint blocks are DISK_ONLY: the loop's working set (edge
+    list + two label frames) must not compete with execution memory —
+    with the default deserialized in-memory level, a 10x corpus
+    thrashed the collector at small heaps (GC-locker churn in block
+    writes) and needed a 16 g driver. Each round reads its
+    predecessor's blocks exactly once, so the disk round-trip costs
+    far less than the heap pressure it removes; the loop's heap use
+    is now O(1) in data size.
     """
+    from pyspark import StorageLevel
+
+    disk = StorageLevel.DISK_ONLY
     edges = (
         pairs.select(F.col(node_a).alias("u"), F.col(node_b).alias("v"))
         .union(pairs.select(F.col(node_b).alias("u"), F.col(node_a).alias("v")))
@@ -546,13 +558,13 @@ def dedup_components(
         # and without truncation the whole upstream pair-generation
         # subplan (e.g. an LSH or Jaccard pipeline) would re-execute
         # per iteration
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=disk)
     )
     labels = (
         edges.select(F.col("u").alias("node"))
         .dropDuplicates()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=disk)
     )
     # `ckpt` tracks the frame that IS the LogicalRDD checkpoint node
     # (release must target it directly — a projection on top would
@@ -575,8 +587,8 @@ def dedup_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()  # eager: materialized before the old
-            # round is released below
+            .localCheckpoint(storageLevel=disk)  # eager: materialized
+            # before the old round is released below
         )
         n_changed = new_round.where(
             F.col("label") != F.col("prev_label")
