@@ -1,0 +1,163 @@
+"""HTTP layer tests: the real fetcher/transport code paths driven by
+a fake session (no network), the env gate, and cassette record/replay
+through a real source adapter."""
+
+from __future__ import annotations
+
+import pytest
+
+from spotify_pipeline_gcp_spark.sources.http import (
+    Cassette,
+    HttpError,
+    fetcher_from_env,
+    requests_fetcher,
+    requests_token_transport,
+)
+
+
+class FakeResponse:
+    def __init__(self, status_code=200, doc=None, headers=None, text=""):
+        self.status_code = status_code
+        self._doc = doc if doc is not None else {}
+        self.headers = headers or {}
+        self.text = text
+
+    def json(self):
+        return self._doc
+
+
+class FakeSession:
+    """Duck-typed requests.Session: scripted responses, call log."""
+
+    def __init__(self, responses):
+        self.responses = list(responses)
+        self.calls = []
+
+    def get(self, url, params=None, headers=None, timeout=None):
+        self.calls.append(("GET", url, params, headers))
+        return self.responses.pop(0)
+
+    def post(self, url, data=None, headers=None, timeout=None):
+        self.calls.append(("POST", url, data, headers))
+        return self.responses.pop(0)
+
+
+def test_fetcher_bearer_and_params():
+    sess = FakeSession([FakeResponse(doc={"items": [1, 2]})])
+    fetch = requests_fetcher("tok123", session=sess)
+    doc = fetch("v1/me/player/recently-played", {"limit": 50, "after": 7})
+    assert doc == {"items": [1, 2]}
+    method, url, params, headers = sess.calls[0]
+    assert url == "https://api.spotify.com/v1/me/player/recently-played"
+    assert params == {"limit": 50, "after": 7}
+    assert headers["Authorization"] == "Bearer tok123"
+
+
+def test_fetcher_429_honors_retry_after_then_succeeds():
+    sess = FakeSession(
+        [
+            FakeResponse(429, headers={"Retry-After": "2.5"}),
+            FakeResponse(doc={"ok": True}),
+        ]
+    )
+    waits = []
+    fetch = requests_fetcher("t", session=sess, sleep=waits.append)
+    assert fetch("v1/x", {}) == {"ok": True}
+    assert waits == [2.5]
+
+
+def test_fetcher_5xx_exponential_backoff_then_exhausts():
+    sess = FakeSession([FakeResponse(503, text="unavailable")] * 3)
+    waits = []
+    fetch = requests_fetcher(
+        "t", session=sess, max_retries=2, backoff=1.0, sleep=waits.append
+    )
+    with pytest.raises(HttpError, match="503"):
+        fetch("v1/x", {})
+    assert waits == [1.0, 2.0]  # two retries, exponential
+
+
+def test_fetcher_4xx_fails_fast():
+    sess = FakeSession([FakeResponse(401, text="bad token")])
+    fetch = requests_fetcher("t", session=sess, sleep=lambda s: None)
+    with pytest.raises(HttpError, match="401"):
+        fetch("v1/x", {})
+    assert len(sess.calls) == 1  # no retry on auth failure
+
+
+def test_env_gate_returns_none_without_credentials():
+    assert fetcher_from_env(env={}) is None
+
+
+def test_env_gate_static_token():
+    sess = FakeSession([FakeResponse(doc={"ok": 1})])
+    fetch = fetcher_from_env(
+        env={"SPOTIFY_ACCESS_TOKEN": "envtok"}, session=sess
+    )
+    assert fetch("v1/x", {}) == {"ok": 1}
+    assert sess.calls[0][3]["Authorization"] == "Bearer envtok"
+
+
+def test_env_gate_refresh_flow_end_to_end():
+    # one POST exchange (cached), then two bearer GETs with the
+    # exchanged access token — the reference's auth.py flow through
+    # the REAL transport + provider + fetcher composition
+    sess = FakeSession(
+        [
+            FakeResponse(doc={"access_token": "fresh", "expires_in": 3600}),
+            FakeResponse(doc={"a": 1}),
+            FakeResponse(doc={"b": 2}),
+        ]
+    )
+    fetch = fetcher_from_env(
+        env={
+            "SPOTIFY_REFRESH_TOKEN": "rt",
+            "SPOTIFY_CLIENT_ID": "cid",
+            "SPOTIFY_CLIENT_SECRET": "cs",
+        },
+        session=sess,
+    )
+    assert fetch("v1/a", {})["a"] == 1
+    assert fetch("v1/b", {})["b"] == 2
+    posts = [c for c in sess.calls if c[0] == "POST"]
+    gets = [c for c in sess.calls if c[0] == "GET"]
+    assert len(posts) == 1  # token cached across calls
+    assert posts[0][2]["grant_type"] == "refresh_token"
+    assert posts[0][3]["Authorization"].startswith("Basic ")
+    assert all(g[3]["Authorization"] == "Bearer fresh" for g in gets)
+
+
+def test_token_transport_error():
+    sess = FakeSession([FakeResponse(400, text="invalid_grant")])
+    post = requests_token_transport(session=sess)
+    with pytest.raises(HttpError, match="400"):
+        post("https://accounts.example/api/token", {}, {})
+
+
+def test_cassette_record_replay_through_source(spark, tmp_path):
+    from spotify_pipeline_gcp_spark.sources.rest import PlaybackHistorySource
+
+    tape_path = str(tmp_path / "tape.json")
+    live_doc = {
+        "items": [
+            {
+                "track": None,
+                "played_at": "2024-01-01T00:00:00.000Z",
+                "context": None,
+            }
+        ]
+    }
+    # record: the "live" fetcher is a fake here; in production it is
+    # requests_fetcher, the seam is identical
+    recorded = Cassette(tape_path).record(lambda ep, params: live_doc)
+    assert recorded("v1/me/player/recently-played", {"limit": 50, "after": 1})
+
+    # replay: the SAME request shape served from the tape, through the
+    # real source adapter into a schema-declared DataFrame
+    src = PlaybackHistorySource(spark, fetcher=Cassette(tape_path).replay())
+    df = src.load(limit=50, after_ms=1)
+    assert df.count() == 1
+
+    # a drifted request shape fails loudly instead of passing silently
+    with pytest.raises(HttpError, match="cassette miss"):
+        Cassette(tape_path).replay()("v1/me/player/recently-played", {"limit": 49})
