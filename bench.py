@@ -77,6 +77,8 @@ HEADLINE_EXT = [
     "qst5_streaming_incremental_near_dup",
     "qs13_cosine_topk_bucketed_sized",
     "qs14_cosine_topk_ivf_kmeans_sized",
+    "qt9_chunk_windows",
+    "qs15_query_corpus_topk",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

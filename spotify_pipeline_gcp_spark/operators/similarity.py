@@ -140,6 +140,19 @@ def sign_bits_for(n_vectors: int, target_bucket: int = 256) -> int:
     return max(1, math.ceil(math.log2(index_size_for(n_vectors, target_bucket))))
 
 
+def trained_cells_for(n_vectors: int) -> int:
+    """Cell count for a TRAINED quantizer: k = floor(sqrt(n)) — the
+    classic IVF balance. ``index_size_for``'s cells = n/target is
+    right only when partitioning is free (sign buckets): it keeps
+    search linear (n·target candidates) but a TRAINER that scores
+    every vector against every centroid then costs n·k = n²/target —
+    quadratic. k = √n balances trainer (n^1.5) against within-cell
+    search (n²/k = n^1.5), the standard FAISS/IVF sizing. Computed
+    as floor of the IEEE double sqrt so an SQL oracle running
+    ``floor(sqrt(count(*)))`` reproduces it bit-for-bit."""
+    return max(1, math.floor(math.sqrt(n_vectors)))
+
+
 def sign_bucket(vec_col: str, n_bits: int = 4) -> Column:
     """Coarse quantization code: sign bits of the first ``n_bits``
     components. A deterministic stand-in for trained IVF centroids —

@@ -255,3 +255,61 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lambda acc, v: (acc * 131 + v) % MOD_PRIME,
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window prep
+    step in front of embedding / RAG-indexing / training-example
+    assembly: each document becomes ceil((n_tok - overlap) / step)
+    chunks (step = chunk_tokens - overlap, minimum one chunk), each
+    holding ``chunk_tokens`` tokens except a shorter tail, each
+    sharing ``overlap`` tokens with its predecessor so no boundary
+    context is lost.
+
+    Scale shape: tokens are ``\\S+`` runs (whitespace-normalized
+    split, engine-portable), chunk starts come from an exploded
+    ``sequence`` and the window itself is one ``slice`` — all
+    row-local codegen, zero shuffle, and output size is
+    ~n_tok/step × the corpus, the same linear factor any chunker
+    pays. Output: (id, chunk_id, chunk_n_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    step = chunk_tokens - overlap
+    toks = F.array_remove(
+        F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "),
+        "",
+    )
+    base = (
+        df.select(F.col(id_col), toks.alias("toks"))
+        .withColumn("n_tok", F.size("toks").cast("long"))
+        .withColumn(
+            "n_chunks",
+            F.expr(
+                f"greatest(CAST(1 AS BIGINT), (n_tok - {overlap} + {step - 1}) div {step})"
+            ),
+        )
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_id") * step + 1, chunk_tokens)
+    return (
+        base.withColumn(
+            "chunk_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.size(chunk).cast("long").alias("chunk_n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

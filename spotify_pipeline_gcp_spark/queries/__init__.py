@@ -48,9 +48,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 # Run tools/window_check.py after any registration change;
 # tools/selfcheck.py re-verifies the FULL registry every round.
 _WINDOW_ORDER = [
-    # new this round — the auto-sized ANN shapes (r5 verdict #1)
+    # new this round — the auto-sized ANN shapes (r5 verdict #1),
+    # token-window chunking, and the two-table serving-shape ANN
     "qs13_cosine_topk_bucketed_sized",
     "qs14_cosine_topk_ivf_kmeans_sized",
+    "qt9_chunk_windows",
+    "qs15_query_corpus_topk",
     # r2-stale (displaced from the r5 window)
     "qs4_cosine_topk_blas",
     "qs6_cosine_topk_ivf_blas",
@@ -101,8 +104,9 @@ _WINDOW_ORDER = [
     "q44_flagship_partition_ready",
     "q45_cube",
     "q46_range_frame",
-    "q47_range_join",
-    "q48_rank_battery",
+    # q47_range_join / q48_rank_battery rotate out (r4-green,
+    # modules unchanged) to make room for qt9/qs15 — first in line
+    # for r7 alongside q24–q28
 ]
 
 _MODULES = [

@@ -696,8 +696,8 @@ def qs13_cosine_topk_bucketed_sized(spark: SparkSession, sf_dir: str) -> DataFra
         64,
         5,
         extra_cte=(
-            "sizek AS (SELECT greatest(1, count(*) // 256) AS k"
-            " FROM embeddings)"
+            "sizek AS (SELECT greatest(1, CAST(floor(sqrt(count(*)))"
+            " AS BIGINT)) AS k FROM embeddings)"
         ),
     ),
 )
@@ -705,23 +705,25 @@ def qs14_cosine_topk_ivf_kmeans_sized(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The AUTO-SIZED trained IVF — qs7's trained quantizer with
-    k = ``index_size_for(count)`` cells (n / 256) instead of a pinned
-    16, so cell population stays constant as the corpus grows and the
-    within-cell self-join stays ~linear (the k ≈ √n-to-n/c rebalance
-    SCALE_BENCH_r05 measured: pinned k=16 went x6.5 on x10 data).
-    The oracle computes k from the same count inside a sizing CTE and
-    replays training + search with it — the data-adaptive model stays
-    hash-verified end to end. At tiny sf the sizing yields k=1 (one
-    cell = exact brute force): correct degradation — small corpora
-    don't need pruning."""
+    k = ``trained_cells_for(count)`` = floor(√n) cells instead of a
+    pinned 16: the classic IVF balance (trainer scores n·k = n^1.5,
+    within-cell search n²/k = n^1.5 — unlike the bucket shapes,
+    where partitioning is free and cells = n/256 keeps search linear,
+    a trained quantizer pays for its cells; SCALE_BENCH_r05 measured
+    the rebalance directly: pinned k=16 went x6.5 on x10 data, k≈√n
+    cut 83 s to 64 s). The oracle computes k from the same count —
+    ``floor(sqrt(count(*)))`` is the same IEEE double sqrt both
+    engines round identically — inside a sizing CTE and replays
+    training + search with it, so the data-adaptive model stays
+    hash-verified end to end."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         assign_clusters,
-        index_size_for,
         kmeans_centroids,
+        trained_cells_for,
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    k = index_size_for(emb.count())
+    k = trained_cells_for(emb.count())
     cent = kmeans_centroids(emb, "vec_id", "embedding", k=k, n_iter=2)
     asg = assign_clusters(emb, cent, "vec_id", "embedding").repartition(
         F.col("cid")
@@ -741,4 +743,76 @@ def qs14_cosine_topk_ivf_kmeans_sized(
     )
     return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= 5
+    )
+
+
+@register(
+    "qs15_query_corpus_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding FROM embeddings WHERE label % 10 = 0
+    ),
+    c AS (
+      SELECT vec_id, embedding FROM embeddings WHERE label % 10 <> 0
+    ),
+    qc AS (
+      SELECT vec_id, embedding,
+             ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::BIGINT AS bucket
+      FROM q
+    ),
+    cc AS (
+      SELECT vec_id, embedding,
+             ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::BIGINT AS bucket
+      FROM c
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {sql_fixed(f'{DOT_AB} / ({NORM.format("a")} * {NORM.format("b")})', 6)} AS cosine_r
+      FROM qc a JOIN cc b ON a.bucket = b.bucket
+    )
+    SELECT query_id, neighbor_id, cosine_r,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_r DESC, neighbor_id)::BIGINT AS rank
+    FROM pairs
+    QUALIFY rank <= 3
+    """,
+)
+def qs15_query_corpus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING shape: a small query set against a big corpus —
+    asymmetric two-table ANN, distinct from the self-join analytics
+    shapes (qs2/qs3). The query side (here the ``label % 10 = 0``
+    slice — a stand-in for an inference batch) is broadcast-hinted:
+    candidate generation is a broadcast hash join on the bucket code,
+    so the CORPUS NEVER SHUFFLES — the plan a 100 TB index wants,
+    since the corpus side is the one that scales. Per-query top-3 by
+    fixed-point cosine, deterministic tie-break."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = _double_base(
+        emb.where(F.col("label") % 10 == 0), "vec_id", "embedding"
+    ).withColumn("bucket", sign_bucket("v", 4))
+    corpus = _double_base(
+        emb.where(F.col("label") % 10 != 0), "vec_id", "embedding"
+    ).withColumn("bucket", sign_bucket("v", 4))
+    cos = fixed(
+        _dot_pre(F.col("q.v"), F.col("c.v")) / (F.col("q.norm") * F.col("c.norm")),
+        6,
+    )
+    pairs = F.broadcast(queries.alias("q")).join(
+        corpus.alias("c"), F.col("q.bucket") == F.col("c.bucket")
+    ).select(
+        F.col("q.id").alias("query_id"),
+        F.col("c.id").alias("neighbor_id"),
+        cos.alias("cosine_r"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= 3
     )

@@ -264,3 +264,41 @@ def qt4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint (left fold,
     pure integer arithmetic — exact in any engine)."""
     return fingerprint(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "qt9_chunk_windows",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(text, '\\s', ' ', 'g'), ' '),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             greatest(1, (len(toks) - 8 + 55) // 56)::BIGINT AS n_chunks
+      FROM t
+    ),
+    e AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_id FROM c)
+    SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+           len(list_slice(toks, chunk_id * 56 + 1, chunk_id * 56 + 64))::BIGINT
+             AS chunk_n_tokens,
+           array_to_string(list_slice(toks, chunk_id * 56 + 1, chunk_id * 56 + 64), ' ')
+             AS chunk_text
+    FROM e
+    """,
+)
+def qt9_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, 8-token
+    overlap) — the context-window prep in front of embedding /
+    RAG-indexing / example assembly. Row-local sequence-explode +
+    slice, zero shuffle (operators/text.py::chunk_documents); the
+    oracle replays the same integer chunk-count arithmetic and
+    1-based inclusive slices."""
+    from spotify_pipeline_gcp_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_tokens=64, overlap=8,
+    )

@@ -350,6 +350,17 @@ def test_index_sizing_arithmetic():
     # monotone in n: a bigger corpus never gets a smaller index
     sizes = [index_size_for(n) for n in (10**3, 10**5, 10**7, 10**9)]
     assert sizes == sorted(sizes)
+    # trained-cell sizing: k = floor(sqrt(n)), the IVF trainer/search
+    # balance (n*k trainer vs n^2/k search)
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        trained_cells_for,
+    )
+
+    assert trained_cells_for(0) == 1 and trained_cells_for(1) == 1
+    assert trained_cells_for(500) == 22
+    assert trained_cells_for(2_000) == 44
+    assert trained_cells_for(20_000) == 141
+    assert trained_cells_for(10**6) == 1000
 
 
 def test_sized_bucketed_matches_manual_bits(spark):
@@ -386,21 +397,73 @@ def test_sized_bucketed_matches_manual_bits(spark):
     assert sized == manual and len(sized) > 0
 
 
-def test_sized_ivf_degenerates_to_exact_at_tiny_n(spark):
-    # at n < 512 the sizing yields k=1 — one cell, so the sized IVF
-    # (qs14) must return exactly the brute-force top-k (qs2)
+def test_sized_ivf_matches_manual_sqrt_k(spark):
+    # qs14's auto-sized plan must equal qs7's shape run with the SAME
+    # k = floor(sqrt(n)) computed by hand — the sizing is the only
+    # difference
+    from spotify_pipeline_gcp_spark.queries.compat import table
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        assign_clusters,
+        kmeans_centroids,
+        trained_cells_for,
+    )
     from spotify_pipeline_gcp_spark.queries.similarity import (
-        qs2_cosine_topk,
+        _dot_pre,
+        fixed,
         qs14_cosine_topk_ivf_kmeans_sized,
     )
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
 
     sf_dir = "/root/testdata/sf0.001"
-    exact = {
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = trained_cells_for(n)
+    assert 1 < k < n  # sizing is non-degenerate even at the tiny sf
+    cent = kmeans_centroids(emb, "vec_id", "embedding", k=k, n_iter=2)
+    asg = assign_clusters(emb, cent, "vec_id", "embedding")
+    a, b = asg.alias("a"), asg.alias("b")
+    cos = fixed(_dot_pre(F.col("a.u"), F.col("b.u")), 6)
+    pairs = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("query_id"),
+        F.col("b.id").alias("neighbor_id"),
+        cos.alias("cosine_r"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id")
+    )
+    manual = {
         (r.query_id, r.neighbor_id, r.rank)
-        for r in qs2_cosine_topk(spark, sf_dir).collect()
+        for r in pairs.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).where(F.col("rank") <= 5).collect()
     }
     sized = {
         (r.query_id, r.neighbor_id, r.rank)
         for r in qs14_cosine_topk_ivf_kmeans_sized(spark, sf_dir).collect()
     }
-    assert sized == exact and len(sized) > 0
+    assert sized == manual and len(sized) > 0
+
+
+def test_query_corpus_topk_is_broadcast_and_correct(spark):
+    # serving shape: every returned neighbor must be a corpus vector
+    # in the query's bucket, ranks dense from 1, and the plan must
+    # broadcast the query side (corpus never shuffles)
+    from spotify_pipeline_gcp_spark.queries.similarity import (
+        qs15_query_corpus_topk,
+    )
+
+    df = qs15_query_corpus_topk(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) > 0
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_query.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -157,3 +157,38 @@ def test_contamination_pairs_tabs_newlines(spark):
         for r in contamination_pairs(corpus, bench, "doc_id", "text", n=4).collect()
     ]
     assert got == [(1, 9, 1)]
+
+
+def test_chunk_documents_boundaries(spark):
+    from spotify_pipeline_gcp_spark.operators.text import chunk_documents
+
+    toks120 = " ".join(f"t{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [
+            (1, toks120),          # 120 tokens -> chunks at 0 and 56 (64 tok each)
+            (2, "a b c"),          # short: one 3-token chunk
+            (3, "x\t y\n\nz  w"),  # whitespace soup: 4 tokens, one chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, r.chunk_n_tokens) for r in out.collect())
+    )
+    assert rows == [(1, 0, 64), (1, 1, 64), (2, 0, 3), (3, 0, 4)]
+    by_key = {
+        (r.doc_id, r.chunk_id): r.chunk_text for r in out.collect()
+    }
+    # overlap: chunk 1 starts at token 56, so tokens 56..63 appear in both
+    assert by_key[(1, 0)].split(" ")[56:] == by_key[(1, 1)].split(" ")[:8]
+    assert by_key[(3, 0)] == "x y z w"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from spotify_pipeline_gcp_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=8, overlap=8)
