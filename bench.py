@@ -79,6 +79,7 @@ HEADLINE_EXT = [
     "qs14_cosine_topk_ivf_kmeans_sized",
     "qt9_chunk_windows",
     "qs15_query_corpus_topk",
+    "qs16_cosine_topk_ivf_sample_trained",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

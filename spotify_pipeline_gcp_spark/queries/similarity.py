@@ -33,6 +33,8 @@ def _ivf_kmeans_oracle(
     topk: int,
     nprobe: int = 1,
     extra_cte: str = "",
+    post_u_cte: str = "",
+    train_src: str = "u",
 ) -> str:
     """DuckDB replay of the ENTIRE seeded-k-means training + IVF
     search as one finite CTE chain — possible because the operator
@@ -45,7 +47,11 @@ def _ivf_kmeans_oracle(
     ``k`` may be an SQL expression string (e.g. a scalar subquery over
     a sizing CTE passed via ``extra_cte``) so the data-adaptive index
     size — cells grown WITH the corpus, the 100 TB shape — is replayed
-    by the oracle from the same count arithmetic the engine runs."""
+    by the oracle from the same count arithmetic the engine runs.
+    ``post_u_cte``/``train_src`` support SAMPLE-trained IVF: a CTE
+    defined after ``u`` (it may reference ``u``) becomes the training
+    set for init + Lloyd rounds, while final assignment and probing
+    stay over the full ``u``."""
     ctes = ([extra_cte] if extra_cte else []) + [
         """u AS (
       SELECT vec_id,
@@ -54,13 +60,17 @@ def _ivf_kmeans_oracle(
                                                            embedding::DOUBLE[]))) AS u
       FROM embeddings
     )""",
+    ]
+    if post_u_cte:
+        ctes.append(post_u_cte)
+    ctes.append(
         f"""cent0 AS (
       SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::BIGINT AS cid,
              u AS c
-      FROM u
+      FROM {train_src}
       QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= {k}
-    )""",
-    ]
+    )"""
+    )
     for i in range(n_iter):
         ctes.append(
             f"""asg{i} AS (
@@ -68,7 +78,7 @@ def _ivf_kmeans_oracle(
         SELECT p.vec_id, p.u, c.cid,
                row_number() OVER (PARTITION BY p.vec_id
                                   ORDER BY list_dot_product(p.u, c.c) DESC, c.cid) AS rnk
-        FROM u p CROSS JOIN cent{i} c) t
+        FROM {train_src} p CROSS JOIN cent{i} c) t
       WHERE rnk = 1
     )"""
         )
@@ -815,4 +825,95 @@ def qs15_query_corpus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= 3
+    )
+
+
+# The exact integer digest fold shared with the sampling family
+# (queries/sampling.py::_UNIT_FOLD): uniform [0,1) from the first 8
+# hex digits of a salted md5, engine-identical.
+_IVF_UNIT_FOLD = " + ".join(
+    f"(strpos('0123456789abcdef', substring(_d, {j + 1}, 1)) - 1)"
+    f" * {16 ** (7 - j)}::BIGINT"
+    for j in range(8)
+)
+
+
+@register(
+    "qs16_cosine_topk_ivf_sample_trained",
+    oracle=_ivf_kmeans_oracle(
+        "(SELECT k FROM sizek)",
+        2,
+        64,
+        5,
+        extra_cte=(
+            "sizen AS (SELECT count(*)::BIGINT AS n FROM embeddings),\n"
+            "    sizek AS (SELECT greatest(1, CAST(floor(sqrt(n)) AS BIGINT))"
+            " AS k FROM sizen)"
+        ),
+        post_u_cte=(
+            "utrain AS (\n"
+            "      SELECT vec_id, u FROM (\n"
+            "        SELECT vec_id, u, md5('ivf:' || vec_id::VARCHAR) AS _d FROM u\n"
+            f"      ) WHERE ({_IVF_UNIT_FOLD}) / 4294967296.0\n"
+            "          < least(1.0, (32.0 * (SELECT k FROM sizek)) / (SELECT n FROM sizen))\n"
+            "    )"
+        ),
+        train_src="utrain",
+    ),
+)
+def qs16_cosine_topk_ivf_sample_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SAMPLE-TRAINED sized IVF — the FAISS-practice shape for
+    corpora where even the trainer must not scale with n: k-means
+    runs on a deterministic digest sample of ~32·k vectors (trainer
+    cost 32k² = O(n) at k=√n, vs n·k = n^1.5 for full training —
+    measured: full-train qs14 took 2 582 s at the 100x replica, the
+    trainer's share of which this removes), then the FULL corpus is
+    assigned to the trained cells in one pass and searched within
+    cells exactly as qs7/qs14. Membership in the training sample is
+    the sampling family's exact integer digest fold with a
+    DATA-DEPENDENT fraction (32k/n, both engines compute the same
+    double), so the ENTIRE pipeline — sizing, sampling, training,
+    assignment, search — replays hash-identically in the oracle.
+    At small sf the fraction saturates at 1.0 and this degenerates to
+    qs14 exactly."""
+    from spotify_pipeline_gcp_spark.operators.sampling import digest_unit
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        assign_clusters,
+        kmeans_centroids,
+        trained_cells_for,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = trained_cells_for(n)
+    frac = min(1.0, (32.0 * k) / n) if n else 1.0
+    sample = (
+        emb.withColumn(
+            "_d",
+            F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string"))),
+        )
+        .where(digest_unit("_d") < F.lit(frac))
+        .drop("_d")
+    )
+    cent = kmeans_centroids(sample, "vec_id", "embedding", k=k, n_iter=2)
+    asg = assign_clusters(emb, cent, "vec_id", "embedding").repartition(
+        F.col("cid")
+    )
+    a, b = asg.alias("a"), asg.alias("b")
+    cos = fixed(_dot_pre(F.col("a.u"), F.col("b.u")), 6)
+    pairs = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("query_id"),
+        F.col("b.id").alias("neighbor_id"),
+        cos.alias("cosine_r"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= 5
     )
