@@ -919,3 +919,89 @@ def keep_best_per_cluster(
         "n_members",
         (-F.col("best.ns")).alias("best_score"),
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 8,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection — the substring-level dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022), re-expressed for Spark: their suffix-array
+    scan finds every ≥w-token span that appears twice anywhere in the
+    corpus; the equivalent declarative shape is (1) every w-token
+    window per document as (doc, pos, md5(window)) rows, (2) the
+    multiset of window keys occurring ≥2 times corpus-wide (map-side
+    combinable count — repeats WITHIN a document count, so
+    self-repetition is caught too), (3) a semi-join marking each
+    duplicated position, and (4) a per-document merge of consecutive
+    duplicated positions into MAXIMAL spans via the islands trick
+    (pos − row_number is constant on a consecutive run).
+
+    Output: (doc_id, span_start, span_end, n_tokens, n_windows) —
+    1-based token interval [span_start, span_end], one row per
+    maximal duplicated span, ordered nowhere (callers sort). A span
+    of n_windows consecutive duplicated windows covers
+    n_windows + w − 1 tokens.
+
+    Scale: LINEAR by construction — unlike every pairing operator
+    (qd3/qd5/qd9) this never joins documents to documents; the only
+    wide ops are a count aggregate on window keys and an equi-join of
+    the window stream against the duplicated-key set, both
+    shuffle-partitioned on the md5 key (uniform by construction; a
+    boilerplate phrase occurring 10^6 times is ONE aggregate row and
+    10^6 linear semi-join hits, never 10^12 pairs). The per-document
+    islands window sorts only each doc's duplicated positions.
+    Tokens are \\s+ runs (text normalized like ``contamination_pairs``).
+    """
+    from pyspark.sql import Window as W
+
+    toks = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(
+            F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ", -1
+        ).alias("t"),
+    ).where(F.size("t") >= w)
+    window_expr = (
+        f"transform(sequence(1, size(t) - {w - 1}), "
+        f"i -> struct(i as pos, md5(concat_ws(' ', "
+        f"{', '.join(f't[i + {k} - 1]' for k in range(w))})) as wkey))"
+    )
+    wins = toks.select(
+        "doc_id", F.explode(F.expr(window_expr)).alias("pw")
+    ).select(
+        "doc_id", F.col("pw.pos").alias("pos"), F.col("pw.wkey").alias("wkey")
+    ).repartition(F.col("wkey"))
+    dup_keys = (
+        wins.groupBy("wkey")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+        .select("wkey")
+    )
+    # same wkey hash-partitioning on both sides: the semi-join reuses
+    # the windows exchange the count aggregate already demanded
+    dup_pos = wins.join(dup_keys, "wkey", "left_semi")
+    grp = (
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+    ).alias("grp")
+    return (
+        dup_pos.select("doc_id", "pos", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(w - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_tokens"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+        )
+    )

@@ -690,3 +690,51 @@ def qd9b_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=3,
         max_bucket=32,
     )
+
+
+@register(
+    "qd13_duplicated_spans",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    tw AS (SELECT doc_id, t FROM t WHERE len(t) >= 8),
+    posi AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos FROM tw
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(t[pos:pos+7], ' ')) AS wkey
+      FROM posi
+    ),
+    dup AS (SELECT wkey FROM wins GROUP BY wkey HAVING count(*) >= 2),
+    dpos AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (wkey)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dpos
+    )
+    SELECT doc_id,
+           min(pos)::BIGINT AS span_start,
+           (max(pos) + 7)::BIGINT AS span_end,
+           (max(pos) + 7 - min(pos) + 1)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_windows
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def qd13_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span report (substring-level dedup, the
+    Lee-et-al 2022 semantics — see
+    ``operators/dedup.py::duplicated_spans``): every maximal token
+    span whose 8-token windows ALL occur ≥2 times corpus-wide
+    (cross-document duplication AND self-repetition). The family's
+    only LINEAR dedup operator — no document pairing, just a window
+    count and a semi-join — so it is the one that still runs when the
+    corpus is 100 TB and even LSH candidate pairs are a budget item.
+    The oracle replays tokenization, 1-based window hashing, the ≥2
+    multiset filter, and the islands merge verbatim."""
+    from spotify_pipeline_gcp_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(table(spark, sf_dir, "documents"), "doc_id", "text", w=8)

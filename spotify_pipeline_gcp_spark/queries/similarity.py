@@ -151,6 +151,125 @@ def _ivf_kmeans_oracle(
     )
 
 
+def _imi_half_chain(
+    sfx: str, src: str, k: str, n_iter: int, d: int
+) -> list[str]:
+    """CTE chain for ONE of the IMI sub-quantizers (suffix ``sfx``):
+    seeded init → ``n_iter`` Lloyd rounds → final full-corpus
+    assignment ``asgf{sfx}``. Identical arithmetic to
+    ``_ivf_kmeans_oracle``'s chain, parameterized so the two-level
+    oracle (qs17) can emit it twice over the half-vector views."""
+    ctes = [
+        f"""cent0{sfx} AS (
+      SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::BIGINT AS cid,
+             u AS c
+      FROM {src}
+      QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= {k}
+    )"""
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"""asg{i}{sfx} AS (
+      SELECT vec_id, u, cid FROM (
+        SELECT p.vec_id, p.u, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY list_dot_product(p.u, c.c) DESC, c.cid) AS rnk
+        FROM {src} p CROSS JOIN cent{i}{sfx} c) t
+      WHERE rnk = 1
+    )"""
+        )
+        ctes.append(
+            f"""expl{i}{sfx} AS (
+      SELECT cid, j AS pos, u[j] AS val
+      FROM asg{i}{sfx} CROSS JOIN (SELECT unnest(range(1, {d + 1})) AS j)
+    )"""
+        )
+        ctes.append(
+            f"""qsum{i}{sfx} AS (
+      SELECT cid, pos,
+             (sum(CAST(floor(val * 1000000000.0 + 0.5) AS BIGINT)))::BIGINT AS qsum,
+             count(*)::BIGINT AS n
+      FROM expl{i}{sfx} GROUP BY cid, pos
+    )"""
+        )
+        ctes.append(
+            f"""mv{i}{sfx} AS (
+      SELECT cid, list(qsum::DOUBLE / (1000000000.0 * n) ORDER BY pos) AS mv
+      FROM qsum{i}{sfx} GROUP BY cid
+    )"""
+        )
+        ctes.append(
+            f"""cent{i + 1}{sfx} AS (
+      SELECT cid, list_transform(mv, x -> x / sqrt(list_dot_product(mv, mv))) AS c
+      FROM mv{i}{sfx}
+    )"""
+        )
+    ctes.append(
+        f"""asgf{sfx} AS (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY list_dot_product(p.u, c.c) DESC, c.cid) AS rnk
+        FROM {src} p CROSS JOIN cent{n_iter}{sfx} c) t
+      WHERE rnk = 1
+    )"""
+    )
+    return ctes
+
+
+def _imi_oracle(d: int, n_iter: int, topk: int) -> str:
+    """DuckDB replay of the ENTIRE two-level IMI pipeline — sizing
+    (k_each = floor(sqrt(sqrt(n)))), both half-vector quantizer
+    trainings, the product-cell assignment, and the within-cell
+    search — as one finite CTE chain (see ``_ivf_kmeans_oracle`` for
+    why each step is engine-portable)."""
+    h = d // 2
+    k = "(SELECT k FROM sizek)"
+    ctes = [
+        "sizen AS (SELECT count(*)::BIGINT AS n FROM embeddings)",
+        "sizek AS (SELECT greatest(2, CAST(floor(sqrt(sqrt(n))) AS BIGINT))"
+        " AS k FROM sizen)",
+        """u AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[]))) AS u
+      FROM embeddings
+    )""",
+        f"uh1 AS (SELECT vec_id, u[1:{h}] AS u FROM u)",
+        f"uh2 AS (SELECT vec_id, u[{h + 1}:{d}] AS u FROM u)",
+    ]
+    ctes += _imi_half_chain("_1", "uh1", k, n_iter, h)
+    ctes += _imi_half_chain("_2", "uh2", k, n_iter, h)
+    ctes.append(
+        """asg AS (
+      SELECT a1.vec_id, u.u, a1.cid AS cid1, a2.cid AS cid2
+      FROM asgf_1 a1
+      JOIN asgf_2 a2 ON a1.vec_id = a2.vec_id
+      JOIN u ON u.vec_id = a1.vec_id
+    )"""
+    )
+    ctes.append(
+        """pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             floor(list_dot_product(a.u, b.u) * 1000000 + 0.5) / 1000000 AS cosine_r
+      FROM asg a JOIN asg b
+        ON a.cid1 = b.cid1 AND a.cid2 = b.cid2 AND a.vec_id <> b.vec_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, cosine_r,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_r DESC, neighbor_id)::BIGINT AS rank
+    FROM pairs
+    QUALIFY rank <= {topk}
+    """
+    )
+
+
 @register("qs7_cosine_topk_ivf_kmeans", oracle=_ivf_kmeans_oracle(16, 2, 64, 5))
 def qs7_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a TRAINED coarse quantizer: seeded spherical k-means
@@ -743,6 +862,53 @@ def qs14_cosine_topk_ivf_kmeans_sized(
     pairs = a.join(
         b,
         (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("query_id"),
+        F.col("b.id").alias("neighbor_id"),
+        cos.alias("cosine_r"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= 5
+    )
+
+
+@register("qs17_cosine_topk_imi", oracle=_imi_oracle(64, 2, 5))
+def qs17_cosine_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level inverted multi-index ANN (see
+    ``operators/similarity.py::cosine_topk_imi``): the documented
+    next rung above sized single-level IVF, where the quantizer cost
+    itself must stop scaling as n^1.5. k_each = n^(1/4) per half
+    (``imi_cells_for``), product grid ≈ √n cells — same search cost
+    as qs14/qs16, √n-times fewer centroid scorings. The oracle
+    replays sizing, BOTH half-quantizer trainings, product-cell
+    assignment, and search from the same count arithmetic, so the
+    full two-level model is hash-verified end to end. Fixed-point
+    cosine before ranking keeps the top-k cut engine-independent."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _unit_vectors,
+        imi_assign,
+        imi_cells_for,
+        kmeans_centroids_on,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    k_each = imi_cells_for(emb.count())
+    pts = _unit_vectors(emb, "vec_id", "embedding")
+    h1 = pts.select("id", F.slice("u", 1, 32).alias("u"))
+    h2 = pts.select("id", F.slice("u", 33, 32).alias("u"))
+    cent1 = kmeans_centroids_on(h1, k=k_each, n_iter=2)
+    cent2 = kmeans_centroids_on(h2, k=k_each, n_iter=2)
+    asg = imi_assign(pts, cent1, cent2, 32).repartition("cid1", "cid2")
+    a, b = asg.alias("a"), asg.alias("b")
+    cos = fixed(_dot_pre(F.col("a.u"), F.col("b.u")), 6)
+    pairs = a.join(
+        b,
+        (F.col("a.cid1") == F.col("b.cid1"))
+        & (F.col("a.cid2") == F.col("b.cid2"))
+        & (F.col("a.id") != F.col("b.id")),
     ).select(
         F.col("a.id").alias("query_id"),
         F.col("b.id").alias("neighbor_id"),

@@ -425,3 +425,41 @@ def test_simhash_pairs_bucket_cap_bounds_and_recall(spark):
         banded.groupBy("band", "bv").count().where(F.col("count") <= 5)
     )
     assert ok_sizes.count() > 0  # some buckets survive the cap
+
+
+def test_duplicated_spans_maximal_merge(spark):
+    from spotify_pipeline_gcp_spark.operators.dedup import duplicated_spans
+
+    rows = [
+        (1, "a b c d e f g h i j"),      # span a..h shared with doc 2
+        (2, "z z a b c d e f g h q r"),  # same span at offset 3
+        (3, "u v w x y k1 k2 k3 k4"),    # no duplication
+        (4, "p p p p p p p p p p"),      # pure self-repetition
+        (5, "m\tn  o\np q r s t u2 v2"), # whitespace-normalized, unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_id, r.span_start, r.span_end, r.n_tokens, r.n_windows)
+        for r in duplicated_spans(df, "doc_id", "text", w=4).collect()
+    }
+    assert out == {
+        (1, 1, 8, 8, 5),   # maximal: 5 consecutive dup windows merged
+        (2, 3, 10, 8, 5),
+        (4, 1, 10, 10, 7),
+    }
+
+
+def test_duplicated_spans_disjoint_islands(spark):
+    # two separated duplicated regions in one doc stay TWO spans
+    from spotify_pipeline_gcp_spark.operators.dedup import duplicated_spans
+
+    rows = [
+        (1, "a b c X1 X2 X3 X4 X5 d e f"),
+        (2, "a b c q1 q2 q3 q4 q5 d e f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(df, "doc_id", "text", w=3).collect()
+    )
+    assert out == [(1, 1, 3), (1, 9, 11), (2, 1, 3), (2, 9, 11)]

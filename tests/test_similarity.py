@@ -467,3 +467,96 @@ def test_query_corpus_topk_is_broadcast_and_correct(spark):
         assert len(ranks) <= 3
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_imi_separable_recall_and_product_cells(spark):
+    # Four direction clusters built so the two vector HALVES each
+    # separate two of them: half-quantizers with k_each=2 must
+    # recover a 2x2 product grid, and IMI search must reproduce
+    # brute-force top-1 (each point's nearest neighbor shares both
+    # half-cells by construction).
+    import random
+
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _unit_vectors,
+        cosine_topk,
+        cosine_topk_imi,
+        imi_assign,
+        kmeans_centroids_on,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    bases = [
+        [1.0, 0.0, 1.0, 0.0],  # half1 -> +x, half2 -> +x
+        [1.0, 0.0, 0.0, 1.0],  # half1 -> +x, half2 -> +y
+        [0.0, 1.0, 1.0, 0.0],
+        [0.0, 1.0, 0.0, 1.0],
+    ]
+    rows = []
+    for i in range(40):
+        b = bases[i % 4]
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in b]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pts = _unit_vectors(df, "vec_id", "embedding")
+    h1 = pts.select("id", F.slice("u", 1, 2).alias("u"))
+    h2 = pts.select("id", F.slice("u", 3, 2).alias("u"))
+    cent1 = kmeans_centroids_on(h1, k=2, n_iter=3)
+    cent2 = kmeans_centroids_on(h2, k=2, n_iter=3)
+    asg = imi_assign(pts, cent1, cent2, 2)
+    cells = {r.id: (r.cid1, r.cid2) for r in asg.collect()}
+    # every base direction maps to exactly ONE product cell, and the
+    # grid actually partitions (≥2 cells; the seeded init may
+    # collapse one HALF's quantizer — cells only widen, recall holds)
+    by_base = {}
+    for i, cell in cells.items():
+        by_base.setdefault(i % 4, set()).add(cell)
+    assert all(len(s) == 1 for s in by_base.values())
+    assert len({next(iter(s)) for s in by_base.values()}) >= 2
+
+    brute = {r.query_id: r.neighbor_id for r in cosine_topk(df, k=1).collect()}
+    imi = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk_imi(
+            df, k_neighbors=1, k_each=2, n_iter=3
+        ).collect()
+    }
+    assert imi == brute
+
+
+def test_imi_deterministic_and_candidates_subset(spark):
+    # IMI results are bitwise-stable across runs, and every returned
+    # pair shares BOTH half-cells (the product-cell invariant).
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        cosine_topk_imi,
+        imi_cells_for,
+    )
+    from spotify_pipeline_gcp_spark.queries.compat import table
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k_each = imi_cells_for(n)
+    assert 2 <= k_each and k_each * k_each < n
+    a = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk_imi(emb, k_neighbors=3, k_each=k_each).collect()
+    }
+    b = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk_imi(emb, k_neighbors=3, k_each=k_each).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_imi_odd_dim_rejected(spark):
+    from spotify_pipeline_gcp_spark.operators.similarity import cosine_topk_imi
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="even vector dim"):
+        cosine_topk_imi(df, k_neighbors=1, k_each=2)
