@@ -1083,6 +1083,201 @@ def cosine_topk_imi(
     )
 
 
+def kmeans_l2_on(pts: DataFrame, k: int, n_iter: int = 2) -> DataFrame:
+    """Plain (non-spherical) Lloyd k-means over (id, u) — the PQ
+    sub-quantizer trainer: assignment by MINIMUM Euclidean distance,
+    expressed as argmax of ``dot(u, c) − ‖c‖²/2`` (the ‖u‖² term is
+    constant per point, so the argmin is identical — and the dot-form
+    keeps every scoring a fold both engines replay bitwise), update =
+    the quantized-integer positional mean WITHOUT renormalization
+    (``_cell_means``'s mv directly — PQ codebook entries must
+    approximate the subvector itself, magnitude included, unlike the
+    unit centroids of a direction quantizer). Same determinism
+    contract as ``kmeans_centroids_on``: seeded-md5 init, fixed
+    iterations, ties → lowest cid."""
+    spark = pts.sparkSession
+    cent = _seeded_init(pts, k)
+    for _ in range(n_iter):
+        withcc = cent.withColumn("cc", _dot_pre(F.col("c"), F.col("c")))
+        scored = pts.crossJoin(F.broadcast(withcc)).withColumn(
+            "score", _dot_pre(F.col("u"), F.col("c")) - F.lit(0.5) * F.col("cc")
+        )
+        assigned = (
+            scored.groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(F.col("score"), (-F.col("cid")).alias("ncid"))
+                ).alias("best"),
+                F.first("u").alias("u"),
+            )
+            .select("id", "u", (-F.col("best.ncid")).cast("long").alias("cid"))
+        )
+        means = _cell_means(assigned, "cid")
+        rows = [(r["cid"], list(r["mv"])) for r in means.collect()]
+        cent = spark.createDataFrame(rows, "cid long, c array<double>")
+    return cent
+
+
+def pq_codebooks(
+    pts: DataFrame, m: int, d_sub: int, k_pq: int, n_iter: int = 2
+) -> list[DataFrame]:
+    """One L2-trained codebook per subvector slice: ``m`` independent
+    ``kmeans_l2_on`` runs over ``slice(u, s·d_sub+1, d_sub)``.
+    Returns a list of (cid, c) frames — O(m·k·d_sub) total model
+    state, collected/broadcast like every quantizer here."""
+    books = []
+    for s in range(m):
+        sub = pts.select(
+            "id", F.slice("u", s * d_sub + 1, d_sub).alias("u")
+        )
+        books.append(kmeans_l2_on(sub, k=k_pq, n_iter=n_iter))
+    return books
+
+
+def _tagged_books(books: list[DataFrame]) -> DataFrame:
+    """(q, cid, c, cc): all sub-codebooks unioned with their
+    sub-quantizer index ``q`` and precomputed ‖c‖² — the broadcast
+    model table every PQ stage scores against."""
+    tagged = None
+    for s, b in enumerate(books):
+        t = b.select(
+            F.lit(s).alias("q"),
+            "cid",
+            "c",
+            _dot_pre(F.col("c"), F.col("c")).alias("cc"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return tagged
+
+
+def pq_encode(
+    pts: DataFrame, books: list[DataFrame], m: int, d_sub: int
+) -> DataFrame:
+    """(id, codes: array<long>): PQ encoding — each subvector mapped
+    to its nearest (L2) codebook entry, ALL ``m`` assignments in one
+    broadcast-scored pass with conditional struct-max aggregation
+    (the ``imi_assign`` shape generalized to m quantizers): the
+    corpus is scored against the m·k tagged codebook rows, collapses
+    map-side to one row per vector, and is never shuffled or
+    self-joined. 64 float dims become m small ints — the compressed
+    representation a 100 TB index actually stores."""
+    tagged = _tagged_books(books)
+    withsubs = pts.select(
+        "id",
+        "u",
+        *[
+            F.slice("u", s * d_sub + 1, d_sub).alias(f"u{s}")
+            for s in range(m)
+        ],
+    )
+    score = None
+    for s in range(m):
+        branch = _dot_pre(F.col(f"u{s}"), F.col("c")) - F.lit(0.5) * F.col("cc")
+        score = (
+            F.when(F.col("q") == s, branch)
+            if score is None
+            else score.when(F.col("q") == s, branch)
+        )
+    scored = withsubs.crossJoin(F.broadcast(tagged)).withColumn("score", score)
+    aggs = [
+        F.max(
+            F.when(
+                F.col("q") == s,
+                F.struct(F.col("score"), (-F.col("cid")).alias("ncid")),
+            )
+        ).alias(f"b{s}")
+        for s in range(m)
+    ]
+    return (
+        scored.groupBy("id")
+        .agg(*aggs)
+        .select(
+            "id",
+            F.array(
+                *[(-F.col(f"b{s}.ncid")).cast("long") for s in range(m)]
+            ).alias("codes"),
+        )
+    )
+
+
+def pq_adc_topk(
+    queries_pts: DataFrame,
+    corpus_codes: DataFrame,
+    books: list[DataFrame],
+    m: int,
+    d_sub: int,
+    k_neighbors: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: score(q, x) = Σ_s
+    dot(q_s, c[s, code_s(x)]) — the query stays full-precision, the
+    corpus is m codes, per-pair cost m table lookups instead of a
+    d-dim dot (Jégou, Douze & Schmid, "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011).
+
+    Shape: the per-query lookup table T (n_q·m·k rows — queries ×
+    codebooks, broadcast) joins the EXPLODED corpus codes on
+    (sub, code); the partial scores collapse map-side in the
+    (query, corpus) sum — so the corpus-side shuffle carries one row
+    per surviving pair partial, and the corpus parquet itself only
+    ever streams its m-int code column, never the vectors. Scores
+    are fixed-point rounded BEFORE ranking (engine-independent cut);
+    ties → neighbor_id."""
+    from pyspark.sql import Window as W
+
+    tagged = _tagged_books(books)
+    tbl = (
+        queries_pts.alias("qq")
+        .crossJoin(F.broadcast(tagged))
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("q").alias("s"),
+            F.col("cid").alias("code"),
+            # partial scores quantized to integers at the table, so
+            # the per-pair Σ_s is an EXACT commutative BIGINT sum —
+            # deterministic under any combine order (same trick as
+            # ``_cell_means``), and replayable in SQL
+            F.floor(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(
+                            F.col("u"), F.col("q") * d_sub + 1, F.lit(d_sub)
+                        ),
+                        F.col("c"),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                * F.lit(float(_QSCALE))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("qt"),
+        )
+    )
+    expl = corpus_codes.select(
+        F.col("id").alias("neighbor_id"),
+        F.posexplode("codes").alias("s", "code"),
+    )
+    adc = (
+        expl.join(F.broadcast(tbl), ["s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg((F.sum("qt").cast("double") / F.lit(float(_QSCALE))).alias("adc"))
+    )
+    rounded = F.floor(
+        F.col("adc") * F.lit(float(10**round_digits)) + F.lit(0.5)
+    ) / F.lit(float(10**round_digits))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_r").desc(), F.col("neighbor_id")
+    )
+    return (
+        adc.select("query_id", "neighbor_id", rounded.alias("adc_r"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k_neighbors)
+    )
+
+
 def _half_dim(df: DataFrame, vec_col: str) -> int:
     """Half the (static) vector dimension, from one row's array length
     — a metadata-scale peek, not a data scan (LIMIT 1). Odd dims are

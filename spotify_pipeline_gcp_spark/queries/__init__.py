@@ -57,6 +57,7 @@ _WINDOW_ORDER = [
     "qs16_cosine_topk_ivf_sample_trained",
     "qs17_cosine_topk_imi",
     "qd13_duplicated_spans",
+    "qs18_pq_adc_topk",
     # r2-stale (displaced from the r5 window)
     "qs4_cosine_topk_blas",
     "qs6_cosine_topk_ivf_blas",
@@ -103,11 +104,11 @@ _WINDOW_ORDER = [
     "q40_json_bag",
     "q41_big_orders_having",
     "q42_above_group_avg",
-    "q43_ratio_metric",
-    # q44_flagship_partition_ready / q45_cube / q46_range_frame /
-    # q47_range_join / q48_rank_battery rotate out (r4-green, modules
-    # unchanged) to make room for qt9/qs15/qs16/qs17/qd13 — first in
-    # line for r7 alongside q24–q28
+    # q43_ratio_metric / q44_flagship_partition_ready / q45_cube /
+    # q46_range_frame / q47_range_join / q48_rank_battery rotate out
+    # (r4-green, modules unchanged) to make room for
+    # qt9/qs15/qs16/qs17/qd13/qs18 — first in line for r7 alongside
+    # q24–q28
 ]
 
 _MODULES = [

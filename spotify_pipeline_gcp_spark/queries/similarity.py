@@ -875,6 +875,154 @@ def qs14_cosine_topk_ivf_kmeans_sized(
     )
 
 
+def _pq_sub_chain(
+    s: int, k: int, n_iter: int, d_sub: int, lo: int, hi: int
+) -> list[str]:
+    """CTE chain for ONE PQ sub-quantizer: slice view → seeded init →
+    L2 Lloyd rounds (argmax ``dot − ‖c‖²/2``, plain quantized mean —
+    no renormalize) → corpus encoding ``enc_{s}``."""
+    sfx = f"_{s}"
+    ctes = [
+        f"sub{sfx} AS (SELECT vec_id, u[{lo}:{hi}] AS u FROM u)",
+        f"""cent0{sfx} AS (
+      SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::BIGINT AS cid,
+             u AS c
+      FROM sub{sfx}
+      QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= {k}
+    )""",
+    ]
+    score = "list_dot_product(p.u, c.c) - 0.5 * list_dot_product(c.c, c.c)"
+    for i in range(n_iter):
+        ctes.append(
+            f"""asg{i}{sfx} AS (
+      SELECT vec_id, u, cid FROM (
+        SELECT p.vec_id, p.u, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {score} DESC, c.cid) AS rnk
+        FROM sub{sfx} p CROSS JOIN cent{i}{sfx} c) t
+      WHERE rnk = 1
+    )"""
+        )
+        ctes.append(
+            f"""qsum{i}{sfx} AS (
+      SELECT cid, j AS pos,
+             (sum(CAST(floor(u[j] * 1000000000.0 + 0.5) AS BIGINT)))::BIGINT AS qsum,
+             count(*)::BIGINT AS n
+      FROM asg{i}{sfx} CROSS JOIN (SELECT unnest(range(1, {d_sub + 1})) AS j)
+      GROUP BY cid, pos
+    )"""
+        )
+        ctes.append(
+            f"""cent{i + 1}{sfx} AS (
+      SELECT cid, list(qsum::DOUBLE / (1000000000.0 * n) ORDER BY pos) AS c
+      FROM qsum{i}{sfx} GROUP BY cid
+    )"""
+        )
+    ctes.append(
+        f"""enc{sfx} AS (
+      SELECT vec_id, {s} AS s, cid AS code FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {score} DESC, c.cid) AS rnk
+        FROM (SELECT vec_id, u[{lo}:{hi}] AS u FROM cview) p
+        CROSS JOIN cent{n_iter}{sfx} c) t
+      WHERE rnk = 1
+    )"""
+    )
+    ctes.append(
+        f"""tq{sfx} AS (
+      SELECT q.vec_id AS query_id, {s} AS s, c.cid AS code,
+             CAST(floor(list_dot_product(q.u[{lo}:{hi}], c.c)
+                        * 1000000000.0 + 0.5) AS BIGINT) AS qt
+      FROM qview q CROSS JOIN cent{n_iter}{sfx} c
+    )"""
+    )
+    return ctes
+
+
+def _pq_oracle(d: int, m: int, k_pq: int, n_iter: int, topk: int) -> str:
+    """DuckDB replay of the full PQ pipeline — m L2 sub-quantizer
+    trainings over the whole corpus, corpus-side encoding, and the
+    asymmetric-distance (ADC) search with exact-integer partial-score
+    sums — finite CTE chain, same portability arguments as
+    ``_ivf_kmeans_oracle``."""
+    d_sub = d // m
+    ctes = [
+        """u AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[]))) AS u
+      FROM embeddings
+    )""",
+        "qview AS (SELECT u.vec_id, u.u FROM u JOIN embeddings e"
+        " ON e.vec_id = u.vec_id WHERE e.label % 10 = 0)",
+        "cview AS (SELECT u.vec_id, u.u FROM u JOIN embeddings e"
+        " ON e.vec_id = u.vec_id WHERE e.label % 10 <> 0)",
+    ]
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        ctes += _pq_sub_chain(s, k_pq, n_iter, d_sub, lo, hi)
+    enc_union = " UNION ALL ".join(f"SELECT * FROM enc_{s}" for s in range(m))
+    tq_union = " UNION ALL ".join(f"SELECT * FROM tq_{s}" for s in range(m))
+    ctes.append(f"enc AS ({enc_union})")
+    ctes.append(f"tq AS ({tq_union})")
+    ctes.append(
+        """adc AS (
+      SELECT t.query_id, e.vec_id AS neighbor_id,
+             floor((sum(t.qt)::BIGINT)::DOUBLE / 1000000000.0 * 1000000.0 + 0.5)
+               / 1000000.0 AS adc_r
+      FROM enc e JOIN tq t ON e.s = t.s AND e.code = t.code
+      GROUP BY t.query_id, e.vec_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, adc_r,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_r DESC, neighbor_id)::BIGINT AS rank
+    FROM adc
+    QUALIFY rank <= {topk}
+    """
+    )
+
+
+@register("qs18_pq_adc_topk", oracle=_pq_oracle(64, 4, 16, 2, 3))
+def qs18_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (Jégou et al., TPAMI 2011 —
+    see ``operators/similarity.py::pq_codebooks``/``pq_encode``/
+    ``pq_adc_topk``): the COMPRESSED-DOMAIN serving shape. Four L2
+    sub-quantizers (16 dims × 16 codes) trained on the full corpus,
+    the corpus side stored as 4 small ints (64× smaller than the
+    float vectors — at 100 TB of embeddings the index that fits in
+    memory), queries full-precision, score = sum of 4 broadcast
+    table lookups with exact-integer partials. The oracle replays
+    all four trainings, the encoding, and the ADC ranking — the
+    entire compressed pipeline is hash-verified."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _unit_vectors,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    pts = _unit_vectors(emb, "vec_id", "embedding")
+    books = pq_codebooks(pts, m=4, d_sub=16, k_pq=16, n_iter=2)
+    qpts = _unit_vectors(
+        emb.where(F.col("label") % 10 == 0), "vec_id", "embedding"
+    )
+    cpts = _unit_vectors(
+        emb.where(F.col("label") % 10 != 0), "vec_id", "embedding"
+    )
+    codes = pq_encode(cpts, books, m=4, d_sub=16)
+    return pq_adc_topk(
+        qpts, codes, books, m=4, d_sub=16, k_neighbors=3
+    )
+
+
 @register("qs17_cosine_topk_imi", oracle=_imi_oracle(64, 2, 5))
 def qs17_cosine_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level inverted multi-index ANN (see

@@ -560,3 +560,72 @@ def test_imi_odd_dim_rejected(spark):
 
     with _pytest.raises(ValueError, match="even vector dim"):
         cosine_topk_imi(df, k_neighbors=1, k_each=2)
+
+
+def test_pq_adc_recall_on_separable_data(spark):
+    # 4 direction clusters whose halves separate pairwise; PQ with
+    # m=2 sub-quantizers must rank same-cluster vectors first, and
+    # ADC top-1 (excluding self) must land in the query's cluster.
+    import random
+
+    from pyspark.sql import functions as F
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _unit_vectors,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rng = random.Random(5)
+    bases = [
+        [1, 0, 0, 0, 1, 0, 0, 0],
+        [1, 0, 0, 0, 0, 1, 0, 0],
+        [0, 1, 0, 0, 1, 0, 0, 0],
+        [0, 1, 0, 0, 0, 1, 0, 0],
+    ]
+    rows = [
+        (i, [x + rng.uniform(-0.05, 0.05) for x in bases[i % 4]])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pts = _unit_vectors(df, "vec_id", "embedding")
+    books = pq_codebooks(pts, m=2, d_sub=4, k_pq=4, n_iter=3)
+    # disjoint serving split: queries 0..3, corpus the rest
+    qpts = pts.where(F.col("id") < 4)
+    cpts = pts.where(F.col("id") >= 4)
+    codes = pq_encode(cpts, books, m=2, d_sub=4)
+    out = pq_adc_topk(qpts, codes, books, m=2, d_sub=4, k_neighbors=3)
+    rows_out = out.collect()
+    assert len(rows_out) == 12  # 4 queries x top-3
+    for r in rows_out:
+        assert r.neighbor_id % 4 == r.query_id % 4  # same cluster
+
+
+def test_pq_encode_deterministic_and_compact(spark):
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _unit_vectors,
+        pq_codebooks,
+        pq_encode,
+    )
+    from spotify_pipeline_gcp_spark.queries.compat import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    pts = _unit_vectors(emb, "vec_id", "embedding")
+    books = pq_codebooks(pts, m=4, d_sub=16, k_pq=16, n_iter=1)
+    a = {r.id: tuple(r.codes) for r in pq_encode(pts, books, 4, 16).collect()}
+    b = {r.id: tuple(r.codes) for r in pq_encode(pts, books, 4, 16).collect()}
+    assert a == b and len(a) == emb.count()
+    assert all(len(c) == 4 and all(0 <= x < 16 for x in c) for c in a.values())
+
+
+def test_kmeans_l2_converges_to_cluster_means(spark):
+    # two tight point clouds -> centroids are the (quantized) means,
+    # NOT renormalized to unit (the PQ codebook property)
+    from spotify_pipeline_gcp_spark.operators.similarity import kmeans_l2_on
+
+    rows = [(i, [0.1, 0.1]) for i in range(10)] + [
+        (100 + i, [0.8, 0.0]) for i in range(10)
+    ]
+    pts = spark.createDataFrame(rows, "id long, u array<double>")
+    cent = {tuple(round(x, 6) for x in r.c) for r in kmeans_l2_on(pts, k=2, n_iter=3).collect()}
+    assert (0.1, 0.1) in cent and (0.8, 0.0) in cent
