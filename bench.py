@@ -80,6 +80,9 @@ HEADLINE_EXT = [
     "qt9_chunk_windows",
     "qs15_query_corpus_topk",
     "qs16_cosine_topk_ivf_sample_trained",
+    "qs17_cosine_topk_imi",
+    "qd13_duplicated_spans",
+    "qs18_pq_adc_topk",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

@@ -933,12 +933,12 @@ def duplicated_spans(
     scan finds every ≥w-token span that appears twice anywhere in the
     corpus; the equivalent declarative shape is (1) every w-token
     window per document as (doc, pos, md5(window)) rows, (2) the
-    multiset of window keys occurring ≥2 times corpus-wide (map-side
-    combinable count — repeats WITHIN a document count, so
-    self-repetition is caught too), (3) a semi-join marking each
-    duplicated position, and (4) a per-document merge of consecutive
-    duplicated positions into MAXIMAL spans via the islands trick
-    (pos − row_number is constant on a consecutive run).
+    occurrence count per window key as ``count() OVER (PARTITION BY
+    wkey)`` — repeats WITHIN a document count, so self-repetition is
+    caught too — keeping positions ≥2, and (3) a per-document merge
+    of consecutive duplicated positions into MAXIMAL spans via the
+    islands trick (pos − row_number is constant on a consecutive
+    run).
 
     Output: (doc_id, span_start, span_end, n_tokens, n_windows) —
     1-based token interval [span_start, span_end], one row per
@@ -948,12 +948,11 @@ def duplicated_spans(
 
     Scale: LINEAR by construction — unlike every pairing operator
     (qd3/qd5/qd9) this never joins documents to documents; the only
-    wide ops are a count aggregate on window keys and an equi-join of
-    the window stream against the duplicated-key set, both
-    shuffle-partitioned on the md5 key (uniform by construction; a
-    boilerplate phrase occurring 10^6 times is ONE aggregate row and
-    10^6 linear semi-join hits, never 10^12 pairs). The per-document
-    islands window sorts only each doc's duplicated positions.
+    corpus-wide op is ONE shuffle of the window stream on the md5 key
+    (uniform by construction; a boilerplate phrase occurring 10^6
+    times is 10^6 linear rows in one sort partition, never 10^12
+    pairs). The per-document islands window then sorts only each
+    doc's duplicated positions.
     Tokens are \\s+ runs (text normalized like ``contamination_pairs``).
     """
     from pyspark.sql import Window as W
@@ -973,16 +972,20 @@ def duplicated_spans(
         "doc_id", F.explode(F.expr(window_expr)).alias("pw")
     ).select(
         "doc_id", F.col("pw.pos").alias("pos"), F.col("pw.wkey").alias("wkey")
-    ).repartition(F.col("wkey"))
-    dup_keys = (
-        wins.groupBy("wkey")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .where(F.col("n_occ") >= 2)
-        .select("wkey")
     )
-    # same wkey hash-partitioning on both sides: the semi-join reuses
-    # the windows exchange the count aggregate already demanded
-    dup_pos = wins.join(dup_keys, "wkey", "left_semi")
+    # the duplication mark is a COUNT OVER (PARTITION BY wkey), not a
+    # count-aggregate + semi-join back: the aggregate form plans the
+    # corpus window stream TWICE (column pruning gives the two
+    # consumers different subplans, defeating ReuseExchange — read
+    # off the executed plan), while the window form tokenizes,
+    # hashes, and shuffles the corpus exactly once
+    dup_pos = (
+        wins.withColumn(
+            "n_occ", F.count(F.lit(1)).over(W.partitionBy("wkey"))
+        )
+        .where(F.col("n_occ") >= 2)
+        .drop("n_occ", "wkey")
+    )
     grp = (
         F.col("pos")
         - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))

@@ -709,8 +709,12 @@ def qd9b_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(array_to_string(t[pos:pos+7], ' ')) AS wkey
       FROM posi
     ),
-    dup AS (SELECT wkey FROM wins GROUP BY wkey HAVING count(*) >= 2),
-    dpos AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (wkey)),
+    dpos AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY wkey) AS n_occ
+        FROM wins
+      ) WHERE n_occ >= 2
+    ),
     isl AS (
       SELECT doc_id, pos,
              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp

@@ -213,3 +213,53 @@ def test_multiprobe_ivf_scores_once(spark):
     df.collect()
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in phys, phys
+
+
+def test_imi_assign_single_pass_no_corpus_shuffle(spark):
+    # qs17's double assignment must be ONE broadcast-scored
+    # aggregation: no SortMergeJoin anywhere in the assignment
+    # subplan, and the corpus must not be self-joined on id to merge
+    # the two half-assignments
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _unit_vectors,
+        imi_assign,
+        kmeans_centroids_on,
+    )
+    from spotify_pipeline_gcp_spark.queries.compat import table
+
+    emb = table(spark, SF, "embeddings")
+    pts = _unit_vectors(emb, "vec_id", "embedding")
+    h1 = pts.select("id", F.slice("u", 1, 32).alias("u"))
+    h2 = pts.select("id", F.slice("u", 33, 32).alias("u"))
+    c1 = kmeans_centroids_on(h1, k=2, n_iter=1)
+    c2 = kmeans_centroids_on(h2, k=2, n_iter=1)
+    asg = imi_assign(pts, c1, c2, 32)
+    phys = asg._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in phys or "BroadcastExchange" in phys
+    assert "SortMergeJoin" not in phys, phys
+    # both argmaxes are partial-aggregable (map-side combine)
+    assert "partial_max" in phys, phys
+
+
+def test_pq_adc_broadcasts_table_not_corpus(spark):
+    # qs18's ADC join must broadcast the per-query lookup table; the
+    # corpus code stream stays on the probe side, and the per-pair
+    # sum is a partial (map-side combinable) aggregate
+    df = _q(spark, "qs18_pq_adc_topk")
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys, phys
+    assert "partial_sum" in phys, phys
+
+
+def test_duplicated_spans_single_pass_no_joins(spark):
+    # qd13 is linear by construction: the corpus window stream is
+    # tokenized, hashed, and shuffled exactly ONCE (the wkey count is
+    # a window function, not an aggregate + join back — the join form
+    # planned the stream twice), and there is no join of any kind
+    df = _q(spark, "qd13_duplicated_spans")
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in phys, phys
+    assert phys.count("Generate explode") == 1, phys
+    # exactly two shuffles: wkey-count window, then doc_id islands
+    # window (the final span aggregate reuses the doc_id partitioning)
+    assert phys.count("Exchange hashpartitioning") == 2, phys

@@ -39,6 +39,9 @@ QUERIES = [
     "qs13_cosine_topk_bucketed_sized",  # AUTO-SIZED sign-bucket ANN — the production shape
     "qs7_cosine_topk_ivf_kmeans",  # trained IVF (train + search; pinned k=16)
     "qs14_cosine_topk_ivf_kmeans_sized",  # AUTO-SIZED trained IVF
+    "qs17_cosine_topk_imi",      # two-level IMI — n^(1/4) quantizer cost
+    "qs18_pq_adc_topk",          # PQ ADC compressed-domain search
+    "qd13_duplicated_spans",     # linear substring-level dedup
     "qd11_incremental_near_dup", # incremental near-dup (the every-batch ingest path)
     "qst2_streaming_sessionize", # streaming sessionization
     "qe1_label_centroids",       # wide positional means
