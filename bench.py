@@ -83,6 +83,7 @@ HEADLINE_EXT = [
     "qs17_cosine_topk_imi",
     "qd13_duplicated_spans",
     "qs18_pq_adc_topk",
+    "qs19_cosine_topk_ivfpq",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

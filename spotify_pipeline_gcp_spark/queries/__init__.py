@@ -34,17 +34,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 # now an explicit list edit: ``_WINDOW_ORDER`` below is applied after
 # module import, so module order no longer determines the window.
 #
-# Round-6 window: leads with the two queries NEW this round (the
-# auto-sized ANN shapes qs13/qs14 — r5 verdict #1: the 100 TB index
-# sizing gets a driver-checked row), then the six r2-stale queries
-# displaced last round (qs4/qs6/qm1/qm2/qt1/qsp1 — their last driver
-# rows are three rounds old), then the entire r4-green set that is
-# now two rounds stale: the qd dedup family (incl. qd11/qd8, both
-# touched this round), qst1/qst3, qp1–qp3, qs7, qk1, and the
-# q23/q29–q48 relational breadth. Out of window this round:
-# everything driver-green in r05 (50 rows), plus q24–q28 (r4-green,
-# trivial unchanged set-op/string/null modules — first in line for
-# the r7 rotation).
+# Round-6 window: leads with the nine queries NEW this round — the
+# auto-sized ANN shapes qs13/qs14 (r5 verdict #1), qt9 chunking, the
+# serving-shape qs15, sample-trained qs16, two-level IMI qs17, the
+# linear duplicated-span dedup qd13, PQ ADC qs18, and the composed
+# IVF+PQ qs19 — then the six r2-stale queries displaced in r5
+# (qs4/qs6/qm1/qm2/qt1/qsp1), then the r4-green set now two rounds
+# stale: the qd dedup family (incl. qd11/qd8, both touched this
+# round), qst1/qst3, qp1–qp3, qs7, qk1, and the q23/q29–q41
+# relational breadth. Out of window this round: everything
+# driver-green in r05 (50 rows), plus q24–q28 and q42–q48 (r4-green,
+# trivial unchanged modules — first in line for the r7 rotation).
 # Run tools/window_check.py after any registration change;
 # tools/selfcheck.py re-verifies the FULL registry every round.
 _WINDOW_ORDER = [
@@ -58,6 +58,7 @@ _WINDOW_ORDER = [
     "qs17_cosine_topk_imi",
     "qd13_duplicated_spans",
     "qs18_pq_adc_topk",
+    "qs19_cosine_topk_ivfpq",
     # r2-stale (displaced from the r5 window)
     "qs4_cosine_topk_blas",
     "qs6_cosine_topk_ivf_blas",
@@ -103,12 +104,11 @@ _WINDOW_ORDER = [
     "q39_date_arith",
     "q40_json_bag",
     "q41_big_orders_having",
-    "q42_above_group_avg",
-    # q43_ratio_metric / q44_flagship_partition_ready / q45_cube /
-    # q46_range_frame / q47_range_join / q48_rank_battery rotate out
-    # (r4-green, modules unchanged) to make room for
-    # qt9/qs15/qs16/qs17/qd13/qs18 — first in line for r7 alongside
-    # q24–q28
+    # q42_above_group_avg / q43_ratio_metric /
+    # q44_flagship_partition_ready / q45_cube / q46_range_frame /
+    # q47_range_join / q48_rank_battery rotate out (r4-green, modules
+    # unchanged) to make room for qt9/qs15/qs16/qs17/qd13/qs18/qs19 —
+    # first in line for r7 alongside q24–q28
 ]
 
 _MODULES = [

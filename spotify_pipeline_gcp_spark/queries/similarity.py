@@ -989,6 +989,79 @@ def _pq_oracle(d: int, m: int, k_pq: int, n_iter: int, topk: int) -> str:
     )
 
 
+def _ivfpq_oracle(d: int, m: int, k_pq: int, n_iter: int, topk: int) -> str:
+    """DuckDB replay of IVF+PQ: the sized spherical coarse chain
+    (same CTEs as qs14, via ``_imi_half_chain`` over the full
+    vector), the m L2 PQ sub-chains, and the same-cell ADC ranking
+    with exact-integer partial sums."""
+    d_sub = d // m
+    ctes = [
+        "sizen AS (SELECT count(*)::BIGINT AS n FROM embeddings)",
+        "sizek AS (SELECT greatest(1, CAST(floor(sqrt(n)) AS BIGINT))"
+        " AS k FROM sizen)",
+        """u AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[]))) AS u
+      FROM embeddings
+    )""",
+        "qview AS (SELECT vec_id, u FROM u)",
+        "cview AS (SELECT vec_id, u FROM u)",
+    ]
+    ctes += _imi_half_chain("_c", "u", "(SELECT k FROM sizek)", n_iter, d)
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        ctes += _pq_sub_chain(s, k_pq, n_iter, d_sub, lo, hi)
+    enc_union = " UNION ALL ".join(f"SELECT * FROM enc_{s}" for s in range(m))
+    tq_union = " UNION ALL ".join(f"SELECT * FROM tq_{s}" for s in range(m))
+    ctes.append(f"enc AS ({enc_union})")
+    ctes.append(f"tq AS ({tq_union})")
+    ctes.append(
+        """adc AS (
+      SELECT t.query_id, e.vec_id AS neighbor_id,
+             floor((sum(t.qt)::BIGINT)::DOUBLE / 1000000000.0 * 1000000.0 + 0.5)
+               / 1000000.0 AS adc_r
+      FROM enc e
+      JOIN asgf_c be ON be.vec_id = e.vec_id
+      JOIN tq t ON e.s = t.s AND e.code = t.code
+      JOIN asgf_c qe ON qe.vec_id = t.query_id AND qe.cid = be.cid
+      WHERE t.query_id <> e.vec_id
+      GROUP BY t.query_id, e.vec_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, adc_r,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_r DESC, neighbor_id)::BIGINT AS rank
+    FROM adc
+    QUALIFY rank <= {topk}
+    """
+    )
+
+
+@register("qs19_cosine_topk_ivfpq", oracle=_ivfpq_oracle(64, 4, 16, 2, 5))
+def qs19_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed index (see
+    ``operators/similarity.py::cosine_topk_ivfpq``): sized trained
+    coarse cells bound candidates to n²/√n pairs, PQ ADC scores them
+    with m lookups per pair over a corpus stored as m small ints —
+    the memory AND compute shape a 100 TB vector index serves from.
+    The oracle replays the coarse training, all four sub-quantizer
+    trainings, the encoding, and the same-cell ADC ranking — the
+    entire composed index is hash-verified end to end."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+    )
+
+    return cosine_topk_ivfpq(
+        table(spark, sf_dir, "embeddings"), k_neighbors=5
+    )
+
+
 @register("qs18_pq_adc_topk", oracle=_pq_oracle(64, 4, 16, 2, 3))
 def qs18_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC search (Jégou et al., TPAMI 2011 —

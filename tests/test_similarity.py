@@ -629,3 +629,35 @@ def test_kmeans_l2_converges_to_cluster_means(spark):
     pts = spark.createDataFrame(rows, "id long, u array<double>")
     cent = {tuple(round(x, 6) for x in r.c) for r in kmeans_l2_on(pts, k=2, n_iter=3).collect()}
     assert (0.1, 0.1) in cent and (0.8, 0.0) in cent
+
+
+def test_ivfpq_recall_on_separable_data(spark):
+    # same 4-cluster construction as the PQ test: IVF+PQ top-1 must
+    # stay in the query's cluster (coarse cells + compressed scores
+    # both respect the separation)
+    import random
+
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+    )
+
+    rng = random.Random(5)
+    bases = [
+        [1, 0, 0, 0, 1, 0, 0, 0],
+        [1, 0, 0, 0, 0, 1, 0, 0],
+        [0, 1, 0, 0, 1, 0, 0, 0],
+        [0, 1, 0, 0, 0, 1, 0, 0],
+    ]
+    rows = [
+        (i, [x + rng.uniform(-0.05, 0.05) for x in bases[i % 4]])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk_ivfpq(
+        df, k_neighbors=1, n_clusters=4, m=2, d_sub=4, k_pq=4, n_iter=3
+    )
+    rows_out = out.collect()
+    assert len(rows_out) > 0
+    for r in rows_out:
+        assert r.neighbor_id % 4 == r.query_id % 4
+        assert r.neighbor_id != r.query_id

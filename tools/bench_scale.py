@@ -41,6 +41,7 @@ QUERIES = [
     "qs14_cosine_topk_ivf_kmeans_sized",  # AUTO-SIZED trained IVF
     "qs17_cosine_topk_imi",      # two-level IMI — n^(1/4) quantizer cost
     "qs18_pq_adc_topk",          # PQ ADC compressed-domain search
+    "qs19_cosine_topk_ivfpq",    # composed IVF+PQ index
     "qd13_duplicated_spans",     # linear substring-level dedup
     "qd11_incremental_near_dup", # incremental near-dup (the every-batch ingest path)
     "qst2_streaming_sessionize", # streaming sessionization
