@@ -84,6 +84,10 @@ HEADLINE_EXT = [
     "qd13_duplicated_spans",
     "qs18_pq_adc_topk",
     "qs19_cosine_topk_ivfpq",
+    "qt10_ngram_lm_score",
+    "qsp5_temperature_resample",
+    "qs20_hybrid_rrf",
+    "qs21_ann_recall_audit",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

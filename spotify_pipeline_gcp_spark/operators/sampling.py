@@ -185,3 +185,70 @@ def stratified_sample(
             F.lit(fraction_to_hex_threshold(frac)),
         ).otherwise(threshold)
     return df.where(digest < threshold)
+
+
+def temperature_plan(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    budget: int,
+    salt: str = "",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based domain rebalancing plan + realized draw —
+    the multilingual/multi-source mixing rule (sample domain d in
+    proportion to ``n_d^alpha`` with alpha = 0.5): big domains are
+    downweighted, small ones upweighted, so the mixture is flatter
+    than natural frequency without going uniform.
+
+    alpha is fixed at 0.5 because ``sqrt`` is the one power IEEE 754
+    requires to be correctly rounded — both engines produce the
+    identical double from the identical BIGINT count, so the
+    quantized weight ``floor(scale * sqrt(n_d))`` matches
+    bit-for-bit (a general ``pow(n, alpha)`` carries no such
+    guarantee). From there everything is exact integer arithmetic:
+    ``target_d = (budget * weight_q) div sum(weight_q)`` (caller must
+    keep ``budget * weight_q`` under 2^63), and the realized draw
+    keeps rows whose salted-digest unit (``digest_unit``'s exact
+    fold) falls under ``target_d / n_d`` — Bernoulli, so realized
+    counts track targets in expectation, stable under retries and
+    dataset growth.
+
+    Scale shape: one combinable per-domain count, an O(#domains)
+    plan (sqrt + integer div), the plan broadcast back onto the
+    corpus for a pure row-local keep predicate, and one combinable
+    kept-count — the corpus itself never shuffles. Output one row
+    per domain: (domain, n_docs, weight_q, target_docs, kept_docs).
+    """
+    counts = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    weighted = counts.withColumn(
+        "weight_q",
+        F.floor(F.lit(float(scale)) * F.sqrt(F.col("n_docs"))).cast("long"),
+    )
+    total = weighted.agg(F.sum("weight_q").cast("long").alias("sum_q"))
+    plan = weighted.crossJoin(F.broadcast(total)).select(
+        domain_col,
+        "n_docs",
+        "weight_q",
+        F.expr(f"({budget} * weight_q) div sum_q").alias("target_docs"),
+    )
+    keyed = df.withColumn(
+        "_d", F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    )
+    kept = (
+        keyed.join(F.broadcast(plan), domain_col)
+        .where(digest_unit("_d") < F.col("target_docs") / F.col("n_docs"))
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("kept_docs"))
+    )
+    return plan.join(kept, domain_col, "left").select(
+        domain_col,
+        "n_docs",
+        "weight_q",
+        "target_docs",
+        F.coalesce(F.col("kept_docs"), F.lit(0).cast("long")).alias(
+            "kept_docs"
+        ),
+    )

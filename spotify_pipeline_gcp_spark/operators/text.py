@@ -313,3 +313,73 @@ def chunk_documents(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-trained bigram-LM likelihood score per document — the
+    classic KenLM-style quality signal (documents whose word
+    transitions are typical of the corpus score high; boilerplate,
+    gibberish, and wrong-language text score low) without shipping a
+    language-model binary: the corpus itself is the training set.
+
+    Semantics: tokens are ``\\S+`` runs; for every adjacent pair
+    ``(w1, w2)`` the corpus-wide MLE conditional
+    ``P(w2|w1) = c(w1,w2) / c(w1,·)`` is quantized to an exact
+    integer ``q = (scale * c2) div c1`` (pure BIGINT arithmetic — no
+    transcendentals, so any engine reproduces it bit-for-bit; scoring
+    in probability space rather than log space is a monotone proxy
+    for perplexity). A document's score is the mean quantized
+    transition probability ``sum(q) / n_bigrams / scale``. Every
+    in-corpus bigram has c2 >= 1, so no smoothing is needed for
+    self-scoring; documents under two tokens have no transitions and
+    are excluded.
+
+    Scale shape: one row-local explode to transition instances, two
+    combinable aggregations (bigram counts; prefix counts as a
+    re-aggregation of bigram counts, never a second corpus pass), and
+    one instances->counts equi-join on the gram key. The count table
+    is Zipf-compressed (distinct grams << instances), so AQE
+    typically broadcasts it; hot stopword-pair keys are exactly the
+    skew AQE's skew-join split handles. Output:
+    (id, n_bigrams, sum_q, lm_score).
+    """
+    toks = F.array_remove(
+        F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "),
+        "",
+    )
+    base = df.select(F.col(id_col), toks.alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    inst = base.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = inst.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bi")
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("n_bi").cast("long").alias("n_prefix"))
+    probs = c2.join(c1, "w1").select(
+        "w1", "w2", F.expr(f"({scale} * n_bi) div n_prefix").alias("q")
+    )
+    scored = inst.join(probs, ["w1", "w2"]).groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("q").cast("long").alias("sum_q"),
+    )
+    lm = F.col("sum_q") / F.col("n_bigrams") / float(scale)
+    return scored.select(
+        F.col(id_col),
+        "n_bigrams",
+        "sum_q",
+        (F.floor(lm * scale + F.lit(0.5)) / scale).alias("lm_score"),
+    )

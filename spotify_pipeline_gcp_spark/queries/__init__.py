@@ -59,6 +59,10 @@ _WINDOW_ORDER = [
     "qd13_duplicated_spans",
     "qs18_pq_adc_topk",
     "qs19_cosine_topk_ivfpq",
+    "qt10_ngram_lm_score",
+    "qsp5_temperature_resample",
+    "qs20_hybrid_rrf",
+    "qs21_ann_recall_audit",
     # r2-stale (displaced from the r5 window)
     "qs4_cosine_topk_blas",
     "qs6_cosine_topk_ivf_blas",
@@ -100,15 +104,13 @@ _WINDOW_ORDER = [
     "q35_exact_percentiles",
     "q36_approx_aggregates",
     "q37_unpivot",
-    "q38_map_ops",
-    "q39_date_arith",
-    "q40_json_bag",
-    "q41_big_orders_having",
-    # q42_above_group_avg / q43_ratio_metric /
+    # q38_map_ops / q39_date_arith / q40_json_bag /
+    # q41_big_orders_having / q42_above_group_avg / q43_ratio_metric /
     # q44_flagship_partition_ready / q45_cube / q46_range_frame /
     # q47_range_join / q48_rank_battery rotate out (r4-green, modules
-    # unchanged) to make room for qt9/qs15/qs16/qs17/qd13/qs18/qs19 —
-    # first in line for r7 alongside q24–q28
+    # unchanged) to make room for the thirteen queries NEW this round
+    # (qt9/qs15–qs21/qd13/qt10/qsp5) — first in line for r7 alongside
+    # q24–q28
 ]
 
 _MODULES = [

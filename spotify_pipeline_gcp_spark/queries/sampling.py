@@ -146,3 +146,56 @@ def qsp4_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mixture_sample(
         docs, "doc_id", "source", _MIX, salt="mix:"
     ).select("doc_id", "source")
+
+
+_TEMP_BUDGET = 300
+
+
+@register(
+    "qsp5_temperature_resample",
+    oracle=f"""
+    WITH n AS (
+      SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+    ),
+    q AS (
+      SELECT source, n_docs,
+             floor(1000000.0 * sqrt(n_docs))::BIGINT AS weight_q
+      FROM n
+    ),
+    s AS (SELECT sum(weight_q)::BIGINT AS sum_q FROM q),
+    plan AS (
+      SELECT source, n_docs, weight_q,
+             ({_TEMP_BUDGET} * weight_q) // (SELECT sum_q FROM s)
+               AS target_docs
+      FROM q
+    ),
+    d AS (
+      SELECT doc_id, source, md5('temp:' || doc_id::VARCHAR) AS _d
+      FROM documents
+    ),
+    kept AS (
+      SELECT d.source, count(*)::BIGINT AS kept_docs
+      FROM d JOIN plan USING (source)
+      WHERE ({_UNIT_FOLD}) / 4294967296.0
+            < plan.target_docs / plan.n_docs
+      GROUP BY d.source
+    )
+    SELECT plan.source, n_docs, weight_q, target_docs,
+           coalesce(kept_docs, 0)::BIGINT AS kept_docs
+    FROM plan LEFT JOIN kept USING (source)
+    """,
+)
+def qsp5_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing (sample ∝ n_d^0.5): the
+    multilingual mixing rule, computed entirely in exact arithmetic —
+    sqrt is IEEE-correctly-rounded in every engine, the weight is
+    floor-quantized to BIGINT, targets are integer division, and the
+    realized Bernoulli draw uses the exact digest fold — so plan AND
+    realized counts hash-match cross-engine
+    (operators/sampling.py::temperature_plan)."""
+    from spotify_pipeline_gcp_spark.operators.sampling import temperature_plan
+
+    docs = table(spark, sf_dir, "documents")
+    return temperature_plan(
+        docs, "doc_id", "source", budget=_TEMP_BUDGET, salt="temp:"
+    )

@@ -1304,3 +1304,281 @@ def qs16_cosine_topk_ivf_sample_trained(
     return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= 5
     )
+
+
+# Word 4-gram CTE fragment shared with the qt7 contamination oracle
+# (DuckDB 1-based inclusive list indexing).
+_RRF_GRAMS = (
+    "CASE WHEN len(toks) >= 4 THEN "
+    "list_transform(generate_series(1, len(toks) - 3), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]) "
+    "ELSE []::VARCHAR[] END"
+)
+
+_RRF_COS = sql_fixed(
+    f"{DOT_AB} / ({NORM.format('a')} * {NORM.format('b')})", 6
+)
+
+
+@register(
+    "qs20_hybrid_rrf",
+    oracle=f"""
+    WITH qe AS (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN documents d ON e.vec_id = d.doc_id WHERE d.source = 'src0'
+    ),
+    ce AS (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN documents d ON e.vec_id = d.doc_id WHERE d.source <> 'src0'
+    ),
+    sem AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+             {_RRF_COS} AS cosine_r
+      FROM qe a CROSS JOIN ce b
+    ),
+    semr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_r DESC, doc_id)::BIGINT
+               AS sem_rank
+      FROM sem QUALIFY sem_rank <= 20
+    ),
+    t AS (
+      SELECT doc_id, source,
+             list_filter(string_split(regexp_replace(text, '\\s', ' ', 'g'), ' '),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (SELECT doc_id, source, list_distinct({_RRF_GRAMS}) AS grams FROM t),
+    bg AS (SELECT doc_id AS query_id, unnest(grams) AS gram FROM g
+           WHERE source = 'src0'),
+    cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE source <> 'src0'),
+    lex AS (SELECT cg.doc_id, bg.query_id, count(*)::BIGINT AS n_shared
+            FROM cg JOIN bg USING (gram) GROUP BY 1, 2),
+    lexr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY n_shared DESC, doc_id)::BIGINT
+               AS lex_rank
+      FROM lex
+    ),
+    fused AS (
+      SELECT coalesce(s.query_id, l.query_id) AS query_id,
+             coalesce(s.doc_id, l.doc_id) AS doc_id,
+             s.sem_rank, l.lex_rank,
+             coalesce(1.0 / (60 + s.sem_rank), 0.0)
+               + coalesce(1.0 / (60 + l.lex_rank), 0.0) AS rrf
+      FROM semr s FULL OUTER JOIN lexr l
+        ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+    )
+    SELECT query_id, doc_id,
+           coalesce(sem_rank, 0)::BIGINT AS sem_rank,
+           coalesce(lex_rank, 0)::BIGINT AS lex_rank,
+           {sql_fixed('rrf', 6)} AS rrf_score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf DESC, doc_id)::BIGINT AS fused_rank
+    FROM fused QUALIFY fused_rank <= 10
+    """,
+)
+def qs20_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: a semantic
+    ranker (exact cosine top-20 per query) and a lexical ranker
+    (shared word-4-gram counts, qt7's kernel) fused by
+    ``sum 1/(60 + rank)`` — the standard RRF rule (Cormack et al.)
+    behind every dense+sparse retrieval stack. Queries are the
+    ``src0`` document slice (embeddings joined on doc_id); ranks are
+    integers and the RRF sum is two exact-rounded divisions added in
+    a fixed order, so fusion and final ordering are engine-exact.
+
+    Scale shape: the query side broadcasts everywhere (inference
+    batches are small); the semantic pass is one linear corpus scan,
+    the lexical pass joins the corpus's exploded grams against the
+    BROADCAST query-gram table without shuffling the corpus, and the
+    fusion join runs over |Q| x bounded candidates. The only corpus
+    shuffles are the per-(doc, query) count and the per-query
+    row_number windows, both bounded by candidate volume, not corpus
+    size."""
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    from spotify_pipeline_gcp_spark.operators.text import contamination_pairs
+
+    qids = docs.where(F.col("source") == "src0").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    cids = docs.where(F.col("source") != "src0").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    qb = _double_base(
+        emb.join(F.broadcast(qids), "vec_id", "left_semi"),
+        "vec_id", "embedding",
+    )
+    cb = _double_base(
+        emb.join(F.broadcast(cids), "vec_id", "left_semi"),
+        "vec_id", "embedding",
+    )
+    cos = fixed(
+        _dot_pre(F.col("q.v"), F.col("c.v"))
+        / (F.col("q.norm") * F.col("c.norm")),
+        6,
+    )
+    sem = F.broadcast(qb.alias("q")).crossJoin(cb.alias("c")).select(
+        F.col("q.id").alias("query_id"),
+        F.col("c.id").alias("doc_id"),
+        cos.alias("cosine_r"),
+    )
+    wsem = W.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("doc_id")
+    )
+    semr = (
+        sem.withColumn("sem_rank", F.row_number().over(wsem).cast("long"))
+        .where(F.col("sem_rank") <= 20)
+        .select("query_id", "doc_id", "sem_rank")
+    )
+    lex = contamination_pairs(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        "doc_id", "text", n=4,
+    )
+    wlex = W.partitionBy("bench_id").orderBy(
+        F.col("n_shared").desc(), F.col("doc_id")
+    )
+    lexr = lex.withColumn(
+        "lex_rank", F.row_number().over(wlex).cast("long")
+    ).select(
+        F.col("bench_id").alias("query_id"), F.col("doc_id"), F.col("lex_rank")
+    )
+    fused = semr.join(lexr, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("sem_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0)),
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .where(F.col("fused_rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce(F.col("sem_rank"), F.lit(0).cast("long")).alias(
+                "sem_rank"
+            ),
+            F.coalesce(F.col("lex_rank"), F.lit(0).cast("long")).alias(
+                "lex_rank"
+            ),
+            fixed(F.col("rrf"), 6).alias("rrf_score"),
+            "fused_rank",
+        )
+    )
+
+
+_AUDIT_BUCKET = (
+    "((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)"
+    " + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)"
+    " + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)"
+    " + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::BIGINT"
+)
+
+
+@register(
+    "qs21_ann_recall_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding, {_AUDIT_BUCKET} AS bucket
+      FROM embeddings WHERE label % 10 = 0
+    ),
+    c AS (
+      SELECT vec_id, embedding, {_AUDIT_BUCKET} AS bucket
+      FROM embeddings WHERE label % 10 <> 0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+             a.bucket = b.bucket AS same_bucket,
+             {_RRF_COS} AS cosine_r
+      FROM q a CROSS JOIN c b
+    ),
+    exact AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_r DESC, doc_id) AS r
+        FROM pairs
+      ) WHERE r <= 5
+    ),
+    approx AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_r DESC, doc_id) AS r
+        FROM pairs WHERE same_bucket
+      ) WHERE r <= 5
+    ),
+    hits AS (
+      SELECT e.query_id, count(*)::BIGINT AS n_hits
+      FROM exact e JOIN approx a
+        ON e.query_id = a.query_id AND e.doc_id = a.doc_id
+      GROUP BY 1
+    )
+    SELECT q.vec_id AS query_id,
+           coalesce(n_hits, 0)::BIGINT AS n_hits,
+           coalesce(n_hits, 0) / 5.0 AS recall_at_5
+    FROM q LEFT JOIN hits ON q.vec_id = hits.query_id
+    """,
+)
+def qs21_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement: recall@5 of the sign-bucket index
+    (qs15's candidate rule) against exact brute-force ground truth,
+    per query — the eval loop every production ANN deployment runs
+    before trusting an index. Intersection counts are integers and
+    recall is one exact division, so the metric hash-matches
+    cross-engine.
+
+    Scale shape: ground truth is the expensive side by definition —
+    in production this audit runs over a DIGEST-SAMPLED query slice
+    (qsp1's operator composes directly), keeping the exact pass
+    a bounded |Q_sample| x corpus scan while the approx side reuses
+    the index's own bucketed join; the per-query top-5 windows and
+    the hit-intersection join are all bounded by k x |Q|."""
+    emb = table(spark, sf_dir, "embeddings")
+    qb = _double_base(
+        emb.where(F.col("label") % 10 == 0), "vec_id", "embedding"
+    ).withColumn("bucket", sign_bucket("v", 4))
+    cb = _double_base(
+        emb.where(F.col("label") % 10 != 0), "vec_id", "embedding"
+    ).withColumn("bucket", sign_bucket("v", 4))
+    cos = fixed(
+        _dot_pre(F.col("q.v"), F.col("c.v"))
+        / (F.col("q.norm") * F.col("c.norm")),
+        6,
+    )
+    pairs = F.broadcast(qb.alias("q")).crossJoin(cb.alias("c")).select(
+        F.col("q.id").alias("query_id"),
+        F.col("c.id").alias("doc_id"),
+        (F.col("q.bucket") == F.col("c.bucket")).alias("same_bucket"),
+        cos.alias("cosine_r"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("doc_id")
+    )
+    exact = (
+        pairs.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 5)
+        .select("query_id", "doc_id")
+    )
+    approx = (
+        pairs.where(F.col("same_bucket"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 5)
+        .select("query_id", "doc_id")
+    )
+    hits = exact.join(approx, ["query_id", "doc_id"], "left_semi").groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return qb.select(F.col("id").alias("query_id")).join(
+        hits, "query_id", "left"
+    ).select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0).cast("long")) / 5.0).alias(
+            "recall_at_5"
+        ),
+    )

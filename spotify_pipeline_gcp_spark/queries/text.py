@@ -302,3 +302,48 @@ def qt9_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), "doc_id", "text",
         chunk_tokens=64, overlap=8,
     )
+
+
+@register(
+    "qt10_ngram_lm_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(text, '\\s', ' ', 'g'), ' '),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+      FROM t WHERE len(toks) >= 2
+    ),
+    inst AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+    c2 AS (SELECT w1, w2, count(*)::BIGINT AS n_bi FROM inst GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(n_bi)::BIGINT AS n_prefix FROM c2 GROUP BY 1),
+    p AS (
+      SELECT w1, w2, (1000000 * n_bi) // n_prefix AS q
+      FROM c2 JOIN c1 USING (w1)
+    ),
+    s AS (
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(q)::BIGINT AS sum_q
+      FROM inst JOIN p USING (w1, w2) GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, sum_q,
+           floor((sum_q / n_bigrams / 1000000.0) * 1000000 + 0.5) / 1000000
+             AS lm_score
+    FROM s
+    """,
+)
+def qt10_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM likelihood score (perplexity proxy):
+    each document's mean corpus-MLE transition probability, with the
+    per-bigram conditional quantized to exact BIGINT arithmetic so
+    both engines agree bit-for-bit — no transcendentals, no float
+    aggregation order (operators/text.py::ngram_lm_score). The count
+    table is Zipf-compressed and re-aggregated from the bigram
+    counts, never a second corpus pass."""
+    from spotify_pipeline_gcp_spark.operators.text import ngram_lm_score
+
+    return ngram_lm_score(table(spark, sf_dir, "documents"), "doc_id", "text")

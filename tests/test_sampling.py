@@ -127,3 +127,29 @@ def test_domain_mixture_sample_proportions(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_temperature_plan_flattens_mixture(spark):
+    from spotify_pipeline_gcp_spark.operators.sampling import temperature_plan
+
+    # 1600 vs 100 docs: natural ratio 16:1, sqrt-temperature ratio 4:1
+    rows = [(i, "big") for i in range(1600)] + [
+        (10_000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r.source: r for r in temperature_plan(
+        df, "doc_id", "source", budget=500, salt="tp:"
+    ).collect()}
+    assert out["big"].n_docs == 1600 and out["small"].n_docs == 100
+    # weight_q = floor(1e6 * sqrt(n)): 40e6 vs 10e6 -> 4:1
+    assert out["big"].weight_q == 40_000_000
+    assert out["small"].weight_q == 10_000_000
+    assert out["big"].target_docs == 400 and out["small"].target_docs == 100
+    # realized Bernoulli counts track targets (3-sigma-ish tolerance)
+    assert abs(out["big"].kept_docs - 400) < 60
+    assert abs(out["small"].kept_docs - 100) < 30
+    # deterministic across invocations
+    again = {r.source: r.kept_docs for r in temperature_plan(
+        df, "doc_id", "source", budget=500, salt="tp:"
+    ).collect()}
+    assert again == {s: r.kept_docs for s, r in out.items()}

@@ -661,3 +661,40 @@ def test_ivfpq_recall_on_separable_data(spark):
     for r in rows_out:
         assert r.neighbor_id % 4 == r.query_id % 4
         assert r.neighbor_id != r.query_id
+
+
+def test_ann_recall_audit_bounds_and_subset(spark):
+    """recall@5 is in [0,1]; a perfect index (every pair same-bucket)
+    would give recall 1 — here we assert the audit's internal
+    consistency: n_hits <= 5 and recall == n_hits / 5."""
+    from spotify_pipeline_gcp_spark.queries.similarity import (
+        qs21_ann_recall_audit,
+    )
+
+    rows = qs21_ann_recall_audit(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "audit must emit one row per query"
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert r.recall_at_5 == r.n_hits / 5.0
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark):
+    """Every fused row carries a valid RRF score; a doc ranked by
+    both rankers outscores the same ranks singly; ranks within a
+    query are unique and capped at 10."""
+    from spotify_pipeline_gcp_spark.queries.similarity import qs20_hybrid_rrf
+
+    rows = qs20_hybrid_rrf(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        assert 1 <= r.fused_rank <= 10
+        assert r.sem_rank >= 0 and r.lex_rank >= 0
+        assert r.sem_rank > 0 or r.lex_rank > 0  # at least one ranker
+        expect = (1.0 / (60 + r.sem_rank) if r.sem_rank else 0.0) + (
+            1.0 / (60 + r.lex_rank) if r.lex_rank else 0.0
+        )
+        assert abs(r.rrf_score - expect) < 1e-6
+        by_q.setdefault(r.query_id, []).append(r.fused_rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -192,3 +192,42 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, "doc_id", "text", chunk_tokens=8, overlap=8)
+
+
+def test_ngram_lm_score_planted(spark):
+    from spotify_pipeline_gcp_spark.operators.text import ngram_lm_score
+
+    # corpus: "a b" x3, "a c" x1 => P(b|a)=3/4, P(c|a)=1/4
+    df = _docs(
+        spark,
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c"), (5, "solo")],
+    )
+    out = {r.doc_id: r for r in ngram_lm_score(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3, 4}  # doc 5 has no bigrams -> excluded
+    assert out[1].n_bigrams == 1
+    assert out[1].sum_q == 750000  # (1e6 * 3) div 4
+    assert out[1].lm_score == 0.75
+    assert out[4].sum_q == 250000
+    assert out[4].lm_score == 0.25
+
+
+def test_ngram_lm_score_typical_beats_atypical(spark):
+    from spotify_pipeline_gcp_spark.operators.text import ngram_lm_score
+
+    # many documents share the same phrasing; one is scrambled
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((99, "mat the on sat cat the"))
+    out = {
+        r.doc_id: r.lm_score
+        for r in ngram_lm_score(_docs(spark, rows), "doc_id", "text").collect()
+    }
+    assert out[0] > out[99]
+
+
+def test_ngram_lm_score_whitespace_tokens(spark):
+    from spotify_pipeline_gcp_spark.operators.text import ngram_lm_score
+
+    # tabs/newlines separate tokens exactly like spaces
+    a = ngram_lm_score(_docs(spark, [(1, "x\ty\nz")]), "doc_id", "text")
+    b = ngram_lm_score(_docs(spark, [(1, "x y z")]), "doc_id", "text")
+    assert a.collect() == b.collect()
