@@ -88,6 +88,7 @@ HEADLINE_EXT = [
     "qsp5_temperature_resample",
     "qs20_hybrid_rrf",
     "qs21_ann_recall_audit",
+    "qp5_export_manifest",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

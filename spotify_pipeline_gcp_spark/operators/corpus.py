@@ -270,3 +270,97 @@ def curriculum_buckets(
         .withColumn(out_col, bucket)
         .drop("_th")
     )
+
+
+def corpus_export_manifest(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    min_tokens: int = 10,
+    max_dup3_ratio: float = 0.2,
+    contamination_n: int = 4,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """The full training-data EXPORT gate as one composed DAG:
+
+        quality (length + repetition)  ->  exact dedup (min-id per
+        content digest)  ->  benchmark decontamination (drop any doc
+        sharing a word n-gram with the held-out set)  ->  chunk
+        accounting  ->  per-source manifest
+
+    — i.e. every per-document policy this package verifies
+    individually (qt6's repetition gate, qd1's digest dedup, qt7's
+    contamination rule, qt9's chunk arithmetic), fused into the
+    single plan an actual corpus export runs, ending in the manifest
+    (docs / tokens / chunks per source) that ships with the dataset.
+
+    Scale shape: quality is a shuffle-free predicate on the scan;
+    dedup is one digest aggregate + semi join; decontamination
+    explodes only SURVIVOR grams against the BROADCAST benchmark
+    gram table (the corpus never shuffles for it — bench sets are
+    small by definition) and anti-joins the hit list; chunk counts
+    are row-local integer arithmetic (no explode — the manifest
+    needs counts, not chunk rows); the final rollup is one combinable
+    per-source aggregate. Tokenization is the plain single-space
+    split shared with qt6/qp1; all gates are integer-exact or
+    exact-rounded so membership is engine-identical.
+    """
+    from spotify_pipeline_gcp_spark.operators.text import _word_ngrams
+
+    toks = F.split(F.col(text_col), " ", -1)
+    staged = corpus.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col(text_col),
+        toks.alias("_toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    g3 = _word_ngrams(F.col("_toks"), 3)
+    dup3 = F.when(
+        F.size(g3) > 0,
+        (F.size(g3) - F.size(F.array_distinct(g3))) / F.size(g3),
+    ).otherwise(F.lit(0.0))
+    quality = staged.where(
+        (F.col("n_tokens") >= min_tokens) & (dup3 <= F.lit(max_dup3_ratio))
+    ).withColumn("_digest", F.md5(F.col(text_col)))
+    keep = quality.groupBy("_digest").agg(F.min(id_col).alias(id_col))
+    deduped = quality.join(keep, [id_col, "_digest"], "left_semi")
+    bench_grams = (
+        bench.select(
+            F.explode(
+                F.array_distinct(
+                    _word_ngrams(F.split(F.col(text_col), " ", -1),
+                                 contamination_n)
+                )
+            ).alias("gram")
+        ).distinct()
+    )
+    survivor_grams = deduped.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(_word_ngrams(F.col("_toks"), contamination_n))
+        ).alias("gram"),
+    )
+    contaminated = (
+        survivor_grams.join(F.broadcast(bench_grams), "gram")
+        .select(id_col)
+        .distinct()
+    )
+    clean = deduped.join(contaminated, id_col, "left_anti")
+    step = chunk_tokens - overlap
+    n_chunks = F.expr(
+        f"greatest(CAST(1 AS BIGINT), (n_tokens - {overlap} + {step - 1}) div {step})"
+    )
+    return (
+        clean.withColumn("_n_chunks", n_chunks)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("_n_chunks").cast("long").alias("total_chunks"),
+            F.min(id_col).alias("min_doc"),
+        )
+    )

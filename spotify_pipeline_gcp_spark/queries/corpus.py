@@ -198,3 +198,83 @@ def qp4_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").alias("max_tokens"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def _qp5_ngrams(n: int) -> str:
+    """DuckDB word n-grams over the plain-space ``toks`` array."""
+    join = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(generate_series(1, len(toks) - {n - 1}), "
+        f"i -> {join}) ELSE []::VARCHAR[] END"
+    )
+
+
+@register(
+    "qp5_export_manifest",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, text, string_split(text, ' ') AS toks,
+             md5(text) AS digest
+      FROM documents WHERE source <> 'src0'
+    ),
+    feats AS (
+      SELECT doc_id, source, toks, digest,
+             len(toks)::BIGINT AS n_tokens,
+             {_qp5_ngrams(3)} AS g3
+      FROM base
+    ),
+    q AS (
+      SELECT doc_id, source, toks, digest, n_tokens FROM feats
+      WHERE n_tokens >= 10
+        AND (CASE WHEN len(g3) > 0
+                  THEN (len(g3) - len(list_distinct(g3))) / len(g3)
+                  ELSE 0.0 END) <= 0.2
+    ),
+    dd AS (
+      SELECT * FROM q
+      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY digest)
+    ),
+    bt AS (
+      SELECT string_split(text, ' ') AS toks
+      FROM documents WHERE source = 'src0'
+    ),
+    bg AS (
+      SELECT DISTINCT unnest(list_distinct({_qp5_ngrams(4)})) AS gram FROM bt
+    ),
+    cg AS (
+      SELECT doc_id, unnest(list_distinct({_qp5_ngrams(4)})) AS gram FROM dd
+    ),
+    bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)),
+    clean AS (
+      SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           sum(greatest(1, (n_tokens - 8 + 55) // 56))::BIGINT
+             AS total_chunks,
+           min(doc_id) AS min_doc
+    FROM clean GROUP BY source
+    """,
+)
+def qp5_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-EXPORT gate as one fused DAG: repetition+length
+    quality filter -> exact content dedup -> benchmark
+    decontamination (any shared word 4-gram with the held-out src0
+    slice drops the doc) -> chunk accounting -> per-source manifest
+    (operators/corpus.py::corpus_export_manifest). Composes qt6, qd1,
+    qt7 and qt9's verified policies into the single plan a real
+    export runs; the corpus shuffles once (dedup digest semi-join) —
+    decontamination is a broadcast gram join and the manifest a
+    combinable rollup."""
+    from spotify_pipeline_gcp_spark.operators.corpus import (
+        corpus_export_manifest,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return corpus_export_manifest(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        "doc_id", "text", "source",
+    )

@@ -1331,10 +1331,25 @@ _RRF_COS = sql_fixed(
       SELECT e.vec_id, e.embedding FROM embeddings e
       JOIN documents d ON e.vec_id = d.doc_id WHERE d.source <> 'src0'
     ),
+    nb AS (SELECT {_SIZED_BITS_SQL} AS bits FROM ce),
+    qc AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(range(1, (SELECT bits FROM nb) + 1),
+                  j -> CASE WHEN embedding[j] > 0 THEN 1 << (j - 1) ELSE 0 END))
+                  AS BIGINT) AS bucket
+      FROM qe
+    ),
+    cc AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(range(1, (SELECT bits FROM nb) + 1),
+                  j -> CASE WHEN embedding[j] > 0 THEN 1 << (j - 1) ELSE 0 END))
+                  AS BIGINT) AS bucket
+      FROM ce
+    ),
     sem AS (
       SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
              {_RRF_COS} AS cosine_r
-      FROM qe a CROSS JOIN ce b
+      FROM qc a JOIN cc b ON a.bucket = b.bucket
     ),
     semr AS (
       SELECT query_id, doc_id,
@@ -1382,24 +1397,31 @@ _RRF_COS = sql_fixed(
 )
 def qs20_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion: a semantic
-    ranker (exact cosine top-20 per query) and a lexical ranker
-    (shared word-4-gram counts, qt7's kernel) fused by
+    ranker (cosine top-20 among SIZED sign-bucket candidates — the
+    qs13 index, ~256 corpus vectors per bucket at any scale) and a
+    lexical ranker (shared word-4-gram counts, qt7's kernel) fused by
     ``sum 1/(60 + rank)`` — the standard RRF rule (Cormack et al.)
     behind every dense+sparse retrieval stack. Queries are the
     ``src0`` document slice (embeddings joined on doc_id); ranks are
     integers and the RRF sum is two exact-rounded divisions added in
-    a fixed order, so fusion and final ordering are engine-exact.
+    a fixed order, so fusion and final ordering are engine-exact; the
+    oracle replays the index SIZING arithmetic from the same corpus
+    count (the qs13 rule), so the data-adaptive candidate rule is
+    hash-verified too.
 
-    Scale shape: the query side broadcasts everywhere (inference
-    batches are small); the semantic pass is one linear corpus scan,
-    the lexical pass joins the corpus's exploded grams against the
-    BROADCAST query-gram table without shuffling the corpus, and the
-    fusion join runs over |Q| x bounded candidates. The only corpus
-    shuffles are the per-(doc, query) count and the per-query
-    row_number windows, both bounded by candidate volume, not corpus
-    size."""
+    Scale shape: BOTH rankers are candidate-bounded — semantic
+    candidates are |Q| x ~256 via the sized bucket equi-join (a
+    pinned bucket count would quietly go |Q|·n/2^bits: the qs3
+    lesson), lexical candidates are gram collisions against the
+    BROADCAST query-gram table — and the corpus never shuffles for
+    either. The only exchanges are the per-(doc, query) count and
+    the per-query row_number windows, both bounded by candidate
+    volume, not corpus size. Ranking inside index candidates (not
+    exact top-k) is what production hybrid search does; qs21 is the
+    audit that measures what that candidate rule costs in recall."""
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
+    from spotify_pipeline_gcp_spark.operators.similarity import sign_bits_for
     from spotify_pipeline_gcp_spark.operators.text import contamination_pairs
 
     qids = docs.where(F.col("source") == "src0").select(
@@ -1408,20 +1430,23 @@ def qs20_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cids = docs.where(F.col("source") != "src0").select(
         F.col("doc_id").alias("vec_id")
     )
+    corpus_emb = emb.join(F.broadcast(cids), "vec_id", "left_semi")
+    n_bits = min(32, sign_bits_for(corpus_emb.count()))
     qb = _double_base(
         emb.join(F.broadcast(qids), "vec_id", "left_semi"),
         "vec_id", "embedding",
-    )
-    cb = _double_base(
-        emb.join(F.broadcast(cids), "vec_id", "left_semi"),
-        "vec_id", "embedding",
+    ).withColumn("bucket", sign_bucket("v", n_bits))
+    cb = _double_base(corpus_emb, "vec_id", "embedding").withColumn(
+        "bucket", sign_bucket("v", n_bits)
     )
     cos = fixed(
         _dot_pre(F.col("q.v"), F.col("c.v"))
         / (F.col("q.norm") * F.col("c.norm")),
         6,
     )
-    sem = F.broadcast(qb.alias("q")).crossJoin(cb.alias("c")).select(
+    sem = F.broadcast(qb.alias("q")).join(
+        cb.alias("c"), F.col("q.bucket") == F.col("c.bucket")
+    ).select(
         F.col("q.id").alias("query_id"),
         F.col("c.id").alias("doc_id"),
         cos.alias("cosine_r"),
@@ -1483,8 +1508,11 @@ _AUDIT_BUCKET = (
     "qs21_ann_recall_audit",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, embedding, {_AUDIT_BUCKET} AS bucket
-      FROM embeddings WHERE label % 10 = 0
+      SELECT vec_id, embedding, {_AUDIT_BUCKET} AS bucket FROM (
+        SELECT vec_id, embedding
+        FROM embeddings WHERE label % 10 = 0
+        ORDER BY md5('aud:' || vec_id::VARCHAR) LIMIT 64
+      )
     ),
     c AS (
       SELECT vec_id, embedding, {_AUDIT_BUCKET} AS bucket
@@ -1532,16 +1560,29 @@ def qs21_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is one exact division, so the metric hash-matches
     cross-engine.
 
-    Scale shape: ground truth is the expensive side by definition —
-    in production this audit runs over a DIGEST-SAMPLED query slice
-    (qsp1's operator composes directly), keeping the exact pass
-    a bounded |Q_sample| x corpus scan while the approx side reuses
-    the index's own bucketed join; the per-query top-5 windows and
-    the hit-intersection join are all bounded by k x |Q|."""
+    Scale shape: ground truth is the expensive side by definition,
+    so the audited query set is a FIXED-SIZE sample — the 64 queries
+    with the smallest salted digests (digest order is pseudo-random,
+    so the sample is unbiased; a PROPORTIONAL slice would make the
+    exact pass |Q|·n = quadratic-ish, the qs3 lesson applied to
+    evals). The exact pass is then a bounded 64 x corpus broadcast
+    scan at any corpus size; the approx side reuses the index's own
+    bucketed join, and the per-query top-5 windows and the
+    hit-intersection join are all bounded by k x 64."""
     emb = table(spark, sf_dir, "embeddings")
-    qb = _double_base(
-        emb.where(F.col("label") % 10 == 0), "vec_id", "embedding"
-    ).withColumn("bucket", sign_bucket("v", 4))
+    qsel = (
+        emb.where(F.col("label") % 10 == 0)
+        .withColumn(
+            "_d",
+            F.md5(F.concat(F.lit("aud:"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("_d")
+        .limit(64)
+        .drop("_d")
+    )
+    qb = _double_base(qsel, "vec_id", "embedding").withColumn(
+        "bucket", sign_bucket("v", 4)
+    )
     cb = _double_base(
         emb.where(F.col("label") % 10 != 0), "vec_id", "embedding"
     ).withColumn("bucket", sign_bucket("v", 4))

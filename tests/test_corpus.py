@@ -170,3 +170,36 @@ def test_curriculum_buckets_boundaries(spark):
     # no ranking window over the corpus: the plan has no Window node
     plan = curriculum_buckets(df, "score")._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan
+
+
+def test_corpus_export_manifest_gates(spark):
+    """Each gate drops exactly its target: short docs, repetitive
+    docs, exact duplicates (higher id), and benchmark-contaminated
+    docs; survivors are accounted per source."""
+    from spotify_pipeline_gcp_spark.operators.corpus import (
+        corpus_export_manifest,
+    )
+
+    good = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    corpus = spark.createDataFrame(
+        [
+            (1, good, "a"),
+            (2, good, "a"),                      # exact dup of 1 -> dropped
+            (3, " ".join(["spam"] * 30), "a"),   # dup3 ratio 1.0 -> dropped
+            (4, "too short to pass", "a"),       # 4 tokens -> dropped
+            (5, "held out quiz question " + good, "b"),  # contaminated
+            (6, good.upper(), "b"),              # distinct content, kept
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the held out quiz question set", "bench")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in corpus_export_manifest(
+        corpus, bench, "doc_id", "text", "source"
+    ).collect()}
+    assert out["a"].n_docs == 1 and out["a"].min_doc == 1
+    assert out["a"].total_tokens == 12
+    assert out["a"].total_chunks == 1
+    assert out["b"].n_docs == 1 and out["b"].min_doc == 6

@@ -263,3 +263,79 @@ def test_duplicated_spans_single_pass_no_joins(spark):
     # exactly two shuffles: wkey-count window, then doc_id islands
     # window (the final span aggregate reuses the doc_id partitioning)
     assert phys.count("Exchange hashpartitioning") == 2, phys
+
+
+def test_hybrid_rrf_both_rankers_candidate_bounded(spark):
+    # qs20: both rankers must broadcast the QUERY side and generate
+    # candidates through equi-joins (sized sign-bucket for semantic,
+    # gram collision for lexical) — never a nested-loop or cartesian
+    # scoring of |Q| x corpus
+    df = _q(spark, "qs20_hybrid_rrf")
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in phys, phys
+    assert "CartesianProduct" not in phys, phys
+    assert "BroadcastHashJoin" in phys, phys
+
+
+def test_ngram_lm_counts_are_partial_aggregates(spark):
+    # qt10: both count tables must partial-aggregate map-side before
+    # shuffling (combinable counts, not raw gram streams)
+    df = _q(spark, "qt10_ngram_lm_score")
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in phys, phys
+    assert "CartesianProduct" not in phys, phys
+
+
+def test_temperature_plan_corpus_never_shuffles(spark):
+    # qsp5: the corpus sees one combinable count per domain and one
+    # row-local keep predicate under a broadcast plan join — no
+    # repartitioning of document rows themselves
+    df = _q(spark, "qsp5_temperature_resample")
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys, phys
+    # every hash-exchange is on the tiny per-domain aggregates
+    # (source keys), never on doc_id
+    import re
+    for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", phys):
+        assert "doc_id" not in m, m
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark):
+    """Spark's runtime bloom-filter join reduction (on by default in
+    this engine's session) injects a might_contain predicate on the
+    FACT side of a selective fact⋈dim shuffle join — at 100 TB this
+    is the semi-join reduction that drops most fact rows before the
+    shuffle. The 10 GB application-side threshold exists so small
+    scans skip the overhead; the test lowers it to simulate the
+    at-scale condition and asserts both the injection and that
+    results are unchanged."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    join = lambda: (  # noqa: E731
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    baseline = join().collect()
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        filtered = join()
+        phys = filtered._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in phys.lower(), phys
+        assert filtered.collect() == baseline
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
