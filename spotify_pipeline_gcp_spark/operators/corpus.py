@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from spotify_pipeline_gcp_spark.operators.dedup import exact_dedup
@@ -304,21 +304,31 @@ def corpus_export_manifest(
     small by definition) and anti-joins the hit list; chunk counts
     are row-local integer arithmetic (no explode — the manifest
     needs counts, not chunk rows); the final rollup is one combinable
-    per-source aggregate. Tokenization is the plain single-space
-    split shared with qt6/qp1; all gates are integer-exact or
-    exact-rounded so membership is engine-identical.
+    per-source aggregate. Tokens are ``\\S+`` runs (the qt7/qt9
+    convention) and BOTH gram passes are the anchored-lookahead
+    regex extraction ``contamination_pairs`` measured ~12x faster
+    than higher-order ``transform`` grams (re-measured here: the
+    3-gram quality gate alone dropped 14.5 s -> 1.3 s at sf0.1);
+    all gates are integer-exact or exact-rounded so membership is
+    engine-identical. The content digest hashes the RAW text (dedup
+    must not conflate whitespace variants).
     """
-    from spotify_pipeline_gcp_spark.operators.text import _word_ngrams
 
-    toks = F.split(F.col(text_col), " ", -1)
+    def grams(n: int) -> Column:
+        pat = rf"(?:^|(?<= ))(?=((\S+ ){{{n - 1}}}\S+))"
+        return F.regexp_extract_all(F.col("_norm"), F.lit(pat), 1)
+
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     staged = corpus.select(
         F.col(id_col),
         F.col(source_col),
         F.col(text_col),
-        toks.alias("_toks"),
-        F.size(toks).cast("long").alias("n_tokens"),
+        norm.alias("_norm"),
+    ).withColumn(
+        "n_tokens",
+        F.size(F.array_remove(F.split(F.col("_norm"), " "), "")).cast("long"),
     )
-    g3 = _word_ngrams(F.col("_toks"), 3)
+    g3 = grams(3)
     dup3 = F.when(
         F.size(g3) > 0,
         (F.size(g3) - F.size(F.array_distinct(g3))) / F.size(g3),
@@ -329,19 +339,18 @@ def corpus_export_manifest(
     keep = quality.groupBy("_digest").agg(F.min(id_col).alias(id_col))
     deduped = quality.join(keep, [id_col, "_digest"], "left_semi")
     bench_grams = (
-        bench.select(
+        bench.select(norm.alias("_norm"))
+        .select(
             F.explode(
-                F.array_distinct(
-                    _word_ngrams(F.split(F.col(text_col), " ", -1),
-                                 contamination_n)
-                )
+                F.array_distinct(grams(contamination_n))
             ).alias("gram")
-        ).distinct()
+        )
+        .distinct()
     )
     survivor_grams = deduped.select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(_word_ngrams(F.col("_toks"), contamination_n))
+            F.array_distinct(grams(contamination_n))
         ).alias("gram"),
     )
     contaminated = (

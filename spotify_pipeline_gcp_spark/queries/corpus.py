@@ -214,7 +214,9 @@ def _qp5_ngrams(n: int) -> str:
     "qp5_export_manifest",
     oracle=f"""
     WITH base AS (
-      SELECT doc_id, source, text, string_split(text, ' ') AS toks,
+      SELECT doc_id, source, text,
+             list_filter(string_split(regexp_replace(text, '\\s', ' ', 'g'), ' '),
+                         x -> x <> '') AS toks,
              md5(text) AS digest
       FROM documents WHERE source <> 'src0'
     ),
@@ -236,7 +238,8 @@ def _qp5_ngrams(n: int) -> str:
       WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY digest)
     ),
     bt AS (
-      SELECT string_split(text, ' ') AS toks
+      SELECT list_filter(string_split(regexp_replace(text, '\\s', ' ', 'g'), ' '),
+                         x -> x <> '') AS toks
       FROM documents WHERE source = 'src0'
     ),
     bg AS (
@@ -267,7 +270,10 @@ def qp5_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     qt7 and qt9's verified policies into the single plan a real
     export runs; the corpus shuffles once (dedup digest semi-join) —
     decontamination is a broadcast gram join and the manifest a
-    combinable rollup."""
+    combinable rollup. Tokens are \\S+ runs and both gram passes are
+    single anchored-lookahead regex extractions (the qt7 fast path);
+    the oracle replays the same tokenization via the whitespace
+    normalize + empty-filter split."""
     from spotify_pipeline_gcp_spark.operators.corpus import (
         corpus_export_manifest,
     )
