@@ -89,6 +89,7 @@ HEADLINE_EXT = [
     "qs20_hybrid_rrf",
     "qs21_ann_recall_audit",
     "qp5_export_manifest",
+    "q49_grouping_sets",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

@@ -64,6 +64,7 @@ _WINDOW_ORDER = [
     "qs20_hybrid_rrf",
     "qs21_ann_recall_audit",
     "qp5_export_manifest",
+    "q49_grouping_sets",
     # r2-stale (displaced from the r5 window)
     "qs4_cosine_topk_blas",
     "qs6_cosine_topk_ivf_blas",
@@ -103,13 +104,14 @@ _WINDOW_ORDER = [
     "q33_conditional_agg",
     "q34_array_agg_ops",
     "q35_exact_percentiles",
-    "q36_approx_aggregates",
-    # q37_unpivot / q38_map_ops / q39_date_arith / q40_json_bag /
-    # q41_big_orders_having / q42_above_group_avg / q43_ratio_metric /
+    # q36_approx_aggregates (rows-only driver row; its value bounds
+    # live in the tolerance pytests) / q37_unpivot / q38_map_ops /
+    # q39_date_arith / q40_json_bag / q41_big_orders_having /
+    # q42_above_group_avg / q43_ratio_metric /
     # q44_flagship_partition_ready / q45_cube / q46_range_frame /
     # q47_range_join / q48_rank_battery rotate out (r4-green, modules
-    # unchanged) to make room for the fourteen queries NEW this round
-    # (qt9/qs15–qs21/qd13/qt10/qsp5/qp5) — first in line for r7
+    # unchanged) to make room for the fifteen queries NEW this round
+    # (qt9/qs15–qs21/qd13/qt10/qsp5/qp5/q49) — first in line for r7
     # alongside q24–q28
 ]
 

@@ -163,3 +163,54 @@ def q48_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed(F.percent_rank().over(w), 6).alias("pct_rank"),
         fixed(F.cume_dist().over(w), 6).alias("cum_dist"),
     )
+
+
+@register(
+    "q49_grouping_sets",
+    oracle=f"""
+    SELECT coalesce(n_name, 'ALL') AS nation,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           grouping(n_name, o_orderpriority)::BIGINT AS gid,
+           count(*)::BIGINT AS n_orders,
+           {sql_fixed('sum(o_totalprice)')} AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), ())
+    """,
+)
+def q49_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the arbitrary-subtotal shape CUBE and
+    ROLLUP are special cases of: per-(nation, priority) detail,
+    per-nation subtotal, and the grand total in ONE pass, skipping
+    the per-priority-only set a CUBE would also compute. Spark plans
+    it as a single Expand (3 copies per row, one per set) above the
+    join, so partial aggregation still combines map-side and the
+    exchange carries one partial per (set, group) — at 100 TB this
+    beats three separate aggregates by two corpus scans. grouping_id
+    disambiguates subtotal rows from genuine NULLs; dims broadcast."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    j = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return (
+        j.groupingSets(
+            [["n_name", "o_orderpriority"], ["n_name"], []],
+            "n_name",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            fixed(F.sum("o_totalprice")).alias("revenue"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+    )

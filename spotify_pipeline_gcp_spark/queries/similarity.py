@@ -955,8 +955,13 @@ def _pq_oracle(d: int, m: int, k_pq: int, n_iter: int, topk: int) -> str:
                                                            embedding::DOUBLE[]))) AS u
       FROM embeddings
     )""",
+        # fixed-size digest-ordered query batch: ADC's per-pair cost
+        # is m lookups but the PAIR COUNT is |Q|·n — a query slice
+        # proportional to the corpus makes the scoring quadratic-ish
+        # (measured x19.9 on x10 data before this bound)
         "qview AS (SELECT u.vec_id, u.u FROM u JOIN embeddings e"
-        " ON e.vec_id = u.vec_id WHERE e.label % 10 = 0)",
+        " ON e.vec_id = u.vec_id WHERE e.label % 10 = 0"
+        " ORDER BY md5('pq:' || u.vec_id::VARCHAR) LIMIT 64)",
         "cview AS (SELECT u.vec_id, u.u FROM u JOIN embeddings e"
         " ON e.vec_id = u.vec_id WHERE e.label % 10 <> 0)",
     ]
@@ -1073,7 +1078,15 @@ def qs18_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory), queries full-precision, score = sum of 4 broadcast
     table lookups with exact-integer partials. The oracle replays
     all four trainings, the encoding, and the ADC ranking — the
-    entire compressed pipeline is hash-verified."""
+    entire compressed pipeline is hash-verified.
+
+    The query side is a FIXED-SIZE digest-ordered batch of 64 (the
+    qs21 convention): ADC cuts the PER-PAIR cost to m lookups, but
+    the pair count is still |Q|·n — with a query slice proportional
+    to the corpus the scoring is quadratic-ish (measured x19.9 on
+    x10 data); a bounded serving batch keeps it linear (x2.8
+    re-measured). Unbounded |Q| belongs to the composed qs19, where
+    coarse cells prune the pairs first."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         _unit_vectors,
         pq_adc_topk,
@@ -1084,9 +1097,17 @@ def qs18_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     pts = _unit_vectors(emb, "vec_id", "embedding")
     books = pq_codebooks(pts, m=4, d_sub=16, k_pq=16, n_iter=2)
-    qpts = _unit_vectors(
-        emb.where(F.col("label") % 10 == 0), "vec_id", "embedding"
+    qsel = (
+        emb.where(F.col("label") % 10 == 0)
+        .withColumn(
+            "_d",
+            F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("_d")
+        .limit(64)
+        .drop("_d")
     )
+    qpts = _unit_vectors(qsel, "vec_id", "embedding")
     cpts = _unit_vectors(
         emb.where(F.col("label") % 10 != 0), "vec_id", "embedding"
     )
