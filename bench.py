@@ -90,6 +90,9 @@ HEADLINE_EXT = [
     "qs21_ann_recall_audit",
     "qp5_export_manifest",
     "q49_grouping_sets",
+    "qe2_knn_label_vote",
+    "qsp6_exact_quota_sample",
+    "qt11_vocab_stats",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

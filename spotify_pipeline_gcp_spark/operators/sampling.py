@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX = "0123456789abcdef"
@@ -251,4 +251,41 @@ def temperature_plan(
         F.coalesce(F.col("kept_docs"), F.lit(0).cast("long")).alias(
             "kept_docs"
         ),
+    )
+
+
+def exact_quota_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    quota: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACT per-stratum quotas: keep precisely ``min(quota, n_s)``
+    rows per stratum — the first ``quota`` rows in salted-digest
+    order (digest order is pseudo-random, so the draw is unbiased;
+    the unique key breaks the impossible-in-practice digest ties).
+    This is the exact-count counterpart to ``stratified_sample``'s
+    Bernoulli thresholds: thresholds are shuffle-free but only hit
+    quotas in expectation; audits, eval-set construction, and
+    fixed-budget exports need the exact count.
+
+    Scale shape: ONE shuffle on the stratum key, then a rank window
+    per stratum. The window input is the full stratum, so a dominant
+    stratum serializes one task — when quota << n_s, prefilter with
+    ``hash_sample`` at ~3·quota/n_s (the same salt/digest, so the
+    prefilter keeps a superset of the final draw... rank order among
+    survivors is unchanged) to bound the window input, accepting the
+    ~e^-quota tail risk of an under-filled stratum, or keep this
+    exact form and let AQE split nothing (rank windows don't split)
+    — the trade is documented, the exact form is what is registered.
+    """
+    digest = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(
+        digest.alias("_d"), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= quota)
+        .drop("_rk")
     )

@@ -65,6 +65,9 @@ _WINDOW_ORDER = [
     "qs21_ann_recall_audit",
     "qp5_export_manifest",
     "q49_grouping_sets",
+    "qe2_knn_label_vote",
+    "qsp6_exact_quota_sample",
+    "qt11_vocab_stats",
     # r2-stale (displaced from the r5 window)
     "qs4_cosine_topk_blas",
     "qs6_cosine_topk_ivf_blas",
@@ -101,18 +104,18 @@ _WINDOW_ORDER = [
     "q30_sessionize",
     "q31_asof_last_click",
     "q32_scalar_subquery",
-    "q33_conditional_agg",
-    "q34_array_agg_ops",
-    "q35_exact_percentiles",
+    # q33_conditional_agg / q34_array_agg_ops / q35_exact_percentiles
+    # rotate out with the list below (r4-green, unchanged) to fit the
+    # late-round additions qe2/qsp6/qt11
     # q36_approx_aggregates (rows-only driver row; its value bounds
     # live in the tolerance pytests) / q37_unpivot / q38_map_ops /
     # q39_date_arith / q40_json_bag / q41_big_orders_having /
     # q42_above_group_avg / q43_ratio_metric /
     # q44_flagship_partition_ready / q45_cube / q46_range_frame /
     # q47_range_join / q48_rank_battery rotate out (r4-green, modules
-    # unchanged) to make room for the fifteen queries NEW this round
-    # (qt9/qs15–qs21/qd13/qt10/qsp5/qp5/q49) — first in line for r7
-    # alongside q24–q28
+    # unchanged) to make room for the eighteen queries NEW this round
+    # (qt9/qs15–qs21/qd13/qt10/qt11/qsp5/qsp6/qp5/q49/qe2) — first in
+    # line for r7 alongside q24–q28
 ]
 
 _MODULES = [

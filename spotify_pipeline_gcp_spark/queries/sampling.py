@@ -199,3 +199,37 @@ def qsp5_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_plan(
         docs, "doc_id", "source", budget=_TEMP_BUDGET, salt="temp:"
     )
+
+
+@register(
+    "qsp6_exact_quota_sample",
+    oracle="""
+    SELECT lang, count(*)::BIGINT AS n_kept, min(doc_id) AS min_doc
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5('eq:' || doc_id::VARCHAR),
+                                         doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 40
+    GROUP BY lang
+    """,
+)
+def qsp6_exact_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-language quotas (40 docs per lang, or the whole
+    stratum if smaller) — the eval-set/audit-set construction rule
+    Bernoulli thresholds can't provide (they hit quotas only in
+    expectation). Keeps the first 40 docs per language in
+    salted-digest order; the draw is unbiased, deterministic, and
+    engine-exact (operators/sampling.py::exact_quota_sample).
+    Aggregated per language for a compact oracle check."""
+    from spotify_pipeline_gcp_spark.operators.sampling import (
+        exact_quota_sample,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    kept = exact_quota_sample(docs, "doc_id", "lang", quota=40, salt="eq:")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.min("doc_id").alias("min_doc"),
+    )

@@ -1644,3 +1644,118 @@ def qs21_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_5"
         ),
     )
+
+
+@register(
+    "qe2_knn_label_vote",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding, {_AUDIT_BUCKET} AS bucket
+      FROM embeddings WHERE label % 10 = 0
+    ),
+    c AS (
+      SELECT vec_id, embedding, label, {_AUDIT_BUCKET} AS bucket
+      FROM embeddings WHERE label % 10 <> 0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             b.label AS nlabel,
+             {_RRF_COS} AS cosine_r
+      FROM q a JOIN c b ON a.bucket = b.bucket
+    ),
+    knn AS (
+      SELECT query_id, neighbor_id, nlabel FROM (
+        SELECT query_id, neighbor_id, nlabel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_r DESC, neighbor_id) AS r
+        FROM pairs
+      ) WHERE r <= 5
+    ),
+    votes AS (
+      SELECT query_id, nlabel, count(*)::BIGINT AS n_votes
+      FROM knn GROUP BY 1, 2
+    )
+    SELECT query_id,
+           CAST(nlabel AS BIGINT) AS pred_label,
+           n_votes,
+           total_votes
+    FROM (
+      SELECT query_id, nlabel, n_votes,
+             sum(n_votes) OVER (PARTITION BY query_id)::BIGINT AS total_votes,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY n_votes DESC, nlabel) AS pick
+      FROM votes
+    ) WHERE pick = 1
+    """,
+)
+def qe2_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak supervision by neighbor vote: each unlabeled vector (the
+    ``label % 10 = 0`` slice standing in for unlabeled data) takes
+    the MAJORITY LABEL of its 5 nearest labeled neighbors from the
+    sign-bucket index — the classic kNN pseudo-labeling step in front
+    of semi-supervised training. Votes are integer counts; ties break
+    to the lowest label, so the prediction is engine-exact.
+
+    Scale shape: the same bounded candidate rule as every index query
+    here (bucket equi-join, query side broadcast — never |Q| x n),
+    one per-query top-5 window over candidates, one combinable vote
+    count, and a k-row argmax window per query. Output:
+    (query_id, pred_label, n_votes, total_votes) — total_votes < 5
+    flags queries whose bucket had fewer than k labeled members
+    (prediction confidence needs the denominator)."""
+    emb = table(spark, sf_dir, "embeddings")
+    qb = _double_base(
+        emb.where(F.col("label") % 10 == 0), "vec_id", "embedding"
+    ).withColumn("bucket", sign_bucket("v", 4))
+    cb = (
+        _double_base(
+            emb.where(F.col("label") % 10 != 0).select(
+                "vec_id", "embedding"
+            ),
+            "vec_id",
+            "embedding",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("id"), "label"), "id"
+        )
+        .withColumn("bucket", sign_bucket("v", 4))
+    )
+    cos = fixed(
+        _dot_pre(F.col("q.v"), F.col("c.v"))
+        / (F.col("q.norm") * F.col("c.norm")),
+        6,
+    )
+    pairs = F.broadcast(qb.alias("q")).join(
+        cb.alias("c"), F.col("q.bucket") == F.col("c.bucket")
+    ).select(
+        F.col("q.id").alias("query_id"),
+        F.col("c.id").alias("neighbor_id"),
+        F.col("c.label").alias("nlabel"),
+        cos.alias("cosine_r"),
+    )
+    wk = W.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id")
+    )
+    knn = pairs.withColumn("r", F.row_number().over(wk)).where(
+        F.col("r") <= 5
+    )
+    votes = knn.groupBy("query_id", "nlabel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    wv = W.partitionBy("query_id")
+    wpick = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("nlabel")
+    )
+    return (
+        votes.withColumn(
+            "total_votes", F.sum("n_votes").over(wv).cast("long")
+        )
+        .withColumn("pick", F.row_number().over(wpick))
+        .where(F.col("pick") == 1)
+        .select(
+            "query_id",
+            F.col("nlabel").cast("long").alias("pred_label"),
+            "n_votes",
+            "total_votes",
+        )
+    )

@@ -347,3 +347,63 @@ def qt10_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_pipeline_gcp_spark.operators.text import ngram_lm_score
 
     return ngram_lm_score(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "qt11_vocab_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(text, '\\s', ' ', 'g'), ' '),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    total AS (SELECT sum(len(toks))::BIGINT AS n_total FROM t),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    freq AS (
+      SELECT token,
+             count(*)::BIGINT AS n_occurrences,
+             count(DISTINCT doc_id)::BIGINT AS doc_freq
+      FROM tok GROUP BY token
+    )
+    SELECT token, n_occurrences, doc_freq,
+           floor(n_occurrences / (SELECT n_total FROM total) * 1000000
+                 + 0.5) / 1000000 AS corpus_share
+    FROM freq
+    ORDER BY n_occurrences DESC, token
+    LIMIT 50
+    """,
+)
+def qt11_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: the 50 most frequent tokens with
+    occurrence counts, document frequency, and corpus share — the
+    Zipf-head profile tokenizer design and stopword/boilerplate
+    screens start from. One explode, one combinable (count,
+    distinct-doc) aggregate pair, one scalar total broadcast, and a
+    TakeOrdered 50 — no global sort; deterministic tie-break on the
+    token string keeps the cut engine-exact."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.array_remove(
+        F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "),
+        "",
+    )
+    tok = docs.select(
+        "doc_id", F.explode(toks).alias("token")
+    )
+    total = tok.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    freq = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+    )
+    share = F.floor(
+        F.col("n_occurrences") / F.col("n_total") * 1000000 + F.lit(0.5)
+    ) / 1000000
+    return (
+        freq.crossJoin(F.broadcast(total))
+        .select(
+            "token", "n_occurrences", "doc_freq",
+            share.alias("corpus_share"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(50)
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from spotify_pipeline_gcp_spark.operators.sampling import (
     assign_splits,
@@ -153,3 +154,25 @@ def test_temperature_plan_flattens_mixture(spark):
         df, "doc_id", "source", budget=500, salt="tp:"
     ).collect()}
     assert again == {s: r.kept_docs for s, r in out.items()}
+
+
+def test_exact_quota_sample_counts_and_determinism(spark):
+    from spotify_pipeline_gcp_spark.operators.sampling import (
+        exact_quota_sample,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = exact_quota_sample(df, "doc_id", "lang", quota=50, salt="q:")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # exact quota where the stratum is big enough, whole stratum else
+    assert counts == {"big": 50, "small": 50}
+    small_quota = exact_quota_sample(df, "doc_id", "lang", quota=200, salt="q:")
+    c2 = {r["lang"]: r["n"] for r in small_quota.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert c2 == {"big": 200, "small": 100}
+    # deterministic + nested: the 50-quota draw is a subset of the 200
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in small_quota.collect()}
+    assert a < b

@@ -698,3 +698,17 @@ def test_hybrid_rrf_fuses_both_rankers(spark):
         by_q.setdefault(r.query_id, []).append(r.fused_rank)
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_knn_label_vote_semantics(spark):
+    """Majority label wins; ties break to the lowest label; the
+    denominator reports how many neighbors actually voted."""
+    from spotify_pipeline_gcp_spark.queries.similarity import (
+        qe2_knn_label_vote,
+    )
+
+    rows = qe2_knn_label_vote(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_votes <= r.total_votes <= 5
+        assert r.pred_label % 10 != 0  # voters come from the labeled slice
