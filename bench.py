@@ -93,6 +93,8 @@ HEADLINE_EXT = [
     "qe2_knn_label_vote",
     "qsp6_exact_quota_sample",
     "qt11_vocab_stats",
+    "qp6_pack_manifest",
+    "qst6_streaming_export_gate",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

@@ -93,6 +93,7 @@ def token_shard_packing(
     text_col: str = "text",
     budget: int = 2048,
     block_width: int = 64,
+    with_offsets: bool = False,
 ) -> DataFrame:
     """Pack documents into training shards by cumulative token budget:
     (id, n_tokens, shard_id), documents taken in id order, a new shard
@@ -119,6 +120,13 @@ def token_shard_packing(
     replay; at 100 TB pick ``block_width`` so the block table stays
     driver-broadcastable (~1e6 blocks) while within-block windows stay
     cache-sized.
+
+    ``with_offsets=True`` adds the sequence-ASSEMBLY manifest columns
+    a training loader actually consumes: ``offset_in_shard`` (where
+    the document's tokens start inside its shard's token budget) and
+    ``spills`` (whether the document crosses the shard boundary —
+    the loader's truncate/continue decision). Pure integer arithmetic
+    on the same prefix sum; no extra pass.
     """
     from pyspark.sql import Window as W
 
@@ -141,19 +149,23 @@ def token_shard_packing(
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    return (
-        toks.join(F.broadcast(offsets), "block")
-        .withColumn(
-            "before",
-            F.col("block_offset")
-            + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.expr(f"before div {budget}").alias("shard_id"),
-        )
+    packed = toks.join(F.broadcast(offsets), "block").withColumn(
+        "before",
+        F.col("block_offset")
+        + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
     )
+    cols = [
+        F.col("doc_id"),
+        F.col("n_tokens"),
+        F.expr(f"before div {budget}").alias("shard_id"),
+    ]
+    if with_offsets:
+        cols += [
+            F.expr(f"before % {budget}").alias("offset_in_shard"),
+            (F.expr(f"before % {budget}") + F.col("n_tokens")
+             > F.lit(budget)).alias("spills"),
+        ]
+    return packed.select(*cols)
 
 
 def prepare_corpus_observed(

@@ -284,3 +284,41 @@ def qp5_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("source") == "src0"),
         "doc_id", "text", "source",
     )
+
+
+@register(
+    "qp6_pack_manifest",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS before
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           (before // 2048)::BIGINT AS shard_id,
+           (before % 2048)::BIGINT AS offset_in_shard,
+           (before % 2048) + n_tokens > 2048 AS spills
+    FROM cum
+    """,
+)
+def qp6_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-ASSEMBLY manifest: qp2's shard packing plus the two
+    columns a training loader actually consumes — where each
+    document's tokens start inside the shard's 2048-token budget and
+    whether it crosses the boundary (the truncate/continue decision).
+    Same two-level prefix sum, pure integer arithmetic, no extra
+    pass (operators/corpus.py::token_shard_packing with_offsets)."""
+    from spotify_pipeline_gcp_spark.operators.corpus import (
+        token_shard_packing,
+    )
+
+    return token_shard_packing(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        budget=2048, with_offsets=True,
+    )

@@ -167,3 +167,82 @@ def qst5_streaming_incremental_near_dup(
         rows_per_band=2,
         threshold=0.8,
     )
+
+
+_GATE_NEW = ["src10", "src11", "src12", "src13", "src14"]
+_GATE_NEW_SQL = ", ".join(f"'{s}'" for s in _GATE_NEW)
+
+
+def _gate_ngrams(n: int) -> str:
+    join = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(generate_series(1, len(toks) - {n - 1}), "
+        f"i -> {join}) ELSE []::VARCHAR[] END"
+    )
+
+
+@register(
+    "qst6_streaming_export_gate",
+    # AvailableNow drains the delta as one micro-batch, so the sink
+    # equals the batch export gate on the same rows (see qp5).
+    oracle=f"""
+    WITH newd AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split(regexp_replace(text, '\\s', ' ', 'g'), ' '),
+                         x -> x <> '') AS toks
+      FROM documents WHERE source IN ({_GATE_NEW_SQL})
+    ),
+    corp AS (
+      SELECT DISTINCT md5(text) AS digest FROM documents
+      WHERE source NOT IN ({_GATE_NEW_SQL}, 'src0')
+    ),
+    feats AS (
+      SELECT doc_id, source, toks, md5(text) AS digest,
+             len(toks)::BIGINT AS n_tokens,
+             {_gate_ngrams(3)} AS g3
+      FROM newd
+    ),
+    q AS (
+      SELECT doc_id, source, toks, digest, n_tokens FROM feats
+      WHERE n_tokens >= 10
+        AND (CASE WHEN len(g3) > 0
+                  THEN (len(g3) - len(list_distinct(g3))) / len(g3)
+                  ELSE 0.0 END) <= 0.2
+    ),
+    dd AS (
+      SELECT * FROM q
+      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY digest)
+        AND digest NOT IN (SELECT digest FROM corp)
+    ),
+    bt AS (
+      SELECT list_filter(string_split(regexp_replace(text, '\\s', ' ', 'g'), ' '),
+                         x -> x <> '') AS toks
+      FROM documents WHERE source = 'src0'
+    ),
+    bg AS (
+      SELECT DISTINCT unnest(list_distinct({_gate_ngrams(4)})) AS gram FROM bt
+    ),
+    cg AS (
+      SELECT doc_id, unnest(list_distinct({_gate_ngrams(4)})) AS gram FROM dd
+    ),
+    bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram))
+    SELECT doc_id, source, n_tokens
+    FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def qst6_streaming_export_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The qp5 export gate running CONTINUOUSLY: arriving document
+    micro-batches pass quality + exact dedup (against a stored digest
+    store that grows with each accepted batch, so cross-batch
+    duplicates drop) + benchmark decontamination (static broadcast
+    gram table), accepted rows appended to the export sink — the
+    crawler-to-training-store path as a stream
+    (streaming/incremental.py::streaming_export_gate). Under
+    AvailableNow the delta is one micro-batch, so the drained sink
+    equals the batch gate and the oracle replays it."""
+    from spotify_pipeline_gcp_spark.streaming.incremental import (
+        streaming_export_gate,
+    )
+
+    return streaming_export_gate(spark, sf_dir, new_sources=_GATE_NEW)

@@ -360,3 +360,132 @@ def run_near_dup_stream(
     q.awaitTermination()
     # explicit schema: a zero-match run leaves only empty part files
     return spark.read.schema(NEAR_DUP_PAIRS_SCHEMA).parquet(pairs_path)
+
+
+EXPORT_GATE_SCHEMA = "doc_id long, source string, n_tokens long"
+
+
+def streaming_export_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    new_sources: list[str],
+    bench_source: str = "src0",
+    min_tokens: int = 10,
+    max_dup3_ratio: float = 0.2,
+    contamination_n: int = 4,
+    store_dir: str | None = None,
+    delta_stream: DataFrame | None = None,
+) -> DataFrame:
+    """The qp5 corpus-export gate lifted to CONTINUOUS ingest: each
+    arriving micro-batch of documents passes the quality filter
+    (length + repeated-3-gram ratio), exact dedup against a STORED
+    digest store (the existing corpus's content digests, plus every
+    digest accepted in earlier batches — appended per batch, so
+    cross-batch duplicates drop too), and benchmark decontamination
+    against a STATIC broadcast gram table; accepted rows append to
+    the export sink. This is the shape a production pipeline runs
+    between crawler and training store: gates identical to the batch
+    export (same regex gram passes, same integer-exact predicates),
+    state bounded by one digest per accepted doc and one gram set.
+
+    Under ``Trigger.AvailableNow`` over a single parquet file the
+    delta is one micro-batch, so the drained sink equals the batch
+    gate on the same rows — which is what makes it oracle-checkable.
+    Restarts are idempotent (checkpoint skips completed batches)."""
+    import os
+    import tempfile
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    corpus = docs.where(
+        ~F.col("source").isin(list(new_sources))
+        & (F.col("source") != bench_source)
+    )
+    bench = docs.where(F.col("source") == bench_source)
+
+    store = store_dir or tempfile.mkdtemp(prefix="export_gate_store_")
+    digests_path = os.path.join(store, "digests")
+    grams_path = os.path.join(store, "bench_grams")
+    accepted_path = os.path.join(store, "accepted")
+    ckpt_path = os.path.join(store, "checkpoint")
+
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    gram_pat = (
+        rf"(?:^|(?<= ))(?=((\S+ ){{{contamination_n - 1}}}\S+))"
+    )
+    g3_pat = r"(?:^|(?<= ))(?=((\S+ ){2}\S+))"
+
+    corpus.select(F.md5("text").alias("digest")).distinct().write.mode(
+        "overwrite"
+    ).parquet(digests_path)
+    bench.select(norm.alias("_n")).select(
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.col("_n"), F.lit(gram_pat), 1)
+            )
+        ).alias("gram")
+    ).distinct().write.mode("overwrite").parquet(grams_path)
+    bench_grams = spark.read.parquet(grams_path)
+
+    def gate(batch_df: DataFrame) -> DataFrame:
+        staged = batch_df.select(
+            "doc_id", "source", "text", norm.alias("_norm")
+        ).withColumn(
+            "n_tokens",
+            F.size(
+                F.array_remove(F.split(F.col("_norm"), " "), "")
+            ).cast("long"),
+        )
+        g3 = F.regexp_extract_all(F.col("_norm"), F.lit(g3_pat), 1)
+        dup3 = F.when(
+            F.size(g3) > 0,
+            (F.size(g3) - F.size(F.array_distinct(g3))) / F.size(g3),
+        ).otherwise(F.lit(0.0))
+        quality = staged.where(
+            (F.col("n_tokens") >= min_tokens)
+            & (dup3 <= F.lit(max_dup3_ratio))
+        ).withColumn("_digest", F.md5(F.col("text")))
+        # stored digests re-read per batch: earlier batches' accepted
+        # digests are visible, so cross-batch duplicates drop
+        stored = spark.read.parquet(digests_path)
+        keep = quality.groupBy("_digest").agg(F.min("doc_id").alias("doc_id"))
+        deduped = quality.join(
+            keep, ["doc_id", "_digest"], "left_semi"
+        ).join(
+            stored, quality["_digest"] == stored["digest"], "left_anti"
+        )
+        sg = deduped.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(F.col("_norm"), F.lit(gram_pat), 1)
+                )
+            ).alias("gram"),
+        )
+        bad = sg.join(F.broadcast(bench_grams), "gram").select(
+            "doc_id"
+        ).distinct()
+        return deduped.join(bad, "doc_id", "left_anti")
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        accepted = gate(batch_df).persist()
+        accepted.select("doc_id", "source", "n_tokens").write.mode(
+            "append"
+        ).parquet(accepted_path)
+        accepted.select(F.col("_digest").alias("digest")).write.mode(
+            "append"
+        ).parquet(digests_path)
+        accepted.unpersist()
+
+    delta = (
+        delta_stream
+        if delta_stream is not None
+        else stream_documents(spark, sf_dir, new_sources)
+    )
+    q = (
+        delta.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(EXPORT_GATE_SCHEMA).parquet(accepted_path)

@@ -154,3 +154,54 @@ def test_sessionize_oracle_tied_timestamps(spark, tmp_path):
     }
     assert got == expected
     assert want == expected
+
+
+def test_streaming_export_gate_two_batches(spark, tmp_path):
+    """Every gate fires across micro-batch boundaries: corpus-known
+    duplicates drop, a CROSS-BATCH duplicate keeps only its first
+    arrival (the digest store grows per batch), contaminated and
+    short docs drop, clean docs pass."""
+    from pyspark.sql import functions as F
+
+    from spotify_pipeline_gcp_spark.streaming.incremental import (
+        DOCUMENTS_STREAM_SCHEMA,
+        streaming_export_gate,
+    )
+
+    good_a = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    good_b = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    rows = [
+        (0, good_a, "en", "old", len(good_a)),          # corpus
+        (100, "the quiz question set alpha omega", "en", "src0", 33),
+        (1, good_a, "en", "n1", len(good_a)),           # dup of corpus
+        (2, good_b, "en", "n1", len(good_b)),           # clean -> kept
+        (3, good_b, "en", "n1", len(good_b)),           # cross-batch dup
+        (4, "prefix the quiz question set trailer words here pad pad",
+         "en", "n1", 55),                               # contaminated
+        (5, "too short here", "en", "n1", 14),          # < 10 tokens
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = tmp_path / "sf"
+    docs.coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    delta = docs.where(F.col("source") == "n1")
+    delta_dir = tmp_path / "delta"
+    delta.where(F.col("doc_id") <= 2).coalesce(1).write.parquet(
+        str(delta_dir / "f0")
+    )
+    delta.where(F.col("doc_id") > 2).coalesce(1).write.parquet(
+        str(delta_dir / "f1")
+    )
+    stream = (
+        spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(delta_dir))
+    )
+    out = streaming_export_gate(
+        spark, str(sf), ["n1"],
+        store_dir=str(tmp_path / "store"), delta_stream=stream,
+    )
+    got = {(r.doc_id, r.n_tokens) for r in out.collect()}
+    assert got == {(2, 10)}
