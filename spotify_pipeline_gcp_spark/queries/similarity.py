@@ -1649,13 +1649,24 @@ def qs21_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "qe2_knn_label_vote",
     oracle=f"""
-    WITH q AS (
-      SELECT vec_id, embedding, {_AUDIT_BUCKET} AS bucket
+    WITH labeled AS (
+      SELECT vec_id, embedding, label
+      FROM embeddings WHERE label % 10 <> 0
+    ),
+    nb AS (SELECT {_SIZED_BITS_SQL} AS bits FROM labeled),
+    q AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(range(1, (SELECT bits FROM nb) + 1),
+                  j -> CASE WHEN embedding[j] > 0 THEN 1 << (j - 1) ELSE 0 END))
+                  AS BIGINT) AS bucket
       FROM embeddings WHERE label % 10 = 0
     ),
     c AS (
-      SELECT vec_id, embedding, label, {_AUDIT_BUCKET} AS bucket
-      FROM embeddings WHERE label % 10 <> 0
+      SELECT vec_id, embedding, label,
+             CAST(list_sum(list_transform(range(1, (SELECT bits FROM nb) + 1),
+                  j -> CASE WHEN embedding[j] > 0 THEN 1 << (j - 1) ELSE 0 END))
+                  AS BIGINT) AS bucket
+      FROM labeled
     ),
     pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -1696,29 +1707,36 @@ def qe2_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     of semi-supervised training. Votes are integer counts; ties break
     to the lowest label, so the prediction is engine-exact.
 
-    Scale shape: the same bounded candidate rule as every index query
-    here (bucket equi-join, query side broadcast — never |Q| x n),
-    one per-query top-5 window over candidates, one combinable vote
-    count, and a k-row argmax window per query. Output:
+    Scale shape: unlike the fixed-batch serving queries, labeling is
+    the ALL-unlabeled shape — |Q| grows with the corpus — so the
+    candidate rule must be the SIZED bucket index (bits from the
+    labeled-corpus count, ~256 labeled vectors per bucket at any
+    scale): candidates stay |Q|·256 = linear. With the bits pinned at
+    4 this was the round's third self-caught quadratic (200 k queries
+    x 1/16th of 1.8 M labeled vectors per bucket hung the 100x run).
+    Then one per-query top-5 window over candidates, one combinable
+    vote count, and a k-row argmax window per query. Output:
     (query_id, pred_label, n_votes, total_votes) — total_votes < 5
     flags queries whose bucket had fewer than k labeled members
     (prediction confidence needs the denominator)."""
+    from spotify_pipeline_gcp_spark.operators.similarity import sign_bits_for
+
     emb = table(spark, sf_dir, "embeddings")
+    labeled = emb.where(F.col("label") % 10 != 0)
+    n_bits = min(32, sign_bits_for(labeled.count()))
     qb = _double_base(
         emb.where(F.col("label") % 10 == 0), "vec_id", "embedding"
-    ).withColumn("bucket", sign_bucket("v", 4))
+    ).withColumn("bucket", sign_bucket("v", n_bits))
     cb = (
         _double_base(
-            emb.where(F.col("label") % 10 != 0).select(
-                "vec_id", "embedding"
-            ),
+            labeled.select("vec_id", "embedding"),
             "vec_id",
             "embedding",
         )
         .join(
             emb.select(F.col("vec_id").alias("id"), "label"), "id"
         )
-        .withColumn("bucket", sign_bucket("v", 4))
+        .withColumn("bucket", sign_bucket("v", n_bits))
     )
     cos = fixed(
         _dot_pre(F.col("q.v"), F.col("c.v"))
