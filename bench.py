@@ -95,6 +95,7 @@ HEADLINE_EXT = [
     "qt11_vocab_stats",
     "qp6_pack_manifest",
     "qst6_streaming_export_gate",
+    "qd14_near_dup_export",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

@@ -70,6 +70,7 @@ _WINDOW_ORDER = [
     "qt11_vocab_stats",
     "qp6_pack_manifest",
     "qst6_streaming_export_gate",
+    "qd14_near_dup_export",
     # r2-stale (displaced from the r5 window)
     "qs4_cosine_topk_blas",
     "qs6_cosine_topk_ivf_blas",
@@ -103,9 +104,9 @@ _WINDOW_ORDER = [
     # relational breadth (r4-green)
     "q23_full_outer_join",
     "q29_window_lag_lead",
-    "q30_sessionize",
-    # q31_asof_last_click / q32_scalar_subquery rotate out with the
-    # list below (r4-green, unchanged) to fit qp6/qst6
+    # q30_sessionize / q31_asof_last_click / q32_scalar_subquery
+    # rotate out with the list below (r4-green, unchanged; q30 also
+    # has 10x/100x scale rows) to fit qp6/qst6/qd14
     # q33_conditional_agg / q34_array_agg_ops / q35_exact_percentiles
     # rotate out with the list below (r4-green, unchanged) to fit the
     # late-round additions qe2/qsp6/qt11
@@ -115,9 +116,9 @@ _WINDOW_ORDER = [
     # q42_above_group_avg / q43_ratio_metric /
     # q44_flagship_partition_ready / q45_cube / q46_range_frame /
     # q47_range_join / q48_rank_battery rotate out (r4-green, modules
-    # unchanged) to make room for the twenty queries NEW this round
-    # (qt9/qs15–qs21/qd13/qt10/qt11/qsp5/qsp6/qp5/qp6/q49/qe2/qst6) —
-    # first in line for r7 alongside q24–q28
+    # unchanged) to make room for the twenty-one queries NEW this round
+    # (qt9/qs15–qs21/qd13/qd14/qt10/qt11/qsp5/qsp6/qp5/qp6/q49/qe2/
+    # qst6) — first in line for r7 alongside q24–q28
 ]
 
 _MODULES = [

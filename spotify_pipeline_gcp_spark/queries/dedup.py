@@ -742,3 +742,137 @@ def qd13_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_pipeline_gcp_spark.operators.dedup import duplicated_spans
 
     return duplicated_spans(table(spark, sf_dir, "documents"), "doc_id", "text", w=8)
+
+
+_QUALITY_CTES = """
+    feats2 AS (
+      SELECT doc_id,
+             length(text)::BIGINT AS n_chars_calc,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','a','of','and','to','in','is','it')))::BIGINT AS stop_hits,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS digit_chars,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::BIGINT AS punct_chars
+      FROM documents
+    ),
+    qual AS (
+      SELECT doc_id,
+             floor((least(n_tokens / 100.0, 1.0) * 0.4
+                    + (stop_hits / n_tokens) * 0.3
+                    + (1.0 - digit_chars / n_chars_calc) * 0.2
+                    + (1.0 - punct_chars / n_chars_calc) * 0.1) * 1000000 + 0.5)
+               / 1000000 AS q_r
+      FROM feats2
+    )
+"""
+
+
+@register(
+    "qd14_near_dup_export",
+    oracle=f"""
+    WITH RECURSIVE {JACCARD_CTE},
+    sigs AS (
+      SELECT doc_id, seed,
+             min(substr(md5((CASE WHEN seed < 4 THEN 'a:' ELSE 'b:' END) || shingle),
+                        ((seed % 4) * 8 + 1)::INT, 8)) AS minhash
+      FROM shingle CROSS JOIN (SELECT unnest(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             min(CASE WHEN seed % 2 = 0 THEN minhash END) AS mh0,
+             min(CASE WHEN seed % 2 = 1 THEN minhash END) AS mh1
+      FROM sigs GROUP BY doc_id, band
+    ),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.mh0 = b.mh0 AND a.mh1 = b.mh1
+                   AND a.doc_id < b.doc_id
+    ),
+    np AS (
+      SELECT c.doc_a, c.doc_b
+      FROM candidates c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+      WHERE j.jaccard >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM np
+      UNION ALL SELECT doc_b, doc_a FROM np
+    ),
+    walk(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+    ),
+    comp AS (SELECT node AS doc_id, min(label) AS component FROM walk GROUP BY node),
+    {_QUALITY_CTES},
+    ranked AS (
+      SELECT c.doc_id,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY q.q_r DESC, c.doc_id) AS rn
+      FROM comp c JOIN qual q ON q.doc_id = c.doc_id
+    ),
+    losers AS (SELECT doc_id FROM ranked WHERE rn > 1),
+    d AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             doc_id IN (SELECT doc_id FROM losers) AS dropped
+      FROM documents
+    )
+    SELECT source,
+           count(*) FILTER (WHERE NOT dropped)::BIGINT AS n_kept,
+           count(*) FILTER (WHERE dropped)::BIGINT AS n_dropped,
+           sum(n_tokens) FILTER (WHERE NOT dropped)::BIGINT AS tokens_kept
+    FROM d GROUP BY source
+    """,
+)
+def qd14_near_dup_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup dedup export end-to-end at the scale shape — the
+    qp5 counterpart where the dedup gate is fuzzy instead of exact:
+    MinHash-LSH candidates (qd5: band equi-join, never all-pairs) ->
+    exact-Jaccard verify -> transitive closure (qd8) -> keep the
+    highest-QUALITY member per cluster (qd12's policy) -> drop the
+    losers -> per-source manifest (kept/dropped docs, kept tokens).
+    Every stage is the already-verified operator; the composition is
+    the point — this is the single DAG a production near-dup dedup
+    run executes, and the oracle replays candidates, verification,
+    closure (recursive CTE), policy, and accounting end to end.
+
+    Scale shape: pair generation is the bounded LSH join, closure
+    iterates on the pair graph (tiny vs the corpus), the loser list
+    is |members of multi-doc clusters| << n and anti-joins the corpus
+    without shuffling it, and the manifest is one combinable rollup."""
+    from spotify_pipeline_gcp_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+    from spotify_pipeline_gcp_spark.operators.text import quality_score
+    from spotify_pipeline_gcp_spark.queries.compat import fixed
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=8,
+        rows_per_band=2, threshold=0.8,
+    ).select("doc_a", "doc_b")
+    comp = dedup_components(pairs)
+    scores = quality_score(docs, "doc_id", "text").select(
+        "doc_id", fixed(F.col("quality"), 6).alias("q_r")
+    )
+    keepers = keep_best_per_cluster(comp, scores, "doc_id", "q_r").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    losers = comp.select("doc_id").join(keepers, "doc_id", "left_anti")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+    ).join(
+        losers.withColumn("dropped", F.lit(True)), "doc_id", "left"
+    ).withColumn("dropped", F.coalesce(F.col("dropped"), F.lit(False)))
+    return base.groupBy("source").agg(
+        F.count(F.when(~F.col("dropped"), 1)).cast("long").alias("n_kept"),
+        F.count(F.when(F.col("dropped"), 1)).cast("long").alias("n_dropped"),
+        F.coalesce(
+            F.sum(F.when(~F.col("dropped"), F.col("n_tokens"))),
+            F.lit(0),
+        ).cast("long").alias("tokens_kept"),
+    )
