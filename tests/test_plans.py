@@ -339,3 +339,26 @@ def test_runtime_bloom_filter_reduces_fact_scan(spark):
             "applicationSideScanSizeThreshold"
         )
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_export_manifest_single_corpus_shuffle(spark):
+    # qp5: the corpus payload crosses the wire exactly once (the
+    # dedup digest semi-join); decontamination must be a broadcast
+    # gram join and the manifest a combinable aggregate
+    df = _q(spark, "qp5_export_manifest")
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys, phys
+    assert "BroadcastHashJoin" in phys, phys
+    assert "partial_count" in phys, phys  # manifest combines map-side
+
+
+def test_near_dup_export_loser_list_broadcasts(spark):
+    # qd14: marking dropped docs must not shuffle the corpus — the
+    # loser list (multi-doc cluster members, << n) joins the corpus
+    # as the BROADCAST build side of a LeftOuter hash join
+    df = _q(spark, "qd14_near_dup_export")
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys, phys
+    assert "BroadcastHashJoin LeftOuter" in phys or (
+        "BroadcastHashJoin" in phys and "LeftOuter" in phys
+    ), phys
