@@ -284,6 +284,98 @@ def curriculum_buckets(
     )
 
 
+def bench_gram_table(
+    bench: DataFrame, text_col: str, n: int = 4
+) -> DataFrame:
+    """(gram): the distinct word-``n``-gram table of a held-out
+    benchmark set — the broadcast side of every decontamination join
+    (tokens are ``\\S+`` runs; extraction is the anchored-lookahead
+    regex, one codegen pass)."""
+    pat = rf"(?:^|(?<= ))(?=((\S+ ){{{n - 1}}}\S+))"
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return (
+        bench.select(norm.alias("_norm"))
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(F.col("_norm"), F.lit(pat), 1)
+                )
+            ).alias("gram")
+        )
+        .distinct()
+    )
+
+
+def export_gate(
+    df: DataFrame,
+    bench_grams: DataFrame,
+    id_col: str,
+    text_col: str,
+    stored_digests: DataFrame | None = None,
+    min_tokens: int = 10,
+    max_dup3_ratio: float = 0.2,
+    contamination_n: int = 4,
+) -> DataFrame:
+    """The per-document EXPORT policy, shared verbatim by the batch
+    manifest (``corpus_export_manifest``) and the streaming gate
+    (``streaming/incremental.py::streaming_export_gate``) so the two
+    can never silently diverge:
+
+        quality (>= ``min_tokens`` tokens, repeated-3-gram ratio <=
+        ``max_dup3_ratio``)  ->  exact dedup (min-id per content
+        digest among survivors; plus an anti-join against
+        ``stored_digests`` — column ``digest`` — when a persistent
+        store is maintained across batches)  ->  benchmark
+        decontamination (drop any doc sharing a word n-gram with the
+        BROADCAST ``bench_grams`` table).
+
+    Tokens are ``\\S+`` runs; both gram passes are the
+    anchored-lookahead regex (the qt7 fast path: one codegen pass,
+    measured ~12x over ``transform``-built grams). Returns survivors
+    with all input columns plus (_norm, n_tokens, _digest) for
+    downstream accounting. Scale shape: quality is a shuffle-free
+    predicate on the scan; dedup is one digest aggregate + semi join
+    (the only corpus payload shuffle); the stored-digest anti-join
+    and the gram join never shuffle the corpus (digest store keyed,
+    bench grams broadcast)."""
+
+    def grams(n: int) -> Column:
+        pat = rf"(?:^|(?<= ))(?=((\S+ ){{{n - 1}}}\S+))"
+        return F.regexp_extract_all(F.col("_norm"), F.lit(pat), 1)
+
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    staged = df.withColumn("_norm", norm).withColumn(
+        "n_tokens",
+        F.size(F.array_remove(F.split(F.col("_norm"), " "), "")).cast("long"),
+    )
+    g3 = grams(3)
+    dup3 = F.when(
+        F.size(g3) > 0,
+        (F.size(g3) - F.size(F.array_distinct(g3))) / F.size(g3),
+    ).otherwise(F.lit(0.0))
+    quality = staged.where(
+        (F.col("n_tokens") >= min_tokens) & (dup3 <= F.lit(max_dup3_ratio))
+    ).withColumn("_digest", F.md5(F.col(text_col)))
+    keep = quality.groupBy("_digest").agg(F.min(id_col).alias(id_col))
+    deduped = quality.join(keep, [id_col, "_digest"], "left_semi")
+    if stored_digests is not None:
+        deduped = deduped.join(
+            stored_digests,
+            deduped["_digest"] == stored_digests["digest"],
+            "left_anti",
+        )
+    survivor_grams = deduped.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(grams(contamination_n))).alias("gram"),
+    )
+    contaminated = (
+        survivor_grams.join(F.broadcast(bench_grams), "gram")
+        .select(id_col)
+        .distinct()
+    )
+    return deduped.join(contaminated, id_col, "left_anti")
+
+
 def corpus_export_manifest(
     corpus: DataFrame,
     bench: DataFrame,
@@ -309,68 +401,23 @@ def corpus_export_manifest(
     single plan an actual corpus export runs, ending in the manifest
     (docs / tokens / chunks per source) that ships with the dataset.
 
-    Scale shape: quality is a shuffle-free predicate on the scan;
-    dedup is one digest aggregate + semi join; decontamination
-    explodes only SURVIVOR grams against the BROADCAST benchmark
-    gram table (the corpus never shuffles for it — bench sets are
-    small by definition) and anti-joins the hit list; chunk counts
-    are row-local integer arithmetic (no explode — the manifest
-    needs counts, not chunk rows); the final rollup is one combinable
-    per-source aggregate. Tokens are ``\\S+`` runs (the qt7/qt9
-    convention) and BOTH gram passes are the anchored-lookahead
-    regex extraction ``contamination_pairs`` measured ~12x faster
-    than higher-order ``transform`` grams (re-measured here: the
-    3-gram quality gate alone dropped 14.5 s -> 1.3 s at sf0.1);
-    all gates are integer-exact or exact-rounded so membership is
-    engine-identical. The content digest hashes the RAW text (dedup
+    Per-document policy semantics and scale shape live in
+    ``export_gate`` (shared verbatim with the streaming gate so batch
+    and stream can never diverge); this function adds the chunk
+    accounting — row-local integer arithmetic, no explode (the
+    manifest needs counts, not chunk rows) — and the final combinable
+    per-source rollup. The content digest hashes the RAW text (dedup
     must not conflate whitespace variants).
     """
-
-    def grams(n: int) -> Column:
-        pat = rf"(?:^|(?<= ))(?=((\S+ ){{{n - 1}}}\S+))"
-        return F.regexp_extract_all(F.col("_norm"), F.lit(pat), 1)
-
-    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    staged = corpus.select(
-        F.col(id_col),
-        F.col(source_col),
-        F.col(text_col),
-        norm.alias("_norm"),
-    ).withColumn(
-        "n_tokens",
-        F.size(F.array_remove(F.split(F.col("_norm"), " "), "")).cast("long"),
+    clean = export_gate(
+        corpus.select(F.col(id_col), F.col(source_col), F.col(text_col)),
+        bench_gram_table(bench, text_col, contamination_n),
+        id_col,
+        text_col,
+        min_tokens=min_tokens,
+        max_dup3_ratio=max_dup3_ratio,
+        contamination_n=contamination_n,
     )
-    g3 = grams(3)
-    dup3 = F.when(
-        F.size(g3) > 0,
-        (F.size(g3) - F.size(F.array_distinct(g3))) / F.size(g3),
-    ).otherwise(F.lit(0.0))
-    quality = staged.where(
-        (F.col("n_tokens") >= min_tokens) & (dup3 <= F.lit(max_dup3_ratio))
-    ).withColumn("_digest", F.md5(F.col(text_col)))
-    keep = quality.groupBy("_digest").agg(F.min(id_col).alias(id_col))
-    deduped = quality.join(keep, [id_col, "_digest"], "left_semi")
-    bench_grams = (
-        bench.select(norm.alias("_norm"))
-        .select(
-            F.explode(
-                F.array_distinct(grams(contamination_n))
-            ).alias("gram")
-        )
-        .distinct()
-    )
-    survivor_grams = deduped.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(grams(contamination_n))
-        ).alias("gram"),
-    )
-    contaminated = (
-        survivor_grams.join(F.broadcast(bench_grams), "gram")
-        .select(id_col)
-        .distinct()
-    )
-    clean = deduped.join(contaminated, id_col, "left_anti")
     step = chunk_tokens - overlap
     n_chunks = F.expr(
         f"greatest(CAST(1 AS BIGINT), (n_tokens - {overlap} + {step - 1}) div {step})"

@@ -1186,6 +1186,7 @@ def pq_codebooks(
         cent = spark.createDataFrame(
             cent_rows, "s int, cid long, c array<double>"
         )
+        rows = cent_rows  # n_iter=0 returns the seeded codebooks
         for _ in range(n_iter):
             withcc = cent.withColumn("cc", _dot_pre(F.col("c"), F.col("c")))
             scored = subs.join(F.broadcast(withcc), "s").withColumn(

@@ -52,3 +52,16 @@ def table(spark, sf_dir: str, name: str):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def sql_word_ngrams(n: int, toks: str = "toks") -> str:
+    """DuckDB word n-grams over a 1-based token-list column — the ONE
+    shared builder for every oracle that replays the engine's regex
+    gram extraction (guarded below n tokens; space-joined, matching
+    the anchored-lookahead capture)."""
+    join = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> {join}) ELSE []::VARCHAR[] END"
+    )

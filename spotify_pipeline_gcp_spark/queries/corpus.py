@@ -200,14 +200,10 @@ def qp4_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _qp5_ngrams(n: int) -> str:
-    """DuckDB word n-grams over the plain-space ``toks`` array."""
-    join = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
-    return (
-        f"CASE WHEN len(toks) >= {n} THEN "
-        f"list_transform(generate_series(1, len(toks) - {n - 1}), "
-        f"i -> {join}) ELSE []::VARCHAR[] END"
-    )
+# shared with every gram-replaying oracle (queries/compat.py)
+from spotify_pipeline_gcp_spark.queries.compat import (  # noqa: E402
+    sql_word_ngrams as _qp5_ngrams,
+)
 
 
 @register(

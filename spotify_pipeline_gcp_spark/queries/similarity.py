@@ -1327,14 +1327,12 @@ def qs16_cosine_topk_ivf_sample_trained(
     )
 
 
-# Word 4-gram CTE fragment shared with the qt7 contamination oracle
-# (DuckDB 1-based inclusive list indexing).
-_RRF_GRAMS = (
-    "CASE WHEN len(toks) >= 4 THEN "
-    "list_transform(generate_series(1, len(toks) - 3), "
-    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]) "
-    "ELSE []::VARCHAR[] END"
+from spotify_pipeline_gcp_spark.queries.compat import (  # noqa: E402
+    sql_word_ngrams,
 )
+
+# Word 4-gram CTE fragment shared with the qt7 contamination oracle.
+_RRF_GRAMS = sql_word_ngrams(4)
 
 _RRF_COS = sql_fixed(
     f"{DOT_AB} / ({NORM.format('a')} * {NORM.format('b')})", 6
@@ -1743,7 +1741,13 @@ def qe2_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("q.norm") * F.col("c.norm")),
         6,
     )
-    pairs = F.broadcast(qb.alias("q")).join(
+    # no broadcast hint: unlike the fixed-batch serving queries, the
+    # unlabeled side GROWS with the corpus, so a forced broadcast
+    # would ship an O(n) vector frame to every executor and die at
+    # the broadcast limit — the bucket equi-join shuffles both sides
+    # on the bucket key (or AQE broadcasts if a filter makes the
+    # query side genuinely small at runtime)
+    pairs = qb.alias("q").join(
         cb.alias("c"), F.col("q.bucket") == F.col("c.bucket")
     ).select(
         F.col("q.id").alias("query_id"),

@@ -173,13 +173,9 @@ _GATE_NEW = ["src10", "src11", "src12", "src13", "src14"]
 _GATE_NEW_SQL = ", ".join(f"'{s}'" for s in _GATE_NEW)
 
 
-def _gate_ngrams(n: int) -> str:
-    join = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
-    return (
-        f"CASE WHEN len(toks) >= {n} THEN "
-        f"list_transform(generate_series(1, len(toks) - {n - 1}), "
-        f"i -> {join}) ELSE []::VARCHAR[] END"
-    )
+from spotify_pipeline_gcp_spark.queries.compat import (  # noqa: E402
+    sql_word_ngrams as _gate_ngrams,
+)
 
 
 @register(

@@ -140,14 +140,9 @@ def qt5_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ngrams(n: int) -> str:
-    """DuckDB word n-grams of ``toks`` (guarded below n tokens)."""
-    join = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
-    return (
-        f"CASE WHEN len(toks) >= {n} THEN "
-        f"list_transform(generate_series(1, len(toks) - {n - 1}), "
-        f"i -> {join}) ELSE []::VARCHAR[] END"
-    )
+from spotify_pipeline_gcp_spark.queries.compat import (  # noqa: E402
+    sql_word_ngrams as _sql_ngrams,
+)
 
 
 @register(
@@ -358,14 +353,14 @@ def qt10_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                          x -> x <> '') AS toks
       FROM documents
     ),
-    total AS (SELECT sum(len(toks))::BIGINT AS n_total FROM t),
     tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
     freq AS (
       SELECT token,
              count(*)::BIGINT AS n_occurrences,
              count(DISTINCT doc_id)::BIGINT AS doc_freq
       FROM tok GROUP BY token
-    )
+    ),
+    total AS (SELECT sum(n_occurrences)::BIGINT AS n_total FROM freq)
     SELECT token, n_occurrences, doc_freq,
            floor(n_occurrences / (SELECT n_total FROM total) * 1000000
                  + 0.5) / 1000000 AS corpus_share
@@ -379,9 +374,11 @@ def qt11_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence counts, document frequency, and corpus share — the
     Zipf-head profile tokenizer design and stopword/boilerplate
     screens start from. One explode, one combinable (count,
-    distinct-doc) aggregate pair, one scalar total broadcast, and a
-    TakeOrdered 50 — no global sort; deterministic tie-break on the
-    token string keeps the cut engine-exact."""
+    distinct-doc) aggregate pair, and a TakeOrdered 50 — no global
+    sort; the corpus total RE-AGGREGATES the Zipf-compressed freq
+    table (sum of n_occurrences), never a second corpus pass, and the
+    deterministic tie-break on the token string keeps the cut
+    engine-exact."""
     docs = table(spark, sf_dir, "documents")
     toks = F.array_remove(
         F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "),
@@ -390,11 +387,11 @@ def qt11_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(toks).alias("token")
     )
-    total = tok.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     freq = tok.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("n_occurrences"),
         F.countDistinct("doc_id").cast("long").alias("doc_freq"),
     )
+    total = freq.agg(F.sum("n_occurrences").cast("long").alias("n_total"))
     share = F.floor(
         F.col("n_occurrences") / F.col("n_total") * 1000000 + F.lit(0.5)
     ) / 1000000

@@ -76,7 +76,6 @@ def requests_fetcher(
 
     def fetch(endpoint: str, params: dict) -> dict:
         url = f"{base_url.rstrip('/')}/{endpoint.lstrip('/')}"
-        last = "no attempt made"
         for attempt in range(max_retries + 1):
             resp = session.get(
                 url,
@@ -88,16 +87,26 @@ def requests_fetcher(
                 return resp.json()
             last = f"GET {url} -> {resp.status_code}"
             retryable = resp.status_code == 429 or 500 <= resp.status_code < 600
-            if not (retryable and attempt < max_retries):
+            if not retryable:
                 raise HttpError(f"{last}: {resp.text[:200]}")
-            if resp.status_code == 429:
-                wait = float(
-                    resp.headers.get("Retry-After", backoff * (2**attempt))
+            if attempt >= max_retries:
+                raise HttpError(
+                    f"retries exhausted after {max_retries + 1} attempts: "
+                    f"{last}: {resp.text[:200]}"
                 )
-            else:
-                wait = backoff * (2**attempt)
+            wait = backoff * (2**attempt)
+            if resp.status_code == 429:
+                # RFC 9110 allows Retry-After as either delta-seconds
+                # or an HTTP-date; only the numeric form is honored
+                # (a date would need clock parsing — exponential
+                # backoff is the safe fallback, not a crash)
+                header = resp.headers.get("Retry-After", "")
+                try:
+                    wait = float(header)
+                except ValueError:
+                    pass
             sleep(wait)
-        raise HttpError(f"retries exhausted: {last}")
+        raise AssertionError("unreachable: loop always returns or raises")
 
     return fetch
 

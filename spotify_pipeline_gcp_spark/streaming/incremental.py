@@ -391,9 +391,19 @@ def streaming_export_gate(
     Under ``Trigger.AvailableNow`` over a single parquet file the
     delta is one micro-batch, so the drained sink equals the batch
     gate on the same rows — which is what makes it oracle-checkable.
-    Restarts are idempotent (checkpoint skips completed batches)."""
+    Restarts are idempotent (checkpoint skips completed batches).
+
+    The per-document policy is ``operators/corpus.py::export_gate``
+    — the SAME function the batch manifest runs, not a re-statement
+    of it, so the 'gates identical to the batch export' invariant is
+    structural."""
     import os
     import tempfile
+
+    from spotify_pipeline_gcp_spark.operators.corpus import (
+        bench_gram_table,
+        export_gate,
+    )
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     corpus = docs.where(
@@ -408,66 +418,28 @@ def streaming_export_gate(
     accepted_path = os.path.join(store, "accepted")
     ckpt_path = os.path.join(store, "checkpoint")
 
-    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
-    gram_pat = (
-        rf"(?:^|(?<= ))(?=((\S+ ){{{contamination_n - 1}}}\S+))"
-    )
-    g3_pat = r"(?:^|(?<= ))(?=((\S+ ){2}\S+))"
-
     corpus.select(F.md5("text").alias("digest")).distinct().write.mode(
         "overwrite"
     ).parquet(digests_path)
-    bench.select(norm.alias("_n")).select(
-        F.explode(
-            F.array_distinct(
-                F.regexp_extract_all(F.col("_n"), F.lit(gram_pat), 1)
-            )
-        ).alias("gram")
-    ).distinct().write.mode("overwrite").parquet(grams_path)
+    bench_gram_table(bench, "text", contamination_n).write.mode(
+        "overwrite"
+    ).parquet(grams_path)
     bench_grams = spark.read.parquet(grams_path)
 
-    def gate(batch_df: DataFrame) -> DataFrame:
-        staged = batch_df.select(
-            "doc_id", "source", "text", norm.alias("_norm")
-        ).withColumn(
-            "n_tokens",
-            F.size(
-                F.array_remove(F.split(F.col("_norm"), " "), "")
-            ).cast("long"),
-        )
-        g3 = F.regexp_extract_all(F.col("_norm"), F.lit(g3_pat), 1)
-        dup3 = F.when(
-            F.size(g3) > 0,
-            (F.size(g3) - F.size(F.array_distinct(g3))) / F.size(g3),
-        ).otherwise(F.lit(0.0))
-        quality = staged.where(
-            (F.col("n_tokens") >= min_tokens)
-            & (dup3 <= F.lit(max_dup3_ratio))
-        ).withColumn("_digest", F.md5(F.col("text")))
-        # stored digests re-read per batch: earlier batches' accepted
-        # digests are visible, so cross-batch duplicates drop
-        stored = spark.read.parquet(digests_path)
-        keep = quality.groupBy("_digest").agg(F.min("doc_id").alias("doc_id"))
-        deduped = quality.join(
-            keep, ["doc_id", "_digest"], "left_semi"
-        ).join(
-            stored, quality["_digest"] == stored["digest"], "left_anti"
-        )
-        sg = deduped.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.regexp_extract_all(F.col("_norm"), F.lit(gram_pat), 1)
-                )
-            ).alias("gram"),
-        )
-        bad = sg.join(F.broadcast(bench_grams), "gram").select(
-            "doc_id"
-        ).distinct()
-        return deduped.join(bad, "doc_id", "left_anti")
-
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
-        accepted = gate(batch_df).persist()
+        accepted = export_gate(
+            batch_df.select("doc_id", "source", "text"),
+            bench_grams,
+            "doc_id",
+            "text",
+            # stored digests re-read per batch: earlier batches'
+            # accepted digests are visible, so cross-batch
+            # duplicates drop
+            stored_digests=spark.read.parquet(digests_path),
+            min_tokens=min_tokens,
+            max_dup3_ratio=max_dup3_ratio,
+            contamination_n=contamination_n,
+        ).persist()
         accepted.select("doc_id", "source", "n_tokens").write.mode(
             "append"
         ).parquet(accepted_path)

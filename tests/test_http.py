@@ -161,3 +161,68 @@ def test_cassette_record_replay_through_source(spark, tmp_path):
     # a drifted request shape fails loudly instead of passing silently
     with pytest.raises(HttpError, match="cassette miss"):
         Cassette(tape_path).replay()("v1/me/player/recently-played", {"limit": 49})
+
+
+def test_retry_after_http_date_falls_back_to_backoff():
+    """RFC 9110 permits Retry-After as an HTTP-date; the fetcher must
+    not crash on it — it falls back to exponential backoff and the
+    retry succeeds."""
+    from spotify_pipeline_gcp_spark.sources.http import requests_fetcher
+
+    calls = []
+
+    class Resp:
+        def __init__(self, code, headers=None):
+            self.status_code = code
+            self.headers = headers or {}
+            self.text = "slow down"
+
+        def json(self):
+            return {"ok": True}
+
+    class Session:
+        def __init__(self):
+            self.n = 0
+
+        def get(self, url, params=None, headers=None, timeout=None):
+            self.n += 1
+            if self.n == 1:
+                return Resp(
+                    429, {"Retry-After": "Wed, 21 Oct 2026 07:28:00 GMT"}
+                )
+            return Resp(200)
+
+    out = requests_fetcher(
+        token="t", base_url="https://api.example.com",
+        session=Session(), backoff=0.25, sleep=calls.append,
+    )("x", {})
+    assert out == {"ok": True}
+    assert calls == [0.25]  # exponential backoff, not a float() crash
+
+
+def test_retries_exhausted_message_surfaces():
+    import pytest
+
+    from spotify_pipeline_gcp_spark.sources.http import (
+        HttpError,
+        requests_fetcher,
+    )
+
+    class Resp:
+        status_code = 503
+        headers: dict = {}
+        text = "unavailable"
+
+        def json(self):  # pragma: no cover
+            return {}
+
+    class Session:
+        def get(self, url, params=None, headers=None, timeout=None):
+            return Resp()
+
+    fetch = requests_fetcher(
+        token="t", base_url="https://api.example.com",
+        session=Session(), max_retries=2, sleep=lambda _t: None,
+    )
+    with pytest.raises(HttpError, match="retries exhausted after 3 attempts"):
+        fetch("x", {})
