@@ -1076,10 +1076,9 @@ def cosine_topk_imi(
     if k_each is None:
         k_each = imi_cells_for(df.count())
     pts = _unit_vectors(df, id_col, vec_col)
-    h1 = pts.select("id", F.slice("u", 1, d_half).alias("u"))
-    h2 = pts.select("id", F.slice("u", d_half + 1, d_half).alias("u"))
-    cent1 = kmeans_centroids_on(h1, k=k_each, n_iter=n_iter)
-    cent2 = kmeans_centroids_on(h2, k=k_each, n_iter=n_iter)
+    cent1, cent2 = kmeans_centroids_on_halves(
+        pts, d_half, k=k_each, n_iter=n_iter
+    )
     asg = imi_assign(pts, cent1, cent2, d_half).repartition("cid1", "cid2")
     a, b = asg.alias("a"), asg.alias("b")
     cos = _dot_pre(F.col("a.u"), F.col("b.u"))
@@ -1099,6 +1098,90 @@ def cosine_topk_imi(
     return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= k_neighbors
     )
+
+
+def kmeans_centroids_on_halves(
+    pts: DataFrame, d_half: int, k: int, n_iter: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Both IMI half-quantizers trained JOINTLY — the ``pq_codebooks``
+    batching applied to the spherical trainer: one tagged
+    (s, id, half-vector) stream, each Lloyd iteration ONE equi-join +
+    argmax-dot + grouped renormalized positional mean over both
+    halves at once. Math per half is IDENTICAL to two independent
+    ``kmeans_centroids_on`` runs (the md5(id) seeded init is
+    half-independent, so both halves seed from the same k vectors'
+    slices; assignment within a half never sees the other half), so
+    qs17's SQL oracle — which replays per-half training — stays
+    valid; the job count halves (1 init + n_iter collects instead of
+    2·(1 + n_iter))."""
+    from pyspark import StorageLevel
+
+    spark = pts.sparkSession
+    subs = pts.select(
+        "id",
+        F.posexplode(
+            F.array(
+                F.slice("u", 1, d_half),
+                F.slice("u", d_half + 1, d_half),
+            )
+        ).alias("s", "u"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        top = (
+            pts.select(
+                "id", "u", F.md5(F.col("id").cast("string")).alias("ik")
+            )
+            .orderBy("ik", "id")
+            .limit(k)
+            .collect()
+        )
+        rows = [
+            (s, cid, list(r["u"])[s * d_half : (s + 1) * d_half])
+            for s in range(2)
+            for cid, r in enumerate(top)
+        ]
+        cent = spark.createDataFrame(rows, "s int, cid long, c array<double>")
+        for _ in range(n_iter):
+            scored = subs.join(F.broadcast(cent), "s").withColumn(
+                "score", _dot_pre(F.col("u"), F.col("c"))
+            )
+            assigned = (
+                scored.groupBy("s", "id")
+                .agg(
+                    F.max(
+                        F.struct(F.col("score"), (-F.col("cid")).alias("ncid"))
+                    ).alias("best"),
+                    F.first("u").alias("u"),
+                )
+                .select(
+                    "s", "u", (-F.col("best.ncid")).cast("long").alias("cid")
+                )
+            )
+            means = _cell_means(assigned, ["s", "cid"])
+            new_cent = means.select(
+                "s",
+                "cid",
+                F.transform(
+                    "mv",
+                    lambda x: x / F.sqrt(_dot_pre(F.col("mv"), F.col("mv"))),
+                ).alias("c"),
+            )
+            rows = [
+                (r["s"], r["cid"], list(r["c"])) for r in new_cent.collect()
+            ]
+            cent = spark.createDataFrame(
+                rows, "s int, cid long, c array<double>"
+            )
+    finally:
+        subs.unpersist(blocking=False)
+    halves = {}
+    for s_val, cid, c in rows:
+        halves.setdefault(s_val, []).append((cid, c))
+    c1, c2 = (
+        spark.createDataFrame(sorted(halves[s]), "cid long, c array<double>")
+        for s in range(2)
+    )
+    return c1, c2
 
 
 def kmeans_l2_on(pts: DataFrame, k: int, n_iter: int = 2) -> DataFrame:

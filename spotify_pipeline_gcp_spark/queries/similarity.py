@@ -1133,16 +1133,13 @@ def qs17_cosine_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
         _unit_vectors,
         imi_assign,
         imi_cells_for,
-        kmeans_centroids_on,
+        kmeans_centroids_on_halves,
     )
 
     emb = table(spark, sf_dir, "embeddings")
     k_each = imi_cells_for(emb.count())
     pts = _unit_vectors(emb, "vec_id", "embedding")
-    h1 = pts.select("id", F.slice("u", 1, 32).alias("u"))
-    h2 = pts.select("id", F.slice("u", 33, 32).alias("u"))
-    cent1 = kmeans_centroids_on(h1, k=k_each, n_iter=2)
-    cent2 = kmeans_centroids_on(h2, k=k_each, n_iter=2)
+    cent1, cent2 = kmeans_centroids_on_halves(pts, 32, k=k_each, n_iter=2)
     asg = imi_assign(pts, cent1, cent2, 32).repartition("cid1", "cid2")
     a, b = asg.alias("a"), asg.alias("b")
     cos = fixed(_dot_pre(F.col("a.u"), F.col("b.u")), 6)
