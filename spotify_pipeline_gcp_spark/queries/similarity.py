@@ -1166,6 +1166,7 @@ def qs17_cosine_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
       SELECT vec_id, embedding FROM embeddings WHERE label % 10 = 0
+      ORDER BY md5('sv:' || vec_id::VARCHAR) LIMIT 64
     ),
     c AS (
       SELECT vec_id, embedding FROM embeddings WHERE label % 10 <> 0
@@ -1201,16 +1202,29 @@ def qs17_cosine_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def qs15_query_corpus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVING shape: a small query set against a big corpus —
     asymmetric two-table ANN, distinct from the self-join analytics
-    shapes (qs2/qs3). The query side (here the ``label % 10 = 0``
-    slice — a stand-in for an inference batch) is broadcast-hinted:
-    candidate generation is a broadcast hash join on the bucket code,
-    so the CORPUS NEVER SHUFFLES — the plan a 100 TB index wants,
-    since the corpus side is the one that scales. Per-query top-3 by
-    fixed-point cosine, deterministic tie-break."""
+    shapes (qs2/qs3). The query side is a FIXED-SIZE digest-ordered
+    batch of 64 (the qs18/qs21 convention — 'serving' MEANS the batch
+    does not grow with the corpus; a proportional slice here would be
+    |Q|·n/16 = quadratic-ish candidates, the flaw the review caught
+    in qe2) and is broadcast-hinted: candidate generation is a
+    broadcast hash join on the bucket code, so the CORPUS NEVER
+    SHUFFLES — the plan a 100 TB index wants, since the corpus side
+    is the one that scales. Per-query top-3 by fixed-point cosine,
+    deterministic tie-break."""
     emb = table(spark, sf_dir, "embeddings")
-    queries = _double_base(
-        emb.where(F.col("label") % 10 == 0), "vec_id", "embedding"
-    ).withColumn("bucket", sign_bucket("v", 4))
+    qsel = (
+        emb.where(F.col("label") % 10 == 0)
+        .withColumn(
+            "_d",
+            F.md5(F.concat(F.lit("sv:"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("_d")
+        .limit(64)
+        .drop("_d")
+    )
+    queries = _double_base(qsel, "vec_id", "embedding").withColumn(
+        "bucket", sign_bucket("v", 4)
+    )
     corpus = _double_base(
         emb.where(F.col("label") % 10 != 0), "vec_id", "embedding"
     ).withColumn("bucket", sign_bucket("v", 4))
