@@ -1461,6 +1461,7 @@ def cosine_topk_ivfpq(
     k_pq: int = 16,
     n_iter: int = 2,
     round_digits: int = 6,
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF+PQ — the composed index (FAISS ``IVFx,PQy``, Jégou et al.
     2011): a TRAINED coarse quantizer bounds candidates to same-cell
@@ -1487,9 +1488,18 @@ def cosine_topk_ivfpq(
     if n_clusters is None:
         n_clusters = trained_cells_for(df.count())
     pts = _unit_vectors(df, id_col, vec_col)
-    cent = kmeans_centroids_on(pts, k=n_clusters, n_iter=n_iter)
+    # Both trainers (coarse quantizer AND PQ codebooks) run over
+    # ``train_df`` when given — a digest sample in the production
+    # shape (qs19), keeping trainer cost O(sample·k) while encoding
+    # and assignment stay full-corpus. Default: train on the corpus.
+    tpts = (
+        _unit_vectors(train_df, id_col, vec_col)
+        if train_df is not None
+        else pts
+    )
+    cent = kmeans_centroids_on(tpts, k=n_clusters, n_iter=n_iter)
     asg = _argmax_assign(pts, cent)
-    books = pq_codebooks(pts, m=m, d_sub=d_sub, k_pq=k_pq, n_iter=n_iter)
+    books = pq_codebooks(tpts, m=m, d_sub=d_sub, k_pq=k_pq, n_iter=n_iter)
     codes = pq_encode(pts, books, m=m, d_sub=d_sub)
     tagged = _tagged_books(books).select(
         F.col("q").alias("s"), F.col("cid").alias("code"), "c"

@@ -25,6 +25,58 @@ from spotify_pipeline_gcp_spark.queries.compat import fixed, sql_fixed, table
 DOT_AB = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
 NORM = "sqrt(list_dot_product({0}.embedding::DOUBLE[], {0}.embedding::DOUBLE[]))"
 
+# The exact integer digest fold shared with the sampling family
+# (queries/sampling.py::_UNIT_FOLD): uniform [0,1) from the first 8
+# hex digits of a salted md5, engine-identical.
+_IVF_UNIT_FOLD = " + ".join(
+    f"(strpos('0123456789abcdef', substring(_d, {j + 1}, 1)) - 1)"
+    f" * {16 ** (7 - j)}::BIGINT"
+    for j in range(8)
+)
+
+
+def _sample_cte(name: str, src: str, salt: str, frac_sql: str) -> str:
+    """CTE selecting a deterministic digest sample of a (vec_id, u)
+    view: rows whose salted-md5 unit fold lands below ``frac_sql``.
+    This is the oracle replay of ``_digest_sample`` below — every
+    trained index (qs14/qs16/qs17/qs18/qs19) now trains on such a
+    sample so the TRAINER is O(sample·k), never O(n·k); the sample
+    membership itself is part of the hash-verified pipeline."""
+    return (
+        f"""{name} AS (
+      SELECT vec_id, u FROM (
+        SELECT vec_id, u, md5('{salt}' || vec_id::VARCHAR) AS _d FROM {src}
+      ) WHERE ({_IVF_UNIT_FOLD}) / 4294967296.0 < {frac_sql}
+    )"""
+    )
+
+
+def _digest_sample(emb: DataFrame, salt: str, frac: float) -> DataFrame:
+    """Deterministic training sample: keep rows whose salted-md5
+    digest fold (an exact-integer uniform [0,1), the sampling
+    family's ``digest_unit``) lands below ``frac``. Engine-portable:
+    the oracle replays the same fold (``_sample_cte``), so WHICH rows
+    trained the model is hash-verified, not just the model's output.
+    At small sf the fraction saturates at 1.0 and sample == corpus."""
+    from spotify_pipeline_gcp_spark.operators.sampling import digest_unit
+
+    return (
+        emb.withColumn(
+            "_d",
+            F.md5(F.concat(F.lit(salt), F.col("vec_id").cast("string"))),
+        )
+        .where(digest_unit("_d") < F.lit(frac))
+        .drop("_d")
+    )
+
+
+def _train_frac(n: int, k: int, per_centroid: int = 32) -> float:
+    """Training-sample fraction: ~``per_centroid``·k of n vectors —
+    the FAISS practice (x points per centroid), making every trainer
+    O(per·k²) = O(n) at k=√n and O(1) at fixed k, vs n·k = n^1.5 for
+    full-corpus training (measured x281 on x100 data, r6)."""
+    return min(1.0, (per_centroid * float(k)) / n) if n else 1.0
+
 
 def _ivf_kmeans_oracle(
     k: int | str,
@@ -152,13 +204,19 @@ def _ivf_kmeans_oracle(
 
 
 def _imi_half_chain(
-    sfx: str, src: str, k: str, n_iter: int, d: int
+    sfx: str, src: str, k: str, n_iter: int, d: int,
+    assign_src: str | None = None,
 ) -> list[str]:
     """CTE chain for ONE of the IMI sub-quantizers (suffix ``sfx``):
-    seeded init → ``n_iter`` Lloyd rounds → final full-corpus
-    assignment ``asgf{sfx}``. Identical arithmetic to
-    ``_ivf_kmeans_oracle``'s chain, parameterized so the two-level
-    oracle (qs17) can emit it twice over the half-vector views."""
+    seeded init → ``n_iter`` Lloyd rounds → final assignment
+    ``asgf{sfx}``. Identical arithmetic to ``_ivf_kmeans_oracle``'s
+    chain, parameterized so the two-level oracle (qs17) can emit it
+    twice over the half-vector views. ``src`` is the TRAINING view
+    (a digest sample for the sample-trained shapes); ``assign_src``
+    (default: ``src``) is the view the final assignment runs over —
+    the FULL corpus when training is sampled."""
+    if assign_src is None:
+        assign_src = src
     ctes = [
         f"""cent0{sfx} AS (
       SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::BIGINT AS cid,
@@ -210,7 +268,7 @@ def _imi_half_chain(
         SELECT p.vec_id, c.cid,
                row_number() OVER (PARTITION BY p.vec_id
                                   ORDER BY list_dot_product(p.u, c.c) DESC, c.cid) AS rnk
-        FROM {src} p CROSS JOIN cent{n_iter}{sfx} c) t
+        FROM {assign_src} p CROSS JOIN cent{n_iter}{sfx} c) t
       WHERE rnk = 1
     )"""
     )
@@ -219,10 +277,11 @@ def _imi_half_chain(
 
 def _imi_oracle(d: int, n_iter: int, topk: int) -> str:
     """DuckDB replay of the ENTIRE two-level IMI pipeline — sizing
-    (k_each = floor(sqrt(sqrt(n)))), both half-vector quantizer
-    trainings, the product-cell assignment, and the within-cell
-    search — as one finite CTE chain (see ``_ivf_kmeans_oracle`` for
-    why each step is engine-portable)."""
+    (k_each = floor(sqrt(sqrt(n)))), the digest training sample,
+    both half-vector quantizer trainings over it, the full-corpus
+    product-cell assignment, and the within-cell search — as one
+    finite CTE chain (see ``_ivf_kmeans_oracle`` for why each step
+    is engine-portable)."""
     h = d // 2
     k = "(SELECT k FROM sizek)"
     ctes = [
@@ -236,11 +295,20 @@ def _imi_oracle(d: int, n_iter: int, topk: int) -> str:
                                                            embedding::DOUBLE[]))) AS u
       FROM embeddings
     )""",
+        _sample_cte(
+            "utrain",
+            "u",
+            "imi:",
+            "least(1.0, (32.0 * (SELECT k FROM sizek))"
+            " / (SELECT n FROM sizen))",
+        ),
         f"uh1 AS (SELECT vec_id, u[1:{h}] AS u FROM u)",
         f"uh2 AS (SELECT vec_id, u[{h + 1}:{d}] AS u FROM u)",
+        f"uh1t AS (SELECT vec_id, u[1:{h}] AS u FROM utrain)",
+        f"uh2t AS (SELECT vec_id, u[{h + 1}:{d}] AS u FROM utrain)",
     ]
-    ctes += _imi_half_chain("_1", "uh1", k, n_iter, h)
-    ctes += _imi_half_chain("_2", "uh2", k, n_iter, h)
+    ctes += _imi_half_chain("_1", "uh1t", k, n_iter, h, assign_src="uh1")
+    ctes += _imi_half_chain("_2", "uh2t", k, n_iter, h, assign_src="uh2")
     ctes.append(
         """asg AS (
       SELECT a1.vec_id, u.u, a1.cid AS cid1, a2.cid AS cid2
@@ -824,44 +892,64 @@ def qs13_cosine_topk_bucketed_sized(spark: SparkSession, sf_dir: str) -> DataFra
         2,
         64,
         5,
+        nprobe=2,
         extra_cte=(
-            "sizek AS (SELECT greatest(1, CAST(floor(sqrt(count(*)))"
-            " AS BIGINT)) AS k FROM embeddings)"
+            "sizen AS (SELECT count(*)::BIGINT AS n FROM embeddings),\n"
+            "    sizek AS (SELECT greatest(1, CAST(floor(sqrt(n)) AS BIGINT))"
+            " AS k FROM sizen)"
         ),
+        post_u_cte=_sample_cte(
+            "utrain",
+            "u",
+            "ivf:",
+            "least(1.0, (32.0 * (SELECT k FROM sizek))"
+            " / (SELECT n FROM sizen))",
+        ),
+        train_src="utrain",
     ),
 )
 def qs14_cosine_topk_ivf_kmeans_sized(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """The AUTO-SIZED trained IVF — qs7's trained quantizer with
-    k = ``trained_cells_for(count)`` = floor(√n) cells instead of a
-    pinned 16: the classic IVF balance (trainer scores n·k = n^1.5,
-    within-cell search n²/k = n^1.5 — unlike the bucket shapes,
-    where partitioning is free and cells = n/256 keeps search linear,
-    a trained quantizer pays for its cells; SCALE_BENCH_r05 measured
-    the rebalance directly: pinned k=16 went x6.5 on x10 data, k≈√n
-    cut 83 s to 64 s). The oracle computes k from the same count —
-    ``floor(sqrt(count(*)))`` is the same IEEE double sqrt both
-    engines round identically — inside a sizing CTE and replays
-    training + search with it, so the data-adaptive model stays
-    hash-verified end to end."""
+    """The PRODUCTION trained IVF, converged on the O(n) trainer
+    (r6 verdict item #1): k = ``trained_cells_for(count)`` = floor(√n)
+    cells, k-means trained on the ~32·k digest SAMPLE (the exact
+    sample qs16 trains on — same 'ivf:' salt, so qs14 and qs16 share
+    one hash-verified index model; trainer cost 32k² = O(n), vs the
+    retired full-corpus trainer's n·k = n^1.5, measured x281 on x100
+    data in SCALE_BENCH_r06), searched with nprobe=2 MULTIPROBE —
+    each query probes its two nearest trained cells while the corpus
+    side stays in its single assigned cell (qs11's recall knob,
+    previously available only with a pinned full-trained k=16). Both
+    join sides are the SAME ranked-probes subplan behind one cid
+    repartition (``probe_rank = 1`` IS the assignment — same total
+    order), so ReuseExchange scores the n·k table once. The oracle
+    replays sizing, sample membership, training, assignment, and the
+    two-cell probing from the same count arithmetic — the full
+    data-adaptive model is hash-verified end to end. qs7 remains the
+    registered full-train pinned-k exactness baseline; qs16 the
+    single-probe twin."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
-        assign_clusters,
+        _topn_probes,
+        _unit_vectors,
         kmeans_centroids,
         trained_cells_for,
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    k = trained_cells_for(emb.count())
-    cent = kmeans_centroids(emb, "vec_id", "embedding", k=k, n_iter=2)
-    asg = assign_clusters(emb, cent, "vec_id", "embedding").repartition(
-        F.col("cid")
-    )
-    a, b = asg.alias("a"), asg.alias("b")
+    n = emb.count()
+    k = trained_cells_for(n)
+    sample = _digest_sample(emb, "ivf:", _train_frac(n, k))
+    cent = kmeans_centroids(sample, "vec_id", "embedding", k=k, n_iter=2)
+    pts = _unit_vectors(emb, "vec_id", "embedding")
+    probes = _topn_probes(pts, cent, 2).repartition(F.col("cid"))
+    a, b = probes.alias("a"), probes.alias("b")
     cos = fixed(_dot_pre(F.col("a.u"), F.col("b.u")), 6)
     pairs = a.join(
         b,
-        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") != F.col("b.id")),
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("b.probe_rank") == F.lit(1))
+        & (F.col("a.id") != F.col("b.id")),
     ).select(
         F.col("a.id").alias("query_id"),
         F.col("b.id").alias("neighbor_id"),
@@ -876,14 +964,18 @@ def qs14_cosine_topk_ivf_kmeans_sized(
 
 
 def _pq_sub_chain(
-    s: int, k: int, n_iter: int, d_sub: int, lo: int, hi: int
+    s: int, k: int, n_iter: int, d_sub: int, lo: int, hi: int,
+    train_src: str = "u",
 ) -> list[str]:
     """CTE chain for ONE PQ sub-quantizer: slice view → seeded init →
     L2 Lloyd rounds (argmax ``dot − ‖c‖²/2``, plain quantized mean —
-    no renormalize) → corpus encoding ``enc_{s}``."""
+    no renormalize) → corpus encoding ``enc_{s}``. ``train_src`` is
+    the (vec_id, u) view the init + Lloyd rounds slice from — a
+    digest sample for the sample-trained shapes; encoding (enc) and
+    query tables (tq) always use the full cview/qview."""
     sfx = f"_{s}"
     ctes = [
-        f"sub{sfx} AS (SELECT vec_id, u[{lo}:{hi}] AS u FROM u)",
+        f"sub{sfx} AS (SELECT vec_id, u[{lo}:{hi}] AS u FROM {train_src})",
         f"""cent0{sfx} AS (
       SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::BIGINT AS cid,
              u AS c
@@ -942,12 +1034,14 @@ def _pq_sub_chain(
 
 def _pq_oracle(d: int, m: int, k_pq: int, n_iter: int, topk: int) -> str:
     """DuckDB replay of the full PQ pipeline — m L2 sub-quantizer
-    trainings over the whole corpus, corpus-side encoding, and the
-    asymmetric-distance (ADC) search with exact-integer partial-score
-    sums — finite CTE chain, same portability arguments as
-    ``_ivf_kmeans_oracle``."""
+    trainings over the ~32·k_pq digest SAMPLE (an O(1)-size training
+    set at fixed k_pq — the qs16 convergence applied to PQ),
+    full-corpus encoding, and the asymmetric-distance (ADC) search
+    with exact-integer partial-score sums — finite CTE chain, same
+    portability arguments as ``_ivf_kmeans_oracle``."""
     d_sub = d // m
     ctes = [
+        "sizen AS (SELECT count(*)::BIGINT AS n FROM embeddings)",
         """u AS (
       SELECT vec_id,
              list_transform(embedding::DOUBLE[],
@@ -955,6 +1049,12 @@ def _pq_oracle(d: int, m: int, k_pq: int, n_iter: int, topk: int) -> str:
                                                            embedding::DOUBLE[]))) AS u
       FROM embeddings
     )""",
+        _sample_cte(
+            "utrain",
+            "u",
+            "pqtr:",
+            f"least(1.0, (32.0 * {k_pq}) / (SELECT n FROM sizen))",
+        ),
         # fixed-size digest-ordered query batch: ADC's per-pair cost
         # is m lookups but the PAIR COUNT is |Q|·n — a query slice
         # proportional to the corpus makes the scoring quadratic-ish
@@ -967,7 +1067,9 @@ def _pq_oracle(d: int, m: int, k_pq: int, n_iter: int, topk: int) -> str:
     ]
     for s in range(m):
         lo, hi = s * d_sub + 1, (s + 1) * d_sub
-        ctes += _pq_sub_chain(s, k_pq, n_iter, d_sub, lo, hi)
+        ctes += _pq_sub_chain(
+            s, k_pq, n_iter, d_sub, lo, hi, train_src="utrain"
+        )
     enc_union = " UNION ALL ".join(f"SELECT * FROM enc_{s}" for s in range(m))
     tq_union = " UNION ALL ".join(f"SELECT * FROM tq_{s}" for s in range(m))
     ctes.append(f"enc AS ({enc_union})")
@@ -996,9 +1098,10 @@ def _pq_oracle(d: int, m: int, k_pq: int, n_iter: int, topk: int) -> str:
 
 def _ivfpq_oracle(d: int, m: int, k_pq: int, n_iter: int, topk: int) -> str:
     """DuckDB replay of IVF+PQ: the sized spherical coarse chain
-    (same CTEs as qs14, via ``_imi_half_chain`` over the full
-    vector), the m L2 PQ sub-chains, and the same-cell ADC ranking
-    with exact-integer partial sums."""
+    trained on the ~32·√n digest sample (via ``_imi_half_chain`` over
+    the full vector, full-corpus final assignment), the m L2 PQ
+    sub-chains trained on the SAME sample, and the same-cell ADC
+    ranking with exact-integer partial sums."""
     d_sub = d // m
     ctes = [
         "sizen AS (SELECT count(*)::BIGINT AS n FROM embeddings)",
@@ -1011,13 +1114,24 @@ def _ivfpq_oracle(d: int, m: int, k_pq: int, n_iter: int, topk: int) -> str:
                                                            embedding::DOUBLE[]))) AS u
       FROM embeddings
     )""",
+        _sample_cte(
+            "utrain",
+            "u",
+            "ivfpq:",
+            "least(1.0, (32.0 * (SELECT k FROM sizek))"
+            " / (SELECT n FROM sizen))",
+        ),
         "qview AS (SELECT vec_id, u FROM u)",
         "cview AS (SELECT vec_id, u FROM u)",
     ]
-    ctes += _imi_half_chain("_c", "u", "(SELECT k FROM sizek)", n_iter, d)
+    ctes += _imi_half_chain(
+        "_c", "utrain", "(SELECT k FROM sizek)", n_iter, d, assign_src="u"
+    )
     for s in range(m):
         lo, hi = s * d_sub + 1, (s + 1) * d_sub
-        ctes += _pq_sub_chain(s, k_pq, n_iter, d_sub, lo, hi)
+        ctes += _pq_sub_chain(
+            s, k_pq, n_iter, d_sub, lo, hi, train_src="utrain"
+        )
     enc_union = " UNION ALL ".join(f"SELECT * FROM enc_{s}" for s in range(m))
     tq_union = " UNION ALL ".join(f"SELECT * FROM tq_{s}" for s in range(m))
     ctes.append(f"enc AS ({enc_union})")
@@ -1055,15 +1169,27 @@ def qs19_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse cells bound candidates to n²/√n pairs, PQ ADC scores them
     with m lookups per pair over a corpus stored as m small ints —
     the memory AND compute shape a 100 TB vector index serves from.
-    The oracle replays the coarse training, all four sub-quantizer
+    As of r7 BOTH trainers (coarse quantizer and the four PQ
+    sub-quantizers) run on one shared ~32·√n digest sample (salt
+    'ivfpq:', the qs16 convergence — was the repo's two heaviest
+    full-corpus trainers composed); the corpus is only assigned and
+    encoded against the trained models. The oracle replays the
+    sample membership, the coarse training, all four sub-quantizer
     trainings, the encoding, and the same-cell ADC ranking — the
     entire composed index is hash-verified end to end."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         cosine_topk_ivfpq,
+        trained_cells_for,
     )
 
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = trained_cells_for(n)
     return cosine_topk_ivfpq(
-        table(spark, sf_dir, "embeddings"), k_neighbors=5
+        emb,
+        k_neighbors=5,
+        n_clusters=k,
+        train_df=_digest_sample(emb, "ivfpq:", _train_frac(n, k)),
     )
 
 
@@ -1072,8 +1198,11 @@ def qs18_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC search (Jégou et al., TPAMI 2011 —
     see ``operators/similarity.py::pq_codebooks``/``pq_encode``/
     ``pq_adc_topk``): the COMPRESSED-DOMAIN serving shape. Four L2
-    sub-quantizers (16 dims × 16 codes) trained on the full corpus,
-    the corpus side stored as 4 small ints (64× smaller than the
+    sub-quantizers (16 dims × 16 codes) trained — as of r7 — on the
+    ~32·k_pq = 512-row digest sample (salt 'pqtr:'; at fixed k_pq the
+    training set is CONSTANT-size, the strongest form of the qs16
+    convergence — the trainer no longer scales with the corpus at
+    all), the corpus side stored as 4 small ints (64× smaller than the
     float vectors — at 100 TB of embeddings the index that fits in
     memory), queries full-precision, score = sum of 4 broadcast
     table lookups with exact-integer partials. The oracle replays
@@ -1095,8 +1224,13 @@ def qs18_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    pts = _unit_vectors(emb, "vec_id", "embedding")
-    books = pq_codebooks(pts, m=4, d_sub=16, k_pq=16, n_iter=2)
+    n = emb.count()
+    strain = _unit_vectors(
+        _digest_sample(emb, "pqtr:", _train_frac(n, 16)),
+        "vec_id",
+        "embedding",
+    )
+    books = pq_codebooks(strain, m=4, d_sub=16, k_pq=16, n_iter=2)
     qsel = (
         emb.where(F.col("label") % 10 == 0)
         .withColumn(
@@ -1124,11 +1258,15 @@ def qs17_cosine_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
     next rung above sized single-level IVF, where the quantizer cost
     itself must stop scaling as n^1.5. k_each = n^(1/4) per half
     (``imi_cells_for``), product grid ≈ √n cells — same search cost
-    as qs14/qs16, √n-times fewer centroid scorings. The oracle
-    replays sizing, BOTH half-quantizer trainings, product-cell
-    assignment, and search from the same count arithmetic, so the
-    full two-level model is hash-verified end to end. Fixed-point
-    cosine before ranking keeps the top-k cut engine-independent."""
+    as qs14/qs16, √n-times fewer centroid scorings. As of r7 BOTH
+    half-quantizers train on the ~32·k_each digest sample (salt
+    'imi:', the qs16 convergence — trainer cost 32·k_each² = O(√n),
+    was n·n^(1/4)); the full corpus is only ASSIGNED to the trained
+    product cells. The oracle replays sizing, sample membership,
+    both trainings, product-cell assignment, and search from the
+    same count arithmetic, so the full two-level model is
+    hash-verified end to end. Fixed-point cosine before ranking
+    keeps the top-k cut engine-independent."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         _unit_vectors,
         imi_assign,
@@ -1137,9 +1275,15 @@ def qs17_cosine_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    k_each = imi_cells_for(emb.count())
+    n = emb.count()
+    k_each = imi_cells_for(n)
     pts = _unit_vectors(emb, "vec_id", "embedding")
-    cent1, cent2 = kmeans_centroids_on_halves(pts, 32, k=k_each, n_iter=2)
+    spts = _unit_vectors(
+        _digest_sample(emb, "imi:", _train_frac(n, k_each)),
+        "vec_id",
+        "embedding",
+    )
+    cent1, cent2 = kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2)
     asg = imi_assign(pts, cent1, cent2, 32).repartition("cid1", "cid2")
     a, b = asg.alias("a"), asg.alias("b")
     cos = fixed(_dot_pre(F.col("a.u"), F.col("b.u")), 6)
@@ -1247,16 +1391,6 @@ def qs15_query_corpus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The exact integer digest fold shared with the sampling family
-# (queries/sampling.py::_UNIT_FOLD): uniform [0,1) from the first 8
-# hex digits of a salted md5, engine-identical.
-_IVF_UNIT_FOLD = " + ".join(
-    f"(strpos('0123456789abcdef', substring(_d, {j + 1}, 1)) - 1)"
-    f" * {16 ** (7 - j)}::BIGINT"
-    for j in range(8)
-)
-
-
 @register(
     "qs16_cosine_topk_ivf_sample_trained",
     oracle=_ivf_kmeans_oracle(
@@ -1269,13 +1403,12 @@ _IVF_UNIT_FOLD = " + ".join(
             "    sizek AS (SELECT greatest(1, CAST(floor(sqrt(n)) AS BIGINT))"
             " AS k FROM sizen)"
         ),
-        post_u_cte=(
-            "utrain AS (\n"
-            "      SELECT vec_id, u FROM (\n"
-            "        SELECT vec_id, u, md5('ivf:' || vec_id::VARCHAR) AS _d FROM u\n"
-            f"      ) WHERE ({_IVF_UNIT_FOLD}) / 4294967296.0\n"
-            "          < least(1.0, (32.0 * (SELECT k FROM sizek)) / (SELECT n FROM sizen))\n"
-            "    )"
+        post_u_cte=_sample_cte(
+            "utrain",
+            "u",
+            "ivf:",
+            "least(1.0, (32.0 * (SELECT k FROM sizek))"
+            " / (SELECT n FROM sizen))",
         ),
         train_src="utrain",
     ),
@@ -1297,7 +1430,6 @@ def qs16_cosine_topk_ivf_sample_trained(
     assignment, search — replays hash-identically in the oracle.
     At small sf the fraction saturates at 1.0 and this degenerates to
     qs14 exactly."""
-    from spotify_pipeline_gcp_spark.operators.sampling import digest_unit
     from spotify_pipeline_gcp_spark.operators.similarity import (
         assign_clusters,
         kmeans_centroids,
@@ -1307,15 +1439,7 @@ def qs16_cosine_topk_ivf_sample_trained(
     emb = table(spark, sf_dir, "embeddings")
     n = emb.count()
     k = trained_cells_for(n)
-    frac = min(1.0, (32.0 * k) / n) if n else 1.0
-    sample = (
-        emb.withColumn(
-            "_d",
-            F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string"))),
-        )
-        .where(digest_unit("_d") < F.lit(frac))
-        .drop("_d")
-    )
+    sample = _digest_sample(emb, "ivf:", _train_frac(n, k))
     cent = kmeans_centroids(sample, "vec_id", "embedding", k=k, n_iter=2)
     asg = assign_clusters(emb, cent, "vec_id", "embedding").repartition(
         F.col("cid")

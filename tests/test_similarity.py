@@ -398,17 +398,21 @@ def test_sized_bucketed_matches_manual_bits(spark):
 
 
 def test_sized_ivf_matches_manual_sqrt_k(spark):
-    # qs14's auto-sized plan must equal qs7's shape run with the SAME
-    # k = floor(sqrt(n)) computed by hand — the sizing is the only
-    # difference
+    # qs14 (sized, sample-trained, nprobe=2) must equal the manual
+    # composition with the SAME k = floor(sqrt(n)) computed by hand.
+    # At sf0.001 the training fraction 32k/n saturates at 1.0, so the
+    # manual twin trains on the FULL corpus — pinning the documented
+    # degeneracy (sample == corpus at small sf) at the same time.
     from spotify_pipeline_gcp_spark.queries.compat import table
     from spotify_pipeline_gcp_spark.operators.similarity import (
-        assign_clusters,
+        _topn_probes,
+        _unit_vectors,
         kmeans_centroids,
         trained_cells_for,
     )
     from spotify_pipeline_gcp_spark.queries.similarity import (
         _dot_pre,
+        _train_frac,
         fixed,
         qs14_cosine_topk_ivf_kmeans_sized,
     )
@@ -420,13 +424,17 @@ def test_sized_ivf_matches_manual_sqrt_k(spark):
     n = emb.count()
     k = trained_cells_for(n)
     assert 1 < k < n  # sizing is non-degenerate even at the tiny sf
+    assert _train_frac(n, k) == 1.0  # saturated: full-train twin valid
     cent = kmeans_centroids(emb, "vec_id", "embedding", k=k, n_iter=2)
-    asg = assign_clusters(emb, cent, "vec_id", "embedding")
-    a, b = asg.alias("a"), asg.alias("b")
+    pts = _unit_vectors(emb, "vec_id", "embedding")
+    probes = _topn_probes(pts, cent, 2)
+    a, b = probes.alias("a"), probes.alias("b")
     cos = fixed(_dot_pre(F.col("a.u"), F.col("b.u")), 6)
     pairs = a.join(
         b,
-        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") != F.col("b.id")),
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("b.probe_rank") == F.lit(1))
+        & (F.col("a.id") != F.col("b.id")),
     ).select(
         F.col("a.id").alias("query_id"),
         F.col("b.id").alias("neighbor_id"),
@@ -446,6 +454,31 @@ def test_sized_ivf_matches_manual_sqrt_k(spark):
         for r in qs14_cosine_topk_ivf_kmeans_sized(spark, sf_dir).collect()
     }
     assert sized == manual and len(sized) > 0
+
+
+def test_sized_ivf_multiprobe_dominates_single_probe(spark):
+    # qs14 and qs16 share ONE trained model (same 'ivf:' digest
+    # sample, same k) — qs14's extra probe can only improve each
+    # query's top-5: at every rank j the qs14 cosine must be >= the
+    # qs16 cosine for the same query.
+    from spotify_pipeline_gcp_spark.queries.similarity import (
+        qs14_cosine_topk_ivf_kmeans_sized,
+        qs16_cosine_topk_ivf_sample_trained,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    multi = {
+        (r.query_id, r.rank): r.cosine_r
+        for r in qs14_cosine_topk_ivf_kmeans_sized(spark, sf_dir).collect()
+    }
+    single = {
+        (r.query_id, r.rank): r.cosine_r
+        for r in qs16_cosine_topk_ivf_sample_trained(spark, sf_dir).collect()
+    }
+    assert len(multi) >= len(single) > 0
+    for key, cos_single in single.items():
+        assert key in multi
+        assert multi[key] >= cos_single
 
 
 def test_query_corpus_topk_is_broadcast_and_correct(spark):
