@@ -34,91 +34,75 @@ REGISTRY: dict[str, QuerySpec] = {}
 # now an explicit list edit: ``_WINDOW_ORDER`` below is applied after
 # module import, so module order no longer determines the window.
 #
-# Round-6 window: leads with the nine queries NEW this round — the
-# auto-sized ANN shapes qs13/qs14 (r5 verdict #1), qt9 chunking, the
-# serving-shape qs15, sample-trained qs16, two-level IMI qs17, the
-# linear duplicated-span dedup qd13, PQ ADC qs18, and the composed
-# IVF+PQ qs19 — then the six r2-stale queries displaced in r5
-# (qs4/qs6/qm1/qm2/qt1/qsp1), then the r4-green set now two rounds
-# stale: the qd dedup family (incl. qd11/qd8, both touched this
-# round), qst1/qst3, qp1–qp3, qs7, qk1, and the q23/q29–q41
-# relational breadth. Out of window this round: everything
-# driver-green in r05 (50 rows), plus q24–q28 and q42–q48 (r4-green,
-# trivial unchanged modules — first in line for the r7 rotation).
+# Round-7 window (r6 verdict item #2 — retire the r4 staleness debt):
+# leads with the 24 queries whose LAST driver row is r4 (q24–q28 and
+# q30–q48 — by r7 those rows were three rounds stale), then the six
+# queries CHANGED this round (the trained-ANN family re-pointed at
+# the digest-sample trainer: qs14/qs17/qs18/qs19; the bounded-corpus
+# recall audit qs21; the qd14 oracle coalesce fix), then backfills
+# with the oldest r5-green core (q00–q19). Out of window: the
+# remaining r5-green breadth (q20–q22, qs1–qs12, qt2–qt8, qsp2–qsp4,
+# qm3/qm4, qst2/qst4/qst5, qp4, qd9) and the untouched r6-green rows
+# (qs13/qs15/qs16/qs20, qt9–qt11, qd13, qsp5/qsp6, qp5/qp6, q49,
+# qe2, qst6, + the r6-window r4 re-greens) — first in line for r8.
 # Run tools/window_check.py after any registration change;
 # tools/selfcheck.py re-verifies the FULL registry every round.
 _WINDOW_ORDER = [
-    # new this round — the auto-sized ANN shapes (r5 verdict #1),
-    # token-window chunking, and the two-table serving-shape ANN
-    "qs13_cosine_topk_bucketed_sized",
+    # r4-stale relational breadth — the rotation debt named in
+    # VERDICT r6 "What's missing" #1
+    "q24_cross_join",
+    "q25_except",
+    "q26_intersect",
+    "q27_string_funcs",
+    "q28_null_handling",
+    "q30_sessionize",
+    "q31_asof_last_click",
+    "q32_scalar_subquery",
+    "q33_conditional_agg",
+    "q34_array_agg_ops",
+    "q35_exact_percentiles",
+    "q36_approx_aggregates",
+    "q37_unpivot",
+    "q38_map_ops",
+    "q39_date_arith",
+    "q40_json_bag",
+    "q41_big_orders_having",
+    "q42_above_group_avg",
+    "q43_ratio_metric",
+    "q44_flagship_partition_ready",
+    "q45_cube",
+    "q46_range_frame",
+    "q47_range_join",
+    "q48_rank_battery",
+    # changed this round — sample-trained ANN convergence (verdict
+    # #1), bounded recall audit (verdict #4), qd14 oracle hardening
     "qs14_cosine_topk_ivf_kmeans_sized",
-    "qt9_chunk_windows",
-    "qs15_query_corpus_topk",
-    "qs16_cosine_topk_ivf_sample_trained",
     "qs17_cosine_topk_imi",
-    "qd13_duplicated_spans",
     "qs18_pq_adc_topk",
     "qs19_cosine_topk_ivfpq",
-    "qt10_ngram_lm_score",
-    "qsp5_temperature_resample",
-    "qs20_hybrid_rrf",
     "qs21_ann_recall_audit",
-    "qp5_export_manifest",
-    "q49_grouping_sets",
-    "qe2_knn_label_vote",
-    "qsp6_exact_quota_sample",
-    "qt11_vocab_stats",
-    "qp6_pack_manifest",
-    "qst6_streaming_export_gate",
     "qd14_near_dup_export",
-    # r2-stale (displaced from the r5 window)
-    "qs4_cosine_topk_blas",
-    "qs6_cosine_topk_ivf_blas",
-    "qm1_binary_meta",
-    "qm2_image_decode_meta",
-    "qt1_lang_id",
-    "qsp1_hash_sample",
-    # dedup family (r4-green; qd11/qd8 touched this round)
-    "qd11_incremental_near_dup",
-    "qd8_dedup_components",
-    "qd1_dedup_exact_groups",
-    "qd2_dedup_exact_keep",
-    "qd3_ngram_jaccard_pairs",
-    "qd3b_ngram_jaccard_capped",
-    "qd4_minhash_signatures",
-    "qd5_minhash_lsh_pairs",
-    "qd6_simhash",
-    "qd7_embedding_near_dup",
-    "qd7b_embedding_near_dup_pruned",
-    "qd9b_simhash_pairs_capped",
-    "qd10_semantic_dedup_components",
-    "qd12_keep_best_per_cluster",
-    # streaming + corpus + similarity + skew (r4-green)
-    "qst1_streaming_type_rollup",
-    "qst3_streaming_static_enrich",
-    "qp1_corpus_prep",
-    "qp2_token_shard_packing",
-    "qp3_token_budget_selection",
-    "qs7_cosine_topk_ivf_kmeans",
-    "qk1_salted_agg",
-    # relational breadth (r4-green)
-    "q23_full_outer_join",
-    "q29_window_lag_lead",
-    # q30_sessionize / q31_asof_last_click / q32_scalar_subquery
-    # rotate out with the list below (r4-green, unchanged; q30 also
-    # has 10x/100x scale rows) to fit qp6/qst6/qd14
-    # q33_conditional_agg / q34_array_agg_ops / q35_exact_percentiles
-    # rotate out with the list below (r4-green, unchanged) to fit the
-    # late-round additions qe2/qsp6/qt11
-    # q36_approx_aggregates (rows-only driver row; its value bounds
-    # live in the tolerance pytests) / q37_unpivot / q38_map_ops /
-    # q39_date_arith / q40_json_bag / q41_big_orders_having /
-    # q42_above_group_avg / q43_ratio_metric /
-    # q44_flagship_partition_ready / q45_cube / q46_range_frame /
-    # q47_range_join / q48_rank_battery rotate out (r4-green, modules
-    # unchanged) to make room for the twenty-one queries NEW this round
-    # (qt9/qs15–qs21/qd13/qd14/qt10/qt11/qsp5/qsp6/qp5/qp6/q49/qe2/
-    # qst6) — first in line for r7 alongside q24–q28
+    # oldest r5-green core backfill (flagship + relational base)
+    "q00_flagship_pipeline",
+    "q01_project_derived",
+    "q02_filter_isin",
+    "q03_explode_tokens",
+    "q04_bag_collect",
+    "q05_bag_join",
+    "q06_delta_anti_join",
+    "q07_distinct",
+    "q08_pricing_summary",
+    "q09_top_orders",
+    "q10_segment_revenue_topn",
+    "q11_window_topk",
+    "q12_window_running",
+    "q13_union_distinct",
+    "q14_semi_join",
+    "q15_date_trunc_daily",
+    "q16_date_format_monthly",
+    "q17_json_extract",
+    "q18_complete_year",
+    "q19_distinct_count",
 ]
 
 _MODULES = [

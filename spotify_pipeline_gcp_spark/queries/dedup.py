@@ -822,7 +822,8 @@ _QUALITY_CTES = """
     SELECT source,
            count(*) FILTER (WHERE NOT dropped)::BIGINT AS n_kept,
            count(*) FILTER (WHERE dropped)::BIGINT AS n_dropped,
-           sum(n_tokens) FILTER (WHERE NOT dropped)::BIGINT AS tokens_kept
+           coalesce(sum(n_tokens) FILTER (WHERE NOT dropped), 0)::BIGINT
+             AS tokens_kept
     FROM d GROUP BY source
     """,
 )

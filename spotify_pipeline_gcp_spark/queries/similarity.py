@@ -1668,9 +1668,15 @@ _AUDIT_BUCKET = (
         ORDER BY md5('aud:' || vec_id::VARCHAR) LIMIT 64
       )
     ),
+    cn AS (
+      SELECT count(*)::BIGINT AS n FROM embeddings WHERE label % 10 <> 0
+    ),
     c AS (
-      SELECT vec_id, embedding, {_AUDIT_BUCKET} AS bucket
-      FROM embeddings WHERE label % 10 <> 0
+      SELECT vec_id, embedding, {_AUDIT_BUCKET} AS bucket FROM (
+        SELECT vec_id, embedding, md5('audc:' || vec_id::VARCHAR) AS _d
+        FROM embeddings WHERE label % 10 <> 0
+      ) WHERE ({_IVF_UNIT_FOLD}) / 4294967296.0
+          < least(1.0, 65536.0 / (SELECT n FROM cn))
     ),
     pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
@@ -1715,14 +1721,23 @@ def qs21_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine.
 
     Scale shape: ground truth is the expensive side by definition,
-    so the audited query set is a FIXED-SIZE sample — the 64 queries
-    with the smallest salted digests (digest order is pseudo-random,
-    so the sample is unbiased; a PROPORTIONAL slice would make the
-    exact pass |Q|·n = quadratic-ish, the qs3 lesson applied to
-    evals). The exact pass is then a bounded 64 x corpus broadcast
-    scan at any corpus size; the approx side reuses the index's own
-    bucketed join, and the per-query top-5 windows and the
-    hit-intersection join are all bounded by k x 64."""
+    so BOTH sides of the audit are bounded (r6 verdict item #4). The
+    query set is a FIXED-SIZE sample — the 64 queries with the
+    smallest salted digests (digest order is pseudo-random, so the
+    sample is unbiased; a PROPORTIONAL slice would make the exact
+    pass |Q|·n = quadratic-ish, the qs3 lesson applied to evals).
+    The audit CORPUS is a digest sample too: frac = min(1, 65536/n)
+    via the exact-integer unit fold (salt 'audc:'), so the exact
+    pass is at most 64 × 65536 scored pairs at ANY corpus size —
+    at r6's 100x replica the unbounded exact pass was 120 s, which
+    would dominate a batch window at real scale. The estimate is
+    then "recall against the sampled-corpus ground truth": exact
+    and approx sides rank the SAME sampled universe, so the metric
+    stays an unbiased index-quality estimator (the standard bounded
+    eval); below 65536 corpus vectors the fraction saturates at 1.0
+    and the audit is exhaustive (all driver/test scales). The
+    fraction is replayed in the oracle from the same count, so
+    sample membership is hash-verified."""
     emb = table(spark, sf_dir, "embeddings")
     qsel = (
         emb.where(F.col("label") % 10 == 0)
@@ -1737,8 +1752,12 @@ def qs21_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     qb = _double_base(qsel, "vec_id", "embedding").withColumn(
         "bucket", sign_bucket("v", 4)
     )
+    corpus_all = emb.where(F.col("label") % 10 != 0)
+    n_c = corpus_all.count()
     cb = _double_base(
-        emb.where(F.col("label") % 10 != 0), "vec_id", "embedding"
+        _digest_sample(corpus_all, "audc:", min(1.0, 65536.0 / n_c) if n_c else 1.0),
+        "vec_id",
+        "embedding",
     ).withColumn("bucket", sign_bucket("v", 4))
     cos = fixed(
         _dot_pre(F.col("q.v"), F.col("c.v"))

@@ -64,12 +64,15 @@ def requests_fetcher(
 
     Bearer auth from ``token`` (a provider callable or a fixed
     string, resolved per request so refresh flows stay live), plus
-    the retry discipline a production ingest needs: 429 honors
-    ``Retry-After`` (falling back to exponential backoff), 5xx
-    retries with exponential backoff, anything else non-200 raises
-    ``HttpError`` immediately. ``sleep`` is injectable so tests run
-    the real branch without waiting.
+    the retry discipline a production ingest needs: 429 and 503
+    honor a numeric ``Retry-After`` (RFC 9110 allows it on both;
+    falling back to exponential backoff), other 5xx retry with
+    exponential backoff, anything else non-200 raises ``HttpError``
+    immediately. ``sleep`` is injectable so tests run the real
+    branch without waiting.
     """
+    if max_retries < 0:
+        raise ValueError(f"max_retries must be >= 0, got {max_retries}")
     if session is None:
         session = requests_session()
     token_fn = token if callable(token) else (lambda: token)
@@ -95,11 +98,12 @@ def requests_fetcher(
                     f"{last}: {resp.text[:200]}"
                 )
             wait = backoff * (2**attempt)
-            if resp.status_code == 429:
-                # RFC 9110 allows Retry-After as either delta-seconds
-                # or an HTTP-date; only the numeric form is honored
-                # (a date would need clock parsing — exponential
-                # backoff is the safe fallback, not a crash)
+            if resp.status_code in (429, 503):
+                # RFC 9110 allows Retry-After (on 429 AND 503) as
+                # either delta-seconds or an HTTP-date; only the
+                # numeric form is honored (a date would need clock
+                # parsing — exponential backoff is the safe
+                # fallback, not a crash)
                 header = resp.headers.get("Retry-After", "")
                 try:
                     wait = float(header)

@@ -391,7 +391,17 @@ def streaming_export_gate(
     Under ``Trigger.AvailableNow`` over a single parquet file the
     delta is one micro-batch, so the drained sink equals the batch
     gate on the same rows — which is what makes it oracle-checkable.
-    Restarts are idempotent (checkpoint skips completed batches).
+    Restarts are idempotent: ``foreachBatch`` is at-least-once, so
+    each batch writes to a DETERMINISTIC per-batch_id directory in
+    overwrite mode — a replayed batch overwrites its own previous
+    (possibly partial) output instead of double-appending (the
+    standard foreachBatch exactly-once recipe: idempotent writes
+    keyed by batch_id).
+
+    The default ``store_dir`` is a fresh temp directory that backs
+    the RETURNED DataFrame (digest store, gram table, sink,
+    checkpoint) — it is NOT auto-deleted; pass ``store_dir`` and
+    manage its lifecycle for anything beyond a one-shot read.
 
     The per-document policy is ``operators/corpus.py::export_gate``
     — the SAME function the batch manifest runs, not a re-statement
@@ -418,15 +428,20 @@ def streaming_export_gate(
     accepted_path = os.path.join(store, "accepted")
     ckpt_path = os.path.join(store, "checkpoint")
 
+    # Layout: every writer owns a deterministic subdirectory (the
+    # initial store under .../base, each micro-batch under .../b<id>)
+    # written in OVERWRITE mode, so an at-least-once foreachBatch
+    # replay rewrites its own directory instead of double-appending;
+    # readers glob the parent.
     corpus.select(F.md5("text").alias("digest")).distinct().write.mode(
         "overwrite"
-    ).parquet(digests_path)
+    ).parquet(os.path.join(digests_path, "base"))
     bench_gram_table(bench, "text", contamination_n).write.mode(
         "overwrite"
     ).parquet(grams_path)
     bench_grams = spark.read.parquet(grams_path)
 
-    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
         accepted = export_gate(
             batch_df.select("doc_id", "source", "text"),
             bench_grams,
@@ -435,17 +450,19 @@ def streaming_export_gate(
             # stored digests re-read per batch: earlier batches'
             # accepted digests are visible, so cross-batch
             # duplicates drop
-            stored_digests=spark.read.parquet(digests_path),
+            stored_digests=spark.read.parquet(
+                os.path.join(digests_path, "*")
+            ),
             min_tokens=min_tokens,
             max_dup3_ratio=max_dup3_ratio,
             contamination_n=contamination_n,
         ).persist()
         accepted.select("doc_id", "source", "n_tokens").write.mode(
-            "append"
-        ).parquet(accepted_path)
+            "overwrite"
+        ).parquet(os.path.join(accepted_path, f"b{batch_id}"))
         accepted.select(F.col("_digest").alias("digest")).write.mode(
-            "append"
-        ).parquet(digests_path)
+            "overwrite"
+        ).parquet(os.path.join(digests_path, f"b{batch_id}"))
         accepted.unpersist()
 
     delta = (
@@ -460,4 +477,10 @@ def streaming_export_gate(
         .start()
     )
     q.awaitTermination()
-    return spark.read.schema(EXPORT_GATE_SCHEMA).parquet(accepted_path)
+    if not os.path.isdir(accepted_path):
+        # the stream fired no batch (empty delta): an empty frame
+        # with the contract schema, not a missing-path error
+        return spark.createDataFrame([], EXPORT_GATE_SCHEMA)
+    return spark.read.schema(EXPORT_GATE_SCHEMA).parquet(
+        os.path.join(accepted_path, "b*")
+    )
