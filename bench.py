@@ -152,7 +152,12 @@ def main() -> None:
     # 4g: measured sweet spot on this box — very large heaps (24g+) trigger
     # a ~20x G1 slowdown on collect_list-heavy plans (humongous allocations);
     # 1-4g are equivalent and fast. sf0.1 fits comfortably.
-    spark = get_spark("bench", driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
+    spark = get_spark(
+        "bench",
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
+        # keep stdout parseable: the only stdout line must be the JSON
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     # Warmup pass: execute every plan once untimed. First execution pays
     # whole-stage-codegen compilation + JIT + page-cache fill (seconds of
     # fixed overhead, independent of data volume). The timed pass then
@@ -181,19 +186,26 @@ def main() -> None:
         medians[name] = round(runs[reps // 2], 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "_calibration": _calibration(spark, sf_dir),
-                "sf": sf,
-            }
-        )
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "_calibration": _calibration(spark, sf_dir),
+        "sf": sf,
+    }
+    # The driver captures a bounded stdout TAIL; r6's record lost the
+    # head of the (single, long) JSON line to that bound. Write the
+    # full result to a file first, then print it compact as the very
+    # last stdout line with an explicit flush — either capture works.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
     )
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, separators=(",", ":"))
+        fh.write("\n")
+    print(json.dumps(result, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

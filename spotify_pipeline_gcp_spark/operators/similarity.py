@@ -155,16 +155,24 @@ def trained_cells_for(n_vectors: int) -> int:
 
 def imi_cells_for(n_vectors: int) -> int:
     """PER-QUANTIZER cell count for a two-level inverted MULTI-index
-    (IMI, Babenko & Lempitsky 2012): k_each = floor(n^(1/4)), so the
-    PRODUCT grid has k_each² ≈ √n cells — the same total-cell balance
-    as ``trained_cells_for`` (within-cell search stays n²/√n = n^1.5)
-    but the trainer/assigner scores each vector against only
-    2·k_each = O(n^(1/4)) centroids instead of √n: the quantizer cost
-    drops from n^1.5 to n^1.25. Computed as floor(sqrt(sqrt(n))) —
-    two correctly-rounded IEEE sqrts — so an SQL oracle running
-    ``floor(sqrt(sqrt(count(*))))`` reproduces it bit-for-bit.
-    Clamped ≥2: a 1×1 grid is no index."""
-    return max(2, math.floor(math.sqrt(math.sqrt(n_vectors))))
+    (IMI, Babenko & Lempitsky 2012), sized for LINEAR search:
+    k_each = ceil(sqrt(n/256)), so the PRODUCT grid has k_each² ≈
+    n/256 cells and the average cell holds ~256 vectors — the same
+    per-cell budget ``sign_bits_for`` gives the hash buckets. This is
+    what makes the IMI the TRAINED index for the all-corpus self-join
+    at scale: within-cell candidates stay ~256·n (linear, like qs13),
+    while the product decomposition keeps quantizer cost at
+    2·k_each = O(√(n/256)) scorings per vector (n^1.25 total) — a
+    single-level quantizer with n/256 cells would pay n²/256 in
+    assignment, and the classic √n-cell IVF (``trained_cells_for``,
+    qs14/qs16) pays n^1.5 in SEARCH on a self-join. (Before r7 this
+    returned n^(1/4): a √n-cell grid matching qs14's search cost; the
+    search-sized grid replaces it because the self-join is exactly
+    where the n^1.5 hurts.) Computed as ceil of the IEEE double sqrt
+    of n/256.0 (an exact power-of-two division) so an SQL oracle
+    running ``ceil(sqrt(count(*) / 256.0))`` reproduces it
+    bit-for-bit. Clamped ≥2: a 1×1 grid is no index."""
+    return max(2, math.ceil(math.sqrt(n_vectors / 256.0)))
 
 
 def sign_bucket(vec_col: str, n_bits: int = 4) -> Column:
@@ -1057,12 +1065,16 @@ def cosine_topk_imi(
     split into two halves, each half gets its OWN k_each-cell trained
     quantizer, and the index cell is the PRODUCT (cid1, cid2) —
     k_each² cells for 2·k_each centroid scorings per vector. With
-    k_each = n^(1/4) (``imi_cells_for``) the grid has ≈√n cells (same
-    within-cell search cost as sized IVF, n^1.5) while training and
-    assignment cost O(n·n^(1/4)) instead of O(n·√n) — measured at the
-    100× replica, single-level full-train IVF spent 2 582 s dominated
-    by its n·√n quantizer; the IMI quantizer does √n-times fewer
-    centroid scorings for the same cell granularity.
+    k_each = ceil(√(n/256)) (``imi_cells_for``, the r7 search-sized
+    grid) the product has ≈n/256 cells — ~256 vectors per cell, so
+    the within-cell self-join stays LINEAR (~256·n candidates, the
+    qs13 budget with trained cells) while assignment costs
+    2·√(n/256) scorings per vector; a SINGLE-level quantizer with
+    n/256 cells would pay n²/256 in assignment, and the √n-cell IVF
+    pays n·√n in self-join search — the product decomposition is
+    what lets cell count grow linearly with the corpus without the
+    quantizer exploding (measured at the 100× replica, single-level
+    full-train IVF spent 2 582 s dominated by its n·√n quantizer).
 
     Every stage is the deterministic machinery of qs14/qs16 —
     seeded-md5 init, fold dot products, quantized-integer means — run

@@ -286,7 +286,7 @@ def _imi_oracle(d: int, n_iter: int, topk: int) -> str:
     k = "(SELECT k FROM sizek)"
     ctes = [
         "sizen AS (SELECT count(*)::BIGINT AS n FROM embeddings)",
-        "sizek AS (SELECT greatest(2, CAST(floor(sqrt(sqrt(n))) AS BIGINT))"
+        "sizek AS (SELECT greatest(2, CAST(ceil(sqrt(n / 256.0)) AS BIGINT))"
         " AS k FROM sizen)",
         """u AS (
       SELECT vec_id,
@@ -1254,17 +1254,21 @@ def qs18_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("qs17_cosine_topk_imi", oracle=_imi_oracle(64, 2, 5))
 def qs17_cosine_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level inverted multi-index ANN (see
-    ``operators/similarity.py::cosine_topk_imi``): the documented
-    next rung above sized single-level IVF, where the quantizer cost
-    itself must stop scaling as n^1.5. k_each = n^(1/4) per half
-    (``imi_cells_for``), product grid ≈ √n cells — same search cost
-    as qs14/qs16, √n-times fewer centroid scorings. As of r7 BOTH
-    half-quantizers train on the ~32·k_each digest sample (salt
-    'imi:', the qs16 convergence — trainer cost 32·k_each² = O(√n),
-    was n·n^(1/4)); the full corpus is only ASSIGNED to the trained
-    product cells. The oracle replays sizing, sample membership,
-    both trainings, product-cell assignment, and search from the
-    same count arithmetic, so the full two-level model is
+    ``operators/similarity.py::cosine_topk_imi``): THE trained index
+    for the all-corpus self-join at 100 TB. As of r7 the product
+    grid is sized for LINEAR search — k_each = ceil(√(n/256)) per
+    half (``imi_cells_for``), product ≈ n/256 cells, ~256 vectors
+    per cell (the qs13 per-cell budget, now with TRAINED
+    data-adaptive cells) — and both half-quantizers train on the
+    ~32·k_each digest sample (salt 'imi:', the qs16 convergence).
+    Cost ledger: trainer O(32·k_each²) = O(n/256), assignment
+    2·k_each scorings per vector = O(n^1.25) total, search ~256·n
+    candidates — nothing n^1.5, unlike the classic √n-cell IVF
+    (qs14/qs16) whose exact-within-cell self-join intrinsically
+    scores n·√n pairs. The full corpus is only ASSIGNED to the
+    trained product cells. The oracle replays sizing, sample
+    membership, both trainings, product-cell assignment, and search
+    from the same count arithmetic, so the full two-level model is
     hash-verified end to end. Fixed-point cosine before ranking
     keeps the top-k cut engine-independent."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
