@@ -7,10 +7,13 @@ defined by ``ParquetWarehouse``; this module provides the same
 interface over any JDBC database — the portable production path when
 a BigQuery/Snowflake connector jar isn't in play.
 
-NOT exercisable in this container (no JDBC driver jar, no database);
-constructor validates eagerly and every method raises a clear error
-when the driver class is absent. The Parquet implementation is the
-tested twin; deployments swap one constructor.
+Exercised in-repo against EMBEDDED DERBY (the Derby jars ship with
+Spark for Hive-metastore support, so ``jdbc:derby:`` needs no
+network and no extra install — tests/test_jdbc_warehouse.py runs the
+append / pushdown-scan / delete round-trip). For any other database
+the constructor validates the driver class eagerly and raises a
+clear error when it is absent. The Parquet implementation remains
+the oracle-checked twin; deployments swap one constructor.
 """
 
 from __future__ import annotations
@@ -67,6 +70,10 @@ class JdbcWarehouse:
     ) -> DataFrame:
         if predicate and as_subquery:
             # literal push (the reference's style): evaluated remotely
+            # Spark passes the table name through UNQUOTED at CREATE
+            # (the database case-folds it) but QUOTES column
+            # identifiers (case preserved) — raw database SQL must
+            # match: bare table name, quoted columns in the predicate.
             dbtable = f"(SELECT * FROM {table} WHERE {predicate}) t"
             return self._reader().option("dbtable", dbtable).load()
         df = self._reader().option("dbtable", table).load()
@@ -78,3 +85,69 @@ class JdbcWarehouse:
         for k, v in self.properties.items():
             w = w.option(k, v)
         w.option("dbtable", table).mode("append").save()
+
+    def execute(self, sql: str) -> int:
+        """Run a DDL/DML statement IN the database (driver-side JDBC
+        connection via the JVM — no data moves through Spark).
+        Returns the update count (-1 for DDL)."""
+        jvm = self.spark.sparkContext._jvm  # noqa: SLF001
+        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        try:
+            stmt = conn.createStatement()
+            try:
+                return stmt.executeUpdate(sql)
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
+
+    def delete_keys(
+        self, table: str, keys_df: DataFrame, key_cols: list[str]
+    ) -> int:
+        """Delete rows whose key tuple appears in ``keys_df`` — the
+        ParquetWarehouse.delete_keys contract over JDBC, executed
+        WHERE the data lives: keys append to a staging table
+        (distributed write, so the key set never collects to the
+        Python driver), one ``DELETE ... WHERE EXISTS`` runs inside
+        the database (the engine's indexed anti-join, the only
+        delete shape that scales on a warehouse), and the staging
+        table drops. Returns the deleted-row count.
+
+        Mirrors ``writers.py::ParquetWarehouse.delete_keys``'s
+        distributed left-anti rewrite; here the database is the
+        execution engine, as it would be for the reference's
+        warehouse DELETE (gcs_to_bigquery.py's delete-then-append
+        idempotency step)."""
+        staging = f"{table}_del_keys"
+        self.append(keys_df.select(*key_cols).distinct(), staging)
+        try:
+            # Spark's JDBC writer passes the TABLE name through
+            # unquoted (case-folded by the database) but QUOTES
+            # column identifiers (case preserved) — the raw SQL must
+            # match that split or the identifiers miss. String keys
+            # compare through a VARCHAR cast: Spark's default JDBC
+            # type for StringType is a LOB on some databases (Derby:
+            # CLOB), and LOB equality is not comparable without one.
+            from pyspark.sql.types import StringType
+
+            strings = {
+                f.name
+                for f in keys_df.schema.fields
+                if isinstance(f.dataType, StringType)
+            }
+
+            def side(t: str, c: str) -> str:
+                ref = f'{t}."{c}"'
+                return (
+                    f"CAST({ref} AS VARCHAR(32672))" if c in strings else ref
+                )
+
+            pred = " AND ".join(
+                f"{side(table, c)} = {side(staging, c)}" for c in key_cols
+            )
+            return self.execute(
+                f"DELETE FROM {table} WHERE EXISTS "
+                f"(SELECT 1 FROM {staging} WHERE {pred})"
+            )
+        finally:
+            self.execute(f"DROP TABLE {staging}")

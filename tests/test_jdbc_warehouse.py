@@ -1,0 +1,105 @@
+"""JdbcWarehouse against EMBEDDED DERBY — the previously fake-only
+seam exercised end-to-end (r6 verdict item #5): Spark ships the Derby
+jars (Hive-metastore support), so ``jdbc:derby:<dir>;create=true``
+gives a real SQL database with zero network and zero installs.
+
+Covers the same interface surface the ParquetWarehouse tests pin:
+append, exists, pushdown scan (plan-asserted AND subquery-literal),
+delta-idempotency composition, and delete_keys (staged keys +
+in-database DELETE ... WHERE EXISTS).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spotify_pipeline_gcp_spark.operators.delta import delta_append
+from spotify_pipeline_gcp_spark.sinks.warehouse_jdbc import JdbcWarehouse
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _derby_available(spark) -> bool:
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(DERBY_DRIVER)  # noqa: SLF001
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+@pytest.fixture(scope="module")
+def wh(spark, tmp_path_factory):
+    if not _derby_available(spark):
+        pytest.skip("Derby driver not on the Spark classpath")
+    db_dir = tmp_path_factory.mktemp("derby") / "wh_db"
+    return JdbcWarehouse(
+        spark,
+        f"jdbc:derby:{db_dir};create=true",
+        properties={"driver": DERBY_DRIVER},
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "played_at string, track_id string, ms_played bigint"
+    )
+
+
+def test_append_and_scan(spark, wh):
+    batch = _batch(spark, [("t1", "a", 100), ("t2", "b", 200), ("t3", "c", 50)])
+    assert not wh.exists("plays")
+    wh.append(batch, "plays")
+    assert wh.exists("plays")
+    got = {
+        (r.played_at, r.track_id, r.ms_played)
+        for r in wh.scan("plays").collect()
+    }
+    assert got == {("t1", "a", 100), ("t2", "b", 200), ("t3", "c", 50)}
+
+
+def test_scan_predicate_pushdown(spark, wh):
+    df = wh.scan("plays", "ms_played >= 100")
+    assert {r.track_id for r in df.collect()} == {"a", "b"}
+    # Catalyst must push the comparison into the JDBC source — the
+    # physical scan advertises it, so Derby (not Spark) filters
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "PushedFilters" in plan and "MS_PLAYED" in plan.upper()
+
+
+def test_scan_subquery_literal_push(spark, wh):
+    # the reference's literal-SQL push style: WHERE evaluated by the
+    # database inside a dbtable subquery
+    df = wh.scan("plays", '"ms_played" >= 100', as_subquery=True)
+    assert {r.track_id for r in df.collect()} == {"a", "b"}
+
+
+def test_delta_append_idempotent_over_jdbc(spark, wh):
+    # the ParquetWarehouse idempotency composition, same operator
+    batch = _batch(spark, [("t1", "a", 100), ("t4", "d", 400)])
+    fresh = delta_append(batch, wh.scan("plays"), ["played_at"])
+    assert [r.played_at for r in fresh.collect()] == ["t4"]
+    wh.append(fresh, "plays")
+    assert wh.scan("plays").count() == 4
+    again = delta_append(batch, wh.scan("plays"), ["played_at"])
+    assert again.count() == 0
+
+
+def test_delete_keys_runs_in_database(spark, wh):
+    keys = spark.createDataFrame(
+        [("t1",), ("t3",), ("t3",), ("missing",)], "played_at string"
+    )
+    deleted = wh.delete_keys("plays", keys, ["played_at"])
+    assert deleted == 2
+    left = {r.played_at for r in wh.scan("plays").collect()}
+    assert left == {"t2", "t4"}
+    # staging table dropped
+    assert not wh.exists("plays_del_keys")
+
+
+def test_missing_driver_raises_eagerly(spark, tmp_path):
+    with pytest.raises(NotImplementedError, match="not on the classpath"):
+        JdbcWarehouse(
+            spark,
+            "jdbc:nosuch:db",
+            properties={"driver": "com.example.NoSuchDriver"},
+        )
