@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from spotify_pipeline_gcp_spark.streaming import lastplan
+
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -46,6 +48,7 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    lastplan.record_query(q)
     return stream_df.sparkSession.table(name)
 
 
@@ -350,6 +353,7 @@ def run_near_dup_stream(
             threshold=threshold,
         )
         pairs.write.mode("append").parquet(pairs_path)
+        lastplan.record_batch(pairs)
 
     q = (
         delta_stream.writeStream.foreachBatch(sink)
@@ -463,6 +467,7 @@ def streaming_export_gate(
         accepted.select(F.col("_digest").alias("digest")).write.mode(
             "overwrite"
         ).parquet(os.path.join(digests_path, f"b{batch_id}"))
+        lastplan.record_batch(accepted)
         accepted.unpersist()
 
     delta = (

@@ -89,6 +89,9 @@ def foreach_batch_delta_append(
             else batch_df
         )
         warehouse.append(fresh.dropDuplicates(keys), table)
+        from spotify_pipeline_gcp_spark.streaming import lastplan
+
+        lastplan.record_batch(fresh)
 
     q = (
         stream_df.writeStream.foreachBatch(sink)

@@ -362,3 +362,33 @@ def test_near_dup_export_loser_list_broadcasts(spark):
     assert "BroadcastHashJoin LeftOuter" in phys or (
         "BroadcastHashJoin" in phys and "LeftOuter" in phys
     ), phys
+
+
+def test_streaming_static_enrich_microbatch_broadcasts(spark):
+    # qst3: the registered callable returns the drained memory sink,
+    # so the streaming shape is asserted on the CAPTURED micro-batch
+    # plan (streaming/lastplan.py, recorded at stream completion):
+    # the static customer dim must enter every micro-batch as a
+    # broadcast hash join, with a stateful aggregate above it and no
+    # shuffle of the stream side into the join.
+    from spotify_pipeline_gcp_spark.streaming import lastplan
+
+    _q(spark, "qst3_streaming_static_enrich").collect()
+    plan = lastplan.get()
+    assert plan, "no micro-batch plan captured"
+    assert "BroadcastHashJoin" in plan, plan
+    m = lastplan.text_metrics(plan)
+    assert "BroadcastHashJoin" in m["joins"]
+    assert any("StateStore" in s for s in m["stateful"]), m
+
+
+def test_streaming_sessionize_microbatch_uses_session_store(spark):
+    # qst2: the executed micro-batch must run the session-window
+    # state store (the native streaming sessionizer), not a batch
+    # window rewrite.
+    from spotify_pipeline_gcp_spark.streaming import lastplan
+
+    _q(spark, "qst2_streaming_sessionize").collect()
+    plan = lastplan.get()
+    assert plan, "no micro-batch plan captured"
+    assert "SessionWindowStateStore" in plan, plan

@@ -40,10 +40,27 @@ def main() -> None:
         "|---|---|---|---|---|",
     ]
     for name, spec in sorted(registry.items()):
-        if name == "qst1_streaming_type_rollup":
-            lines.append(f"| {name} | — | — | streaming plan | — |")
-            continue
         try:
+            if name.startswith("qst"):
+                # streaming: the registered callable returns the
+                # DRAINED sink, so explain the captured micro-batch
+                # plan instead (streaming/lastplan.py records it at
+                # stream completion — the executed plan, including
+                # stateful operators and stream-static joins)
+                from spotify_pipeline_gcp_spark.streaming import lastplan
+
+                spec.fn(spark, sf_dir).collect()
+                plan = lastplan.get()
+                if not plan:
+                    lines.append(f"| {name} | — | — | no batch ran | — |")
+                    continue
+                m = lastplan.text_metrics(plan)
+                joins = ", ".join(m["joins"] + m["stateful"]) or "—"
+                lines.append(
+                    f"| {name} | {m['exchanges']} | {joins} | micro-batch | "
+                    f"{m['codegen_spans']} |"
+                )
+                continue
             df = spec.fn(spark, sf_dir)
             # structural metrics from the pre-execution plan (the final
             # AQE plan nests per-stage subplans and double-counts
