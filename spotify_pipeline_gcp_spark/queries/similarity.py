@@ -349,7 +349,14 @@ def qs7_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verified, not just the search. Data-adaptive cells beat
     fixed sign-cuts on clustered data at equal candidate volume
     (recall asserted vs qs2 in tests/test_similarity.py); qs8 is the
-    BLAS-kernel throughput twin of this same search."""
+    BLAS-kernel throughput twin of this same search.
+
+    PINNED FULL-TRAIN BASELINE — prefer qs16 (sized cells, sample
+    trainer) or qs14 (same + multiprobe) at scale: k=16 is pinned
+    (candidates grow n²/16, measured x8.6 on x10 data) and the
+    trainer scores the full corpus — kept registered as the
+    exactness baseline every sized/sampled variant is verified
+    against."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         assign_clusters,
         kmeans_centroids,
@@ -397,6 +404,11 @@ def qs11_cosine_topk_ivf_kmeans_multiprobe(
     1 probe) → qs5 (fixed cells, multi-probe) → qs7 (trained cells,
     1 probe) → qs11 (trained cells, multi-probe). The oracle replays
     training AND probe ranking as one CTE chain.
+
+    PINNED FULL-TRAIN BASELINE — prefer qs14 at scale: same
+    multiprobe search with k sized from the corpus count and the
+    O(n) digest-sample trainer (k=16 pinned here measured x13.9 on
+    x10 data).
 
     The database side's assignment is probe rank 1 of the SAME
     ranked-probes subplan (identical total order — see
@@ -523,7 +535,12 @@ def qs2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def qs3_cosine_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN: sign-quantized bucketing (IVF shape) restricts
     candidates to the same coarse cell before the exact kernel —
-    the join volume drops ~16x at 4 bits."""
+    the join volume drops ~16x at 4 bits.
+
+    PINNED BASELINE — prefer qs13 at scale: 4 bits is pinned so the
+    oracle replays byte-identically at every sf, but fixed buckets
+    grow candidates n²/16 (measured x43.6 on x10 data). qs13 is this
+    exact query with bits sized from the corpus count."""
     emb = table(spark, sf_dir, "embeddings")
     base = _double_base(emb, "vec_id", "embedding").withColumn(
         "bucket", sign_bucket("v", 4)

@@ -151,3 +151,65 @@ class JdbcWarehouse:
             )
         finally:
             self.execute(f"DROP TABLE {staging}")
+
+    def merge_upsert(
+        self, df: DataFrame, table: str, key_cols: list[str]
+    ) -> None:
+        """MERGE (upsert) — the ``ParquetWarehouse.merge_upsert``
+        contract over JDBC, executed WHERE the data lives: incoming
+        rows stage via a distributed append, one standard ``MERGE
+        INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` runs
+        inside the database (Derby supports MERGE since 10.11; so do
+        the warehouses this class fronts), and the staging table
+        drops. Duplicate incoming keys are refused (same last-writer
+        ambiguity rule as the parquet twin) — checked distributed
+        BEFORE staging. Unlike the parquet copy-on-write rewrite,
+        the database updates matched rows in place — the plan a real
+        warehouse runs for the reference's delete-then-append
+        idempotent load."""
+        from pyspark.sql.types import StringType
+
+        dup = df.groupBy(*key_cols).count().where("count > 1").limit(1)
+        if dup.count() > 0:
+            raise ValueError(
+                f"merge_upsert: incoming rows contain duplicate keys on {key_cols}"
+            )
+        if not self.exists(table):
+            self.append(df, table)
+            return
+        staging = f"{table}_merge_src"
+        self.append(df, staging)
+        try:
+            strings = {
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, StringType)
+            }
+
+            def side(t: str, c: str) -> str:
+                ref = f'{t}."{c}"'
+                return (
+                    f"CAST({ref} AS VARCHAR(32672))" if c in strings else ref
+                )
+
+            on = " AND ".join(
+                f"{side(table, c)} = {side(staging, c)}" for c in key_cols
+            )
+            non_keys = [c for c in df.columns if c not in key_cols]
+            set_clause = ", ".join(
+                f'"{c}" = {staging}."{c}"' for c in non_keys
+            )
+            cols = ", ".join(f'"{c}"' for c in df.columns)
+            vals = ", ".join(f'{staging}."{c}"' for c in df.columns)
+            stmt = (
+                f"MERGE INTO {table} USING {staging} ON {on} "
+                + (
+                    f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+                    if non_keys
+                    else ""
+                )
+                + f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+            )
+            self.execute(stmt)
+        finally:
+            self.execute(f"DROP TABLE {staging}")

@@ -103,3 +103,58 @@ def test_missing_driver_raises_eagerly(spark, tmp_path):
             "jdbc:nosuch:db",
             properties={"driver": "com.example.NoSuchDriver"},
         )
+
+
+def test_merge_upsert_in_database(spark, wh):
+    base = _batch(spark, [("m1", "a", 1), ("m2", "b", 2)])
+    wh.merge_upsert(base, "merge_t", ["played_at"])  # creates
+    up = _batch(spark, [("m2", "b2", 22), ("m3", "c", 3)])
+    wh.merge_upsert(up, "merge_t", ["played_at"])
+    got = {
+        (r.played_at, r.track_id, r.ms_played)
+        for r in wh.scan("merge_t").collect()
+    }
+    # m2 updated in place, m3 inserted, m1 untouched
+    assert got == {("m1", "a", 1), ("m2", "b2", 22), ("m3", "c", 3)}
+    assert not wh.exists("merge_t_merge_src")
+
+
+def test_merge_upsert_refuses_duplicate_incoming_keys(spark, wh):
+    dup = _batch(spark, [("d1", "a", 1), ("d1", "b", 2)])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        wh.merge_upsert(dup, "merge_t", ["played_at"])
+
+
+def test_streaming_delta_append_into_derby(spark, wh, tmp_path):
+    # the qst-style incremental load wired to a REAL SQL warehouse:
+    # foreach_batch_delta_append drives the stream, Derby holds the
+    # sink, and a second identical run appends nothing (the
+    # reference's daily idempotent load, end to end)
+    import pyspark.sql.functions as F
+
+    from spotify_pipeline_gcp_spark.streaming.stateful import (
+        foreach_batch_delta_append,
+    )
+
+    src = tmp_path / "src"
+    _batch(
+        spark, [("s1", "a", 1), ("s2", "b", 2), ("s2", "b", 2)]
+    ).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(
+            "played_at string, track_id string, ms_played bigint"
+        )
+        .parquet(str(src))
+        .where(F.col("ms_played") >= 0)
+    )
+    foreach_batch_delta_append(
+        stream, wh, "stream_t", ["played_at"], str(tmp_path / "ckpt1")
+    )
+    assert wh.scan("stream_t").count() == 2  # in-batch dup dropped
+    stream2 = spark.readStream.schema(
+        "played_at string, track_id string, ms_played bigint"
+    ).parquet(str(src))
+    foreach_batch_delta_append(
+        stream2, wh, "stream_t", ["played_at"], str(tmp_path / "ckpt2")
+    )
+    assert wh.scan("stream_t").count() == 2  # idempotent reload
