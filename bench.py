@@ -96,6 +96,7 @@ HEADLINE_EXT = [
     "qp6_pack_manifest",
     "qst6_streaming_export_gate",
     "qd14_near_dup_export",
+    "qs22_ann_index_maintenance",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

@@ -1956,3 +1956,132 @@ def qe2_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_votes",
         )
     )
+
+
+def _maint_oracle() -> str:
+    """Oracle for qs22: sized sample-trained index over the corpus
+    slice, delta ASSIGNED to the stored centroids (no retrain), per-
+    cell fill accounting with the integer-exact overfull threshold."""
+    ksql = "(SELECT k FROM sizek)"
+    ctes = [
+        "sizen AS (SELECT count(*)::BIGINT AS n FROM embeddings"
+        " WHERE label % 10 <> 0)",
+        "sizek AS (SELECT greatest(1, CAST(floor(sqrt(n)) AS BIGINT))"
+        " AS k FROM sizen)",
+        "sizee AS (SELECT (n + k - 1) // k AS expected"
+        " FROM sizen, sizek)",
+        """uall AS (
+      SELECT e.vec_id, e.label,
+             list_transform(e.embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                           e.embedding::DOUBLE[]))) AS u
+      FROM embeddings e
+    )""",
+        "uc AS (SELECT vec_id, u FROM uall WHERE label % 10 <> 0)",
+        "ud AS (SELECT vec_id, u FROM uall WHERE label % 10 = 0)",
+        _sample_cte(
+            "utrain",
+            "uc",
+            "ivfm:",
+            "least(1.0, (32.0 * (SELECT k FROM sizek))"
+            " / (SELECT n FROM sizen))",
+        ),
+    ]
+    ctes += _imi_half_chain("_c", "utrain", ksql, 2, 64, assign_src="uc")
+    ctes.append(
+        """asgd AS (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY list_dot_product(p.u, c.c) DESC, c.cid) AS rnk
+        FROM ud p CROSS JOIN cent2_c c) t
+      WHERE rnk = 1
+    )"""
+    )
+    ctes.append(
+        "oldc AS (SELECT cid, count(*)::BIGINT AS n FROM asgf_c GROUP BY 1)"
+    )
+    ctes.append(
+        "newc AS (SELECT cid, count(*)::BIGINT AS n FROM asgd GROUP BY 1)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT c.cid,
+           coalesce(o.n, 0)::BIGINT AS n_indexed,
+           coalesce(d.n, 0)::BIGINT AS n_delta,
+           (coalesce(o.n, 0) + coalesce(d.n, 0))::BIGINT AS n_total,
+           ((coalesce(o.n, 0) + coalesce(d.n, 0))
+              > 2 * (SELECT expected FROM sizee))::BIGINT AS overfull
+    FROM cent2_c c
+    LEFT JOIN oldc o ON o.cid = c.cid
+    LEFT JOIN newc d ON d.cid = c.cid
+    """
+    )
+
+
+@register("qs22_ann_index_maintenance", oracle=_maint_oracle())
+def qs22_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index MAINTENANCE — the production index-update path that
+    completes the lifecycle ladder (build qs14/qs16 → serve qs15 →
+    audit qs21 → maintain HERE): a new batch (label % 10 = 0, the
+    qs15/qs18/qs21 delta convention) is ASSIGNED to the stored
+    corpus-trained centroids WITHOUT retraining — one broadcast
+    scoring pass, linear in the batch — and the query reports
+    per-cell fill accounting: rows already indexed, delta rows
+    landing in the cell, the post-update total, and an ``overfull``
+    retrain flag (total > 2× the n/k sizing target, the signal that
+    data drift has outgrown the trained partition and the O(n)
+    sample trainer should re-run). FAISS deployments run exactly
+    this add-without-train loop between periodic retrains; here it
+    is a DataFrame plan whose model, assignments, and integer
+    thresholds all replay in the oracle — output is k ≈ √n rows,
+    so even the report is index-sized, not corpus-sized.
+
+    Trained on the 'ivfm:' digest sample of the CORPUS slice only
+    (the already-indexed data — maintenance must not peek at the
+    delta), k sized from the corpus count."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        assign_clusters,
+        kmeans_centroids,
+        trained_cells_for,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("label") % 10 != 0)
+    delta = emb.where(F.col("label") % 10 == 0)
+    n = corpus.count()
+    k = trained_cells_for(n)
+    expected = (n + k - 1) // k
+    sample = _digest_sample(corpus, "ivfm:", _train_frac(n, k))
+    cent = kmeans_centroids(sample, "vec_id", "embedding", k=k, n_iter=2)
+    n_old = (
+        assign_clusters(corpus, cent, "vec_id", "embedding")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_indexed"))
+    )
+    n_new = (
+        assign_clusters(delta, cent, "vec_id", "embedding")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_delta"))
+    )
+    total = F.coalesce(F.col("n_indexed"), F.lit(0)) + F.coalesce(
+        F.col("n_delta"), F.lit(0)
+    )
+    return (
+        cent.select("cid")
+        .join(n_old, "cid", "left")
+        .join(n_new, "cid", "left")
+        .select(
+            "cid",
+            F.coalesce(F.col("n_indexed"), F.lit(0)).cast("long").alias(
+                "n_indexed"
+            ),
+            F.coalesce(F.col("n_delta"), F.lit(0)).cast("long").alias(
+                "n_delta"
+            ),
+            total.cast("long").alias("n_total"),
+            (total > F.lit(2 * expected)).cast("long").alias("overfull"),
+        )
+    )

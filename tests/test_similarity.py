@@ -745,3 +745,30 @@ def test_knn_label_vote_semantics(spark):
     for r in rows:
         assert 1 <= r.n_votes <= r.total_votes <= 5
         assert r.pred_label % 10 != 0  # voters come from the labeled slice
+
+
+def test_index_maintenance_accounting(spark):
+    # qs22: every corpus/delta vector lands in exactly one cell, the
+    # totals add up, and the overfull flag matches the integer
+    # threshold recomputed by hand
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        trained_cells_for,
+    )
+    from spotify_pipeline_gcp_spark.queries.compat import table
+    from spotify_pipeline_gcp_spark.queries.similarity import (
+        qs22_ann_index_maintenance,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = table(spark, sf_dir, "embeddings")
+    n_corpus = emb.where("label % 10 != 0").count()
+    n_delta = emb.where("label % 10 = 0").count()
+    rows = qs22_ann_index_maintenance(spark, sf_dir).collect()
+    k = trained_cells_for(n_corpus)
+    assert len(rows) == k
+    assert sum(r.n_indexed for r in rows) == n_corpus
+    assert sum(r.n_delta for r in rows) == n_delta
+    expected = (n_corpus + k - 1) // k
+    for r in rows:
+        assert r.n_total == r.n_indexed + r.n_delta
+        assert r.overfull == (1 if r.n_total > 2 * expected else 0)
