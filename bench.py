@@ -97,6 +97,7 @@ HEADLINE_EXT = [
     "qst6_streaming_export_gate",
     "qd14_near_dup_export",
     "qs22_ann_index_maintenance",
+    "qs23_cosine_topk_ivf_blas_sized",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

@@ -890,6 +890,7 @@ def cosine_topk_kmeans_blas(
     n_clusters: int = 8,
     n_iter: int = 2,
     n_sub: int = 1,
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """Trained IVF at BLAS speed: the production composition. k-means
     cells from ``kmeans_centroids`` provide the candidate pruning
@@ -901,8 +902,16 @@ def cosine_topk_kmeans_blas(
     for skewed clusters; size so one block is ~64-256 MB at scale).
     Float accumulation order differs from the SQL fold at ulp level,
     so this is a rows-only path; ``cosine_topk_kmeans`` is the
-    oracle-checked exactness twin over the SAME cells."""
-    cent = kmeans_centroids(df, id_col, vec_col, k=n_clusters, n_iter=n_iter)
+    oracle-checked exactness twin over the SAME cells. ``train_df``
+    (a digest sample in the production shape — qs23) restricts the
+    trainer's input; assignment and search stay full-corpus."""
+    cent = kmeans_centroids(
+        train_df if train_df is not None else df,
+        id_col,
+        vec_col,
+        k=n_clusters,
+        n_iter=n_iter,
+    )
     asg = assign_clusters(df, cent, id_col, vec_col).select(
         "id", F.col("u").alias("v"), F.col("cid").alias("bucket")
     )

@@ -2085,3 +2085,41 @@ def qs22_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (total > F.lit(2 * expected)).cast("long").alias("overfull"),
         )
     )
+
+
+@register("qs23_cosine_topk_ivf_blas_sized")  # rows-only: BLAS kernel
+def qs23_cosine_topk_ivf_blas_sized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The sized sample-trained IVF at BLAS throughput — qs16's model
+    (same k = floor(√n), same 'ivf:' digest training sample, so the
+    trained cells are IDENTICAL) searched with the bucket-packed
+    Arrow/NumPy matmul kernel instead of the codegen fold: each cell
+    packs into one block that scores against itself — no candidate
+    join at all. The self-join search over √n cells is intrinsically
+    n·√n MULTIPLY-ADDS; what the kernel changes is the constant —
+    dgemm runs the same flops ~50-100× faster than row-expression
+    folds, which is the difference between the model's math cost and
+    the engine's expression overhead at 100× scale (measured:
+    SCALE_BENCH_r07). Float accumulation order differs from the SQL
+    fold at ulp level, so this is a rows-only driver row (the
+    qs4/qs6/qs8/qs10 convention); qs16 is the hash-verified exactness
+    twin over the SAME cells, and the sized fold/BLAS agreement is
+    pinned in tests/test_similarity.py."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        cosine_topk_kmeans_blas,
+        trained_cells_for,
+    )
+    from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = trained_cells_for(n)
+    return cosine_topk_kmeans_blas(
+        emb,
+        k_neighbors=5,
+        n_clusters=k,
+        n_iter=2,
+        train_df=_digest_sample(emb, "ivf:", _train_frac(n, k)),
+    )

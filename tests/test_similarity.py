@@ -772,3 +772,26 @@ def test_index_maintenance_accounting(spark):
     for r in rows:
         assert r.n_total == r.n_indexed + r.n_delta
         assert r.overfull == (1 if r.n_total > 2 * expected else 0)
+
+
+def test_sized_blas_ivf_matches_sized_fold_ivf(spark):
+    # qs23 (BLAS kernel) must produce the same (query, neighbor,
+    # rank) triples as qs16 (hash-verified fold) — both build the
+    # SAME sized sample-trained model ('ivf:' salt), so any diff is
+    # kernel-level, and ulp-order noise must not reorder ranks on
+    # this data
+    from spotify_pipeline_gcp_spark.queries.similarity import (
+        qs16_cosine_topk_ivf_sample_trained,
+        qs23_cosine_topk_ivf_blas_sized,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    fold = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in qs16_cosine_topk_ivf_sample_trained(spark, sf_dir).collect()
+    }
+    blas = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in qs23_cosine_topk_ivf_blas_sized(spark, sf_dir).collect()
+    }
+    assert fold == blas and len(fold) > 0
