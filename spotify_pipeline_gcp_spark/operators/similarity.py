@@ -891,6 +891,7 @@ def cosine_topk_kmeans_blas(
     n_iter: int = 2,
     n_sub: int = 1,
     train_df: DataFrame | None = None,
+    blas_assign: bool = False,
 ) -> DataFrame:
     """Trained IVF at BLAS speed: the production composition. k-means
     cells from ``kmeans_centroids`` provide the candidate pruning
@@ -904,7 +905,14 @@ def cosine_topk_kmeans_blas(
     so this is a rows-only path; ``cosine_topk_kmeans`` is the
     oracle-checked exactness twin over the SAME cells. ``train_df``
     (a digest sample in the production shape — qs23) restricts the
-    trainer's input; assignment and search stay full-corpus."""
+    trainer's input; assignment and search stay full-corpus.
+    ``blas_assign`` moves the n·k assignment scoring into the same
+    Arrow/NumPy kernel (one ``argmax(U @ Cᵀ)`` mapInPandas pass, the
+    ``kmeans_centroids_blas`` shape) — with k = √n cells the
+    assignment is the OTHER n^1.5 term, so at scale it needs the
+    matmul constant as much as the search does. np.argmax takes the
+    first maximum, matching the fold's ties-to-lowest-cid order up
+    to ulp accumulation differences (requires a long-typed id)."""
     cent = kmeans_centroids(
         train_df if train_df is not None else df,
         id_col,
@@ -912,9 +920,36 @@ def cosine_topk_kmeans_blas(
         k=n_clusters,
         n_iter=n_iter,
     )
-    asg = assign_clusters(df, cent, id_col, vec_col).select(
-        "id", F.col("u").alias("v"), F.col("cid").alias("bucket")
-    )
+    if blas_assign:
+        import numpy as np
+
+        rows = sorted((r["cid"], list(r["c"])) for r in cent.collect())
+        C = np.asarray([c for _, c in rows], dtype="float64")
+        cids = np.asarray([cid for cid, _ in rows], dtype="int64")
+        pts = _unit_vectors(df, id_col, vec_col)
+
+        def _assign(batches):
+            import numpy as _np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                U = _np.stack(
+                    [_np.asarray(u, dtype="float64") for u in pdf["u"]]
+                )
+                best = cids[_np.argmax(U @ C.T, axis=1)]
+                yield pd.DataFrame(
+                    {"id": pdf["id"], "v": pdf["u"], "bucket": best}
+                )
+
+        asg = pts.mapInPandas(
+            _assign, schema="id long, v array<double>, bucket long"
+        )
+    else:
+        asg = assign_clusters(df, cent, id_col, vec_col).select(
+            "id", F.col("u").alias("v"), F.col("cid").alias("bucket")
+        )
     if n_sub > 1:
         asg = asg.withColumn("sub", F.pmod(F.xxhash64("id"), F.lit(n_sub)))
         packed = asg.groupBy("bucket", "sub").agg(

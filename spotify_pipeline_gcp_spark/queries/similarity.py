@@ -2122,4 +2122,5 @@ def qs23_cosine_topk_ivf_blas_sized(
         n_clusters=k,
         n_iter=2,
         train_df=_digest_sample(emb, "ivf:", _train_frac(n, k)),
+        blas_assign=True,
     )

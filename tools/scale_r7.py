@@ -12,7 +12,8 @@ only when the first run is cheap (<30 s), since the heavy trained
 runs are the measurement itself. Heavier queries run LAST so cheap
 rows land early.
 
-Usage: python tools/scale_r7.py [factor10|factor100|both]
+Usage: python tools/scale_r7.py [factor10|factor100|both] [name ...]
+(explicit names override the built-in lists for follow-up passes)
 """
 
 from __future__ import annotations
@@ -124,6 +125,7 @@ def ladder(spark, registry, names, scaled_dir, factor_key, factor):
 
 def main() -> int:
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    names = sys.argv[2:] or None
     from spotify_pipeline_gcp_spark.queries import load_all
 
     registry = load_all()
@@ -134,9 +136,13 @@ def main() -> int:
     )
     run_one(spark, registry["q08_pricing_summary"].fn, BASE)  # warm session
     if which in ("factor10", "both"):
-        ladder(spark, registry, FACTOR10, SCALED_10, "factor10", 10)
+        ladder(
+            spark, registry, names or FACTOR10, SCALED_10, "factor10", 10
+        )
     if which in ("factor100", "both"):
-        ladder(spark, registry, FACTOR100, SCALED_100, "factor100", 100)
+        ladder(
+            spark, registry, names or FACTOR100, SCALED_100, "factor100", 100
+        )
     print("done", flush=True)
     return 0
 
