@@ -2041,7 +2041,16 @@ def qs22_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Trained on the 'ivfm:' digest sample of the CORPUS slice only
     (the already-indexed data — maintenance must not peek at the
-    delta), k sized from the corpus count."""
+    delta), k sized from the corpus count.
+
+    Cost split (measured, SCALE_BENCH_r07 100×: ×149): the RECURRING
+    per-batch work — delta assignment + the report — is linear in
+    the batch and index-sized; the corpus-side n_indexed recount is
+    an n·k AUDIT RECOMPUTE this self-contained query pays because
+    its contract is (spark, sf_dir) with no stored state. A deployed
+    maintainer reads n_indexed from the index manifest it wrote at
+    build time (the qd11 stored-store pattern) and pays only the
+    delta side."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         assign_clusters,
         kmeans_centroids,
