@@ -98,6 +98,7 @@ HEADLINE_EXT = [
     "qd14_near_dup_export",
     "qs22_ann_index_maintenance",
     "qs23_cosine_topk_ivf_blas_sized",
+    "qs24_cosine_topk_imi_multiprobe",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

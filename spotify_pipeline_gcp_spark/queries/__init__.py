@@ -40,10 +40,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 # queries CHANGED this round (the trained-ANN family re-pointed at
 # the digest-sample trainer: qs14/qs17/qs18/qs19; the bounded-corpus
 # recall audit qs21; the qd14 oracle coalesce fix) plus the NEW
-# qs22 index-maintenance and qs23 sized-BLAS-IVF queries (qs23
-# rows-only by design — BLAS ulp), then backfills with the oldest
-# r5-green core (q00–q17). Out of window: the
-# remaining r5-green breadth (q18–q22, qs1–qs12, qt2–qt8, qsp2–qsp4,
+# qs22 index-maintenance, qs23 sized-BLAS-IVF (rows-only by design —
+# BLAS ulp) and qs24 IMI-multiprobe queries, then backfills with the
+# oldest r5-green core (q00–q16). Out of window: the
+# remaining r5-green breadth (q17–q22, qs1–qs12, qt2–qt8, qsp2–qsp4,
 # qm3/qm4, qst2/qst4/qst5, qp4, qd9) and the untouched r6-green rows
 # (qs13/qs15/qs16/qs20, qt9–qt11, qd13, qsp5/qsp6, qp5/qp6, q49,
 # qe2, qst6, + the r6-window r4 re-greens) — first in line for r8.
@@ -86,6 +86,7 @@ _WINDOW_ORDER = [
     "qd14_near_dup_export",
     "qs22_ann_index_maintenance",
     "qs23_cosine_topk_ivf_blas_sized",
+    "qs24_cosine_topk_imi_multiprobe",
     # oldest r5-green core backfill (flagship + relational base)
     "q00_flagship_pipeline",
     "q01_project_derived",
@@ -104,7 +105,6 @@ _WINDOW_ORDER = [
     "q14_semi_join",
     "q15_date_trunc_daily",
     "q16_date_format_monthly",
-    "q17_json_extract",
 ]
 
 _MODULES = [

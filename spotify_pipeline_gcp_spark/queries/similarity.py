@@ -275,13 +275,16 @@ def _imi_half_chain(
     return ctes
 
 
-def _imi_oracle(d: int, n_iter: int, topk: int) -> str:
+def _imi_oracle(d: int, n_iter: int, topk: int, nprobe_each: int = 1) -> str:
     """DuckDB replay of the ENTIRE two-level IMI pipeline — sizing
-    (k_each = floor(sqrt(sqrt(n)))), the digest training sample,
-    both half-vector quantizer trainings over it, the full-corpus
+    (k_each = ceil(sqrt(n/256))), the digest training sample, both
+    half-vector quantizer trainings over it, the full-corpus
     product-cell assignment, and the within-cell search — as one
     finite CTE chain (see ``_ivf_kmeans_oracle`` for why each step
-    is engine-portable)."""
+    is engine-portable). ``nprobe_each`` > 1 probes each query's
+    top-n cells PER HALF (an n×n product probe grid) while the
+    database side stays in its single assigned product cell — the
+    qs11 multiprobe convention lifted to the two-level index."""
     h = d // 2
     k = "(SELECT k FROM sizek)"
     ctes = [
@@ -317,11 +320,34 @@ def _imi_oracle(d: int, n_iter: int, topk: int) -> str:
       JOIN u ON u.vec_id = a1.vec_id
     )"""
     )
+    if nprobe_each > 1:
+        for sfx, src in (("_1", "uh1"), ("_2", "uh2")):
+            ctes.append(
+                f"""probes{sfx} AS (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY list_dot_product(p.u, c.c) DESC, c.cid) AS rnk
+        FROM {src} p CROSS JOIN cent{n_iter}{sfx} c) t
+      WHERE rnk <= {nprobe_each}
+    )"""
+            )
+        ctes.append(
+            """qprod AS (
+      SELECT p1.vec_id, u.u, p1.cid AS cid1, p2.cid AS cid2
+      FROM probes_1 p1
+      JOIN probes_2 p2 ON p1.vec_id = p2.vec_id
+      JOIN u ON u.vec_id = p1.vec_id
+    )"""
+        )
+        query_side = "qprod"
+    else:
+        query_side = "asg"
     ctes.append(
-        """pairs AS (
+        f"""pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              floor(list_dot_product(a.u, b.u) * 1000000 + 0.5) / 1000000 AS cosine_r
-      FROM asg a JOIN asg b
+      FROM {query_side} a JOIN asg b
         ON a.cid1 = b.cid1 AND a.cid2 = b.cid2 AND a.vec_id <> b.vec_id
     )"""
     )
@@ -2132,4 +2158,80 @@ def qs23_cosine_topk_ivf_blas_sized(
         n_iter=2,
         train_df=_digest_sample(emb, "ivf:", _train_frac(n, k)),
         blas_assign=True,
+    )
+
+
+@register(
+    "qs24_cosine_topk_imi_multiprobe",
+    oracle=_imi_oracle(64, 2, 5, nprobe_each=2),
+)
+def qs24_cosine_topk_imi_multiprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multiprobe on the LINEAR trained index — the recall knob for
+    the search-sized IMI (qs17, same 'imi:' sample-trained model):
+    each query probes its top-2 cells PER HALF (a 2×2 product probe
+    grid, so boundary misses in either half recover) while database
+    vectors stay in their single assigned product cell — candidates
+    grow ~4× but remain ~4·256·n = LINEAR, which is the point: on
+    the √n-cell IVF the same knob multiplies an n^1.5 term (qs11/
+    qs14), here it multiplies a linear one. Probe rank (1,1) IS the
+    assignment (same total order per half), so both join sides are
+    one ranked-probes subplan behind one (cid1, cid2) repartition
+    with the rank restriction as a join-side filter — ReuseExchange
+    computes the half-probe scoring once (the qs11 convention). The
+    oracle replays sizing, sampling, both trainings, per-half probe
+    ranking, and the product-cell search end to end."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _topn_probes,
+        _unit_vectors,
+        imi_cells_for,
+        kmeans_centroids_on_halves,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k_each = imi_cells_for(n)
+    pts = _unit_vectors(emb, "vec_id", "embedding")
+    spts = _unit_vectors(
+        _digest_sample(emb, "imi:", _train_frac(n, k_each)),
+        "vec_id",
+        "embedding",
+    )
+    cent1, cent2 = kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2)
+    h = 32
+    p1 = _topn_probes(
+        pts.select("id", F.slice("u", 1, h).alias("u")), cent1, 2
+    ).select(
+        "id", F.col("cid").alias("cid1"), F.col("probe_rank").alias("pr1")
+    )
+    p2 = _topn_probes(
+        pts.select("id", F.slice("u", h + 1, h).alias("u")), cent2, 2
+    ).select(
+        "id", F.col("cid").alias("cid2"), F.col("probe_rank").alias("pr2")
+    )
+    prb = (
+        pts.join(p1, "id")
+        .join(p2, "id")
+        .repartition(F.col("cid1"), F.col("cid2"))
+    )
+    a, b = prb.alias("a"), prb.alias("b")
+    cos = fixed(_dot_pre(F.col("a.u"), F.col("b.u")), 6)
+    pairs = a.join(
+        b,
+        (F.col("a.cid1") == F.col("b.cid1"))
+        & (F.col("a.cid2") == F.col("b.cid2"))
+        & (F.col("b.pr1") == F.lit(1))
+        & (F.col("b.pr2") == F.lit(1))
+        & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("query_id"),
+        F.col("b.id").alias("neighbor_id"),
+        cos.alias("cosine_r"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= 5
     )

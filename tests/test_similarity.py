@@ -795,3 +795,26 @@ def test_sized_blas_ivf_matches_sized_fold_ivf(spark):
         for r in qs23_cosine_topk_ivf_blas_sized(spark, sf_dir).collect()
     }
     assert fold == blas and len(fold) > 0
+
+
+def test_imi_multiprobe_dominates_single_probe(spark):
+    # qs24 and qs17 share ONE trained model (same 'imi:' sample) —
+    # the 2x2 product probe grid can only improve each query's
+    # top-5: at every rank the qs24 cosine must be >= qs17's.
+    from spotify_pipeline_gcp_spark.queries.similarity import (
+        qs17_cosine_topk_imi,
+        qs24_cosine_topk_imi_multiprobe,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    multi = {
+        (r.query_id, r.rank): r.cosine_r
+        for r in qs24_cosine_topk_imi_multiprobe(spark, sf_dir).collect()
+    }
+    single = {
+        (r.query_id, r.rank): r.cosine_r
+        for r in qs17_cosine_topk_imi(spark, sf_dir).collect()
+    }
+    assert len(multi) >= len(single) > 0
+    for key, cos_single in single.items():
+        assert key in multi and multi[key] >= cos_single
