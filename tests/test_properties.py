@@ -90,3 +90,55 @@ def test_delta_append_set_semantics(spark, new, existing):
     )
     got = sorted(r.k for r in delta_append(ndf, edf, ["k"]).collect())
     assert got == sorted(set(new) - set(existing))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=1, max_value=10**12))
+def test_index_sizing_replays_in_sql_at_any_scale(n):
+    # The auto-sized indexes are hash-verified only at test corpora
+    # sizes; this pins the CROSS-ENGINE sizing arithmetic itself —
+    # Python operators vs the exact SQL the oracles embed — for
+    # corpus counts up to 10^12 (the 100 TB regime), so a sizing
+    # divergence can never appear only beyond the tested scales.
+    import duckdb
+
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        imi_cells_for,
+        sign_bits_for,
+        trained_cells_for,
+    )
+
+    bits_sql = (
+        "least(32, greatest(1, CAST(ceil(log2(greatest(1, n // 256)))"
+        " AS BIGINT)))"
+    )
+    k_sql = "greatest(1, CAST(floor(sqrt(n)) AS BIGINT))"
+    imi_sql = "greatest(2, CAST(ceil(sqrt(n / 256.0)) AS BIGINT))"
+    expected_sql = "(n + greatest(1, CAST(floor(sqrt(n)) AS BIGINT)) - 1) // greatest(1, CAST(floor(sqrt(n)) AS BIGINT))"
+    row = duckdb.sql(
+        f"SELECT {bits_sql} AS bits, {k_sql} AS k, {imi_sql} AS ki, "
+        f"{expected_sql} AS expected FROM (SELECT {n}::BIGINT AS n)"
+    ).fetchone()
+    assert row[0] == min(32, sign_bits_for(n))
+    assert row[1] == trained_cells_for(n)
+    assert row[2] == imi_cells_for(n)
+    k = trained_cells_for(n)
+    assert row[3] == (n + k - 1) // k
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10**12),
+    st.integers(min_value=1, max_value=10**6),
+)
+def test_train_fraction_replays_in_sql_at_any_scale(n, k):
+    # min(1, 32k/n) as computed by _train_frac vs the oracles'
+    # least(1.0, (32.0 * k) / n) — same IEEE double on both engines
+    import duckdb
+
+    from spotify_pipeline_gcp_spark.queries.similarity import _train_frac
+
+    row = duckdb.sql(
+        f"SELECT least(1.0, (32.0 * {k}) / n) FROM (SELECT {n}::BIGINT AS n)"
+    ).fetchone()
+    assert row[0] == _train_frac(n, k)
