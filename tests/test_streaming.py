@@ -205,3 +205,50 @@ def test_streaming_export_gate_two_batches(spark, tmp_path):
     )
     got = {(r.doc_id, r.n_tokens) for r in out.collect()}
     assert got == {(2, 10)}
+
+
+def test_streaming_export_gate_restart_is_idempotent(spark, tmp_path):
+    """Restart semantics: a second run over the SAME store/checkpoint
+    processes zero new batches (checkpoint skips completed ones) and
+    the accepted output is unchanged — foreachBatch's at-least-once
+    replays land in deterministic per-batch_id overwrite directories,
+    so nothing double-appends. Also exercises the fires-no-batch read
+    path (accepted exists, no new b<i> dirs)."""
+    from pyspark.sql import functions as F
+
+    from spotify_pipeline_gcp_spark.streaming.incremental import (
+        DOCUMENTS_STREAM_SCHEMA,
+        streaming_export_gate,
+    )
+
+    good = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    rows = [
+        (100, "the quiz question set alpha omega", "en", "src0", 33),
+        (1, good, "en", "n1", len(good)),
+        (2, "too short", "en", "n1", 9),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = tmp_path / "sf"
+    docs.coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    delta_dir = tmp_path / "delta"
+    docs.where(F.col("source") == "n1").coalesce(1).write.parquet(
+        str(delta_dir / "f0")
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(delta_dir))
+        )
+        return streaming_export_gate(
+            spark, str(sf), ["n1"],
+            store_dir=str(tmp_path / "store"), delta_stream=stream,
+        )
+
+    first = {(r.doc_id, r.n_tokens) for r in run().collect()}
+    assert first == {(1, 10)}
+    second = {(r.doc_id, r.n_tokens) for r in run().collect()}
+    assert second == first  # nothing re-appended, nothing lost
