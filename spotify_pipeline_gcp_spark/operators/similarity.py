@@ -161,14 +161,18 @@ def imi_cells_for(n_vectors: int) -> int:
     per-cell budget ``sign_bits_for`` gives the hash buckets. This is
     what makes the IMI the TRAINED index for the all-corpus self-join
     at scale: within-cell candidates stay ~256·n (linear, like qs13),
-    while the product decomposition keeps quantizer cost at
-    2·k_each = O(√(n/256)) scorings per vector (n^1.25 total) — a
-    single-level quantizer with n/256 cells would pay n²/256 in
-    assignment, and the classic √n-cell IVF (``trained_cells_for``,
-    qs14/qs16) pays n^1.5 in SEARCH on a self-join. (Before r7 this
+    while the product decomposition cuts quantizer cost to
+    2·k_each = 2·√(n/256) scorings per vector — n^1.5/8 total, still
+    Θ(n^1.5) asymptotically but with a 1/16 constant vs the
+    single-level alternatives: a flat quantizer with n/256 cells
+    would pay n²/256 in assignment, and the classic √n-cell IVF
+    (``trained_cells_for``, qs14/qs16) pays n·√n in SEARCH on a
+    self-join. (The retired k_each = n^(1/4) sizing was the shape
+    whose assignment was O(n^1.25); the search-sized grid trades
+    that back for linear search, which dominates on the self-join.) (Before r7 this
     returned n^(1/4): a √n-cell grid matching qs14's search cost; the
     search-sized grid replaces it because the self-join is exactly
-    where the n^1.5 hurts.) Computed as ceil of the IEEE double sqrt
+    where an n^1.5 SEARCH term hurts.) Computed as ceil of the IEEE double sqrt
     of n/256.0 (an exact power-of-two division) so an SQL oracle
     running ``ceil(sqrt(count(*) / 256.0))`` reproduces it
     bit-for-bit. Clamped ≥2: a 1×1 grid is no index."""

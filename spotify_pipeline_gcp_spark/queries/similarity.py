@@ -1305,10 +1305,11 @@ def qs17_cosine_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-adaptive cells) — and both half-quantizers train on the
     ~32·k_each digest sample (salt 'imi:', the qs16 convergence).
     Cost ledger: trainer O(32·k_each²) = O(n/256), assignment
-    2·k_each scorings per vector = O(n^1.25) total, search ~256·n
-    candidates — nothing n^1.5, unlike the classic √n-cell IVF
+    n·2·k_each = n^1.5/8 scorings — Θ(n^1.5) but at a 1/16 constant
+    vs the √n-cell IVF — and search ~256·n candidates (LINEAR, the
+    term that dominates a self-join), unlike the classic √n-cell IVF
     (qs14/qs16) whose exact-within-cell self-join intrinsically
-    scores n·√n pairs. The full corpus is only ASSIGNED to the
+    scores n·√n pairs in the SEARCH itself. The full corpus is only ASSIGNED to the
     trained product cells. The oracle replays sizing, sample
     membership, both trainings, product-cell assignment, and search
     from the same count arithmetic, so the full two-level model is

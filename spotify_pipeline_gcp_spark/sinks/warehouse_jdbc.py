@@ -18,6 +18,8 @@ the oracle-checked twin; deployments swap one constructor.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -89,9 +91,17 @@ class JdbcWarehouse:
     def execute(self, sql: str) -> int:
         """Run a DDL/DML statement IN the database (driver-side JDBC
         connection via the JVM — no data moves through Spark).
+        Connects with the SAME properties the Spark reader/writer
+        uses (user/password/etc. — the Spark-only ``driver`` key is
+        dropped), so delete_keys/merge_upsert authenticate against a
+        real warehouse, not just auth-less embedded Derby.
         Returns the update count (-1 for DDL)."""
         jvm = self.spark.sparkContext._jvm  # noqa: SLF001
-        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        props = jvm.java.util.Properties()
+        for k, v in self.properties.items():
+            if k != "driver":
+                props.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
         try:
             stmt = conn.createStatement()
             try:
@@ -118,7 +128,9 @@ class JdbcWarehouse:
         execution engine, as it would be for the reference's
         warehouse DELETE (gcs_to_bigquery.py's delete-then-append
         idempotency step)."""
-        staging = f"{table}_del_keys"
+        # unique suffix: two concurrent delete_keys on the same table
+        # must not share (or drop) each other's staging rows
+        staging = f"{table}_del_{uuid.uuid4().hex[:12]}"
         self.append(keys_df.select(*key_cols).distinct(), staging)
         try:
             # Spark's JDBC writer passes the TABLE name through
@@ -150,7 +162,7 @@ class JdbcWarehouse:
                 f"(SELECT 1 FROM {staging} WHERE {pred})"
             )
         finally:
-            self.execute(f"DROP TABLE {staging}")
+            self._drop_staging(staging)
 
     def merge_upsert(
         self, df: DataFrame, table: str, key_cols: list[str]
@@ -177,7 +189,7 @@ class JdbcWarehouse:
         if not self.exists(table):
             self.append(df, table)
             return
-        staging = f"{table}_merge_src"
+        staging = f"{table}_mrg_{uuid.uuid4().hex[:12]}"
         self.append(df, staging)
         try:
             strings = {
@@ -212,4 +224,14 @@ class JdbcWarehouse:
             )
             self.execute(stmt)
         finally:
+            self._drop_staging(staging)
+
+    def _drop_staging(self, staging: str) -> None:
+        """Best-effort staging-table drop that never MASKS the
+        primary DELETE/MERGE outcome: a failed drop leaks only a
+        uniquely-named staging table (no collision possible), which
+        is strictly better than losing the real exception."""
+        try:
             self.execute(f"DROP TABLE {staging}")
+        except Exception:  # noqa: BLE001
+            pass

@@ -446,17 +446,26 @@ def streaming_export_gate(
     bench_grams = spark.read.parquet(grams_path)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # stored digests re-read per batch: base + every EARLIER
+        # batch's accepted digests are visible, so cross-batch
+        # duplicates drop. The current batch's own b{batch_id}
+        # directory is EXCLUDED: foreachBatch is at-least-once, and a
+        # replay that crashed between the digest write and the
+        # checkpoint commit would otherwise anti-join away its own
+        # previously-accepted docs and overwrite accepted/b{id} with
+        # an empty frame — silent loss on exactly the failure window
+        # the per-batch_id overwrite recipe exists to close.
+        prior = [
+            os.path.join(digests_path, d)
+            for d in sorted(os.listdir(digests_path))
+            if d == "base" or (d.startswith("b") and d[1:].isdigit() and int(d[1:]) < batch_id)
+        ]
         accepted = export_gate(
             batch_df.select("doc_id", "source", "text"),
             bench_grams,
             "doc_id",
             "text",
-            # stored digests re-read per batch: earlier batches'
-            # accepted digests are visible, so cross-batch
-            # duplicates drop
-            stored_digests=spark.read.parquet(
-                os.path.join(digests_path, "*")
-            ),
+            stored_digests=spark.read.parquet(*prior),
             min_tokens=min_tokens,
             max_dup3_ratio=max_dup3_ratio,
             contamination_n=contamination_n,

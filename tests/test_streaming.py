@@ -252,3 +252,54 @@ def test_streaming_export_gate_restart_is_idempotent(spark, tmp_path):
     assert first == {(1, 10)}
     second = {(r.doc_id, r.n_tokens) for r in run().collect()}
     assert second == first  # nothing re-appended, nothing lost
+
+
+def test_streaming_export_gate_midbatch_replay_keeps_own_docs(spark, tmp_path):
+    """At-least-once replay of a PARTIALLY-committed batch: simulate a
+    crash between the digest write and the checkpoint commit by
+    deleting the checkpoint after a successful run — the second run
+    replays file f0 as batch 0 with digests/b0 already on disk. The
+    stored-digest read must EXCLUDE the replaying batch's own b0
+    directory, or the replay anti-joins away its own previously
+    accepted docs and overwrites accepted/b0 with an empty frame."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spotify_pipeline_gcp_spark.streaming.incremental import (
+        DOCUMENTS_STREAM_SCHEMA,
+        streaming_export_gate,
+    )
+
+    good = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    rows = [
+        (100, "the quiz question set alpha omega", "en", "src0", 33),
+        (1, good, "en", "n1", len(good)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = tmp_path / "sf"
+    docs.coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    delta_dir = tmp_path / "delta"
+    docs.where(F.col("source") == "n1").coalesce(1).write.parquet(
+        str(delta_dir / "f0")
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(delta_dir))
+        )
+        return streaming_export_gate(
+            spark, str(sf), ["n1"],
+            store_dir=str(tmp_path / "store"), delta_stream=stream,
+        )
+
+    first = {(r.doc_id, r.n_tokens) for r in run().collect()}
+    assert first == {(1, 10)}
+    # crash window: digests/b0 persisted, checkpoint commit lost
+    shutil.rmtree(str(tmp_path / "store" / "checkpoint"))
+    replayed = {(r.doc_id, r.n_tokens) for r in run().collect()}
+    assert replayed == first  # replay must not drop its own docs
