@@ -34,77 +34,76 @@ REGISTRY: dict[str, QuerySpec] = {}
 # now an explicit list edit: ``_WINDOW_ORDER`` below is applied after
 # module import, so module order no longer determines the window.
 #
-# Round-7 window (r6 verdict item #2 — retire the r4 staleness debt):
-# leads with the 24 queries whose LAST driver row is r4 (q24–q28 and
-# q30–q48 — by r7 those rows were three rounds stale), then the six
-# queries CHANGED this round (the trained-ANN family re-pointed at
-# the digest-sample trainer: qs14/qs17/qs18/qs19; the bounded-corpus
-# recall audit qs21; the qd14 oracle coalesce fix) plus the NEW
-# qs22 index-maintenance, qs23 sized-BLAS-IVF (rows-only by design —
-# BLAS ulp) and qs24 IMI-multiprobe queries, then backfills with the
-# oldest r5-green core (q00–q16). Out of window: the
-# remaining r5-green breadth (q17–q22, qs1–qs12, qt2–qt8, qsp2–qsp4,
-# qm3/qm4, qst2/qst4/qst5, qp4, qd9) and the untouched r6-green rows
-# (qs13/qs15/qs16/qs20, qt9–qt11, qd13, qsp5/qsp6, qp5/qp6, q49,
-# qe2, qst6, + the r6-window r4 re-greens) — first in line for r8.
+# Round-8 window (r7 verdict item #1 — retire the r5 staleness debt):
+# leads with ALL 33 queries whose LAST driver row is r5 (by r8 those
+# rows are three rounds stale: q17–q22, qd9, qe1, qm3/qm4, qp4,
+# qs1–qs3/qs5/qs8–qs12, qsp2–qsp4, qst2/qst4/qst5, qt2–qt8), then
+# the queries whose CODE changed this round (qst6 — the export-gate
+# replay fix — plus any new registrations), then backfills with
+# r6-green rows, prioritizing the ones the r7 verdict asks to
+# re-measure (qs20/qe2 shared gram helpers; qd11 whose stored-store
+# pattern the new manifest maintenance reuses; qs16 which shares the
+# 'ivf:' model with qs23) and the promoted capped defaults
+# (qd3b/qd9b). Out of window: the remaining r6-green rows (2 rounds
+# stale at r8 — first in line for r9) and everything r7-green.
 # Run tools/window_check.py after any registration change;
 # tools/selfcheck.py re-verifies the FULL registry every round.
 _WINDOW_ORDER = [
-    # r4-stale relational breadth — the rotation debt named in
-    # VERDICT r6 "What's missing" #1
-    "q24_cross_join",
-    "q25_except",
-    "q26_intersect",
-    "q27_string_funcs",
-    "q28_null_handling",
-    "q30_sessionize",
-    "q31_asof_last_click",
-    "q32_scalar_subquery",
-    "q33_conditional_agg",
-    "q34_array_agg_ops",
-    "q35_exact_percentiles",
-    "q36_approx_aggregates",
-    "q37_unpivot",
-    "q38_map_ops",
-    "q39_date_arith",
-    "q40_json_bag",
-    "q41_big_orders_having",
-    "q42_above_group_avg",
-    "q43_ratio_metric",
-    "q44_flagship_partition_ready",
-    "q45_cube",
-    "q46_range_frame",
-    "q47_range_join",
-    "q48_rank_battery",
-    # changed this round — sample-trained ANN convergence (verdict
-    # #1), bounded recall audit (verdict #4), qd14 oracle hardening
-    "qs14_cosine_topk_ivf_kmeans_sized",
-    "qs17_cosine_topk_imi",
-    "qs18_pq_adc_topk",
-    "qs19_cosine_topk_ivfpq",
-    "qs21_ann_recall_audit",
-    "qd14_near_dup_export",
-    "qs22_ann_index_maintenance",
-    "qs23_cosine_topk_ivf_blas_sized",
-    "qs24_cosine_topk_imi_multiprobe",
-    # oldest r5-green core backfill (flagship + relational base)
-    "q00_flagship_pipeline",
-    "q01_project_derived",
-    "q02_filter_isin",
-    "q03_explode_tokens",
-    "q04_bag_collect",
-    "q05_bag_join",
-    "q06_delta_anti_join",
-    "q07_distinct",
-    "q08_pricing_summary",
-    "q09_top_orders",
-    "q10_segment_revenue_topn",
-    "q11_window_topk",
-    "q12_window_running",
-    "q13_union_distinct",
-    "q14_semi_join",
-    "q15_date_trunc_daily",
-    "q16_date_format_monthly",
+    # r5-stale breadth — the rotation debt named in VERDICT r7
+    # "What's missing" #1 (all 33)
+    "q17_json_extract",
+    "q18_complete_year",
+    "q19_distinct_count",
+    "q20_pivot_event_types",
+    "q21_rollup",
+    "q22_regional_revenue",
+    "qd9_simhash_pairs",
+    "qe1_label_centroids",
+    "qm3_payload_features",
+    "qm4_frame_sample",
+    "qp4_curriculum_buckets",
+    "qs1_embed_norms",
+    "qs2_cosine_topk",
+    "qs3_cosine_topk_bucketed",
+    "qs5_cosine_topk_multiprobe",
+    "qs8_cosine_topk_ivf_kmeans_blas",
+    "qs9_filtered_ann",
+    "qs10_ann_full_blas",
+    "qs11_cosine_topk_ivf_kmeans_multiprobe",
+    "qs12_embedding_quantize",
+    "qsp2_split_assign",
+    "qsp3_stratified_sample",
+    "qsp4_domain_mixture",
+    "qst2_streaming_sessionize",
+    "qst4_streaming_stateful_totals",
+    "qst5_streaming_incremental_near_dup",
+    "qt2_quality_score",
+    "qt3_token_stats",
+    "qt4_fingerprint",
+    "qt5_token_bpeish",
+    "qt6_repetition_filter",
+    "qt7_contamination",
+    "qt8_pii_scrub",
+    # changed this round: the streaming export gate's replay fix
+    "qst6_streaming_export_gate",
+    # r6-green backfill, re-measure set first (verdict #6), then the
+    # patterns this round's new code leans on
+    "qs20_hybrid_rrf",
+    "qe2_knn_label_vote",
+    "qd11_incremental_near_dup",
+    "qs16_cosine_topk_ivf_sample_trained",
+    "qs7_cosine_topk_ivf_kmeans",
+    "qd3b_ngram_jaccard_capped",
+    "qd9b_simhash_pairs_capped",
+    "qs13_cosine_topk_bucketed_sized",
+    "qs15_query_corpus_topk",
+    "qp5_export_manifest",
+    "qt1_lang_id",
+    "qsp1_hash_sample",
+    "qk1_salted_agg",
+    "qd13_duplicated_spans",
+    "qp6_pack_manifest",
+    "qt9_chunk_windows",
 ]
 
 _MODULES = [
