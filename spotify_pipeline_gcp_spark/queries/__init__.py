@@ -84,8 +84,10 @@ _WINDOW_ORDER = [
     "qt6_repetition_filter",
     "qt7_contamination",
     "qt8_pii_scrub",
-    # changed this round: the streaming export gate's replay fix
+    # changed this round: the streaming export gate's replay fix;
+    # new manifest-backed maintenance (r7 verdict #2)
     "qst6_streaming_export_gate",
+    "qs22b_ann_index_maintenance_manifest",
     # r6-green backfill, re-measure set first (verdict #6), then the
     # patterns this round's new code leans on
     "qs20_hybrid_rrf",
@@ -101,7 +103,6 @@ _WINDOW_ORDER = [
     "qt1_lang_id",
     "qsp1_hash_sample",
     "qk1_salted_agg",
-    "qd13_duplicated_spans",
     "qp6_pack_manifest",
     "qt9_chunk_windows",
 ]

@@ -2080,6 +2080,7 @@ def qs22_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta side."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         assign_clusters,
+        cell_fill_report,
         kmeans_centroids,
         trained_cells_for,
     )
@@ -2102,25 +2103,103 @@ def qs22_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cid")
         .agg(F.count(F.lit(1)).cast("long").alias("n_delta"))
     )
-    total = F.coalesce(F.col("n_indexed"), F.lit(0)) + F.coalesce(
-        F.col("n_delta"), F.lit(0)
+    return cell_fill_report(cent, n_old, n_new, expected)
+
+
+def _manifest_dir(sf_dir: str) -> str:
+    """Deterministic per-sf_dir manifest location (env-overridable) —
+    what lets the registered manifest query REUSE the build across
+    processes, so a bench's warmup pays the one-time build and the
+    timed reps measure the recurring path, exactly the cost split a
+    deployed maintainer sees."""
+    import hashlib
+    import os
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_MANIFEST_DIR") or os.path.join(
+        tempfile.gettempdir(), "spark_graft_manifests"
     )
-    return (
-        cent.select("cid")
-        .join(n_old, "cid", "left")
-        .join(n_new, "cid", "left")
-        .select(
-            "cid",
-            F.coalesce(F.col("n_indexed"), F.lit(0)).cast("long").alias(
-                "n_indexed"
-            ),
-            F.coalesce(F.col("n_delta"), F.lit(0)).cast("long").alias(
-                "n_delta"
-            ),
-            total.cast("long").alias("n_total"),
-            (total > F.lit(2 * expected)).cast("long").alias("overfull"),
+    key = hashlib.md5(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:16]
+    return os.path.join(root, f"ivfm_v1_{key}")
+
+
+@register("qs22b_ann_index_maintenance_manifest", oracle=_maint_oracle())
+def qs22b_ann_index_maintenance_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Manifest-backed ANN index maintenance — the DEPLOYED-maintainer
+    shape qs22's docstring promises (r7 verdict item #2): the trained
+    model + per-cell ``n_indexed`` counts persist at BUILD time in an
+    index manifest (``operators/similarity.py::write_index_manifest``,
+    the qd11 stored-store pattern), and the recurring per-batch work —
+    what this query executes after the one-time build — is
+    ``maintain_index``: a staleness probe (corpus count + vec_id sum,
+    two single-column parquet aggregates), one O(|delta|·k) broadcast
+    assignment of the new batch, and a k-row join against the stored
+    counts. The ×149-at-100× corpus recount qs22 pays per run is paid
+    ONCE here, at build, where the n·k routing pass runs anyway.
+
+    Output and oracle are IDENTICAL to qs22 (shared
+    ``cell_fill_report``, same 'ivfm:' sample training), so the
+    manifest round-trip itself is hash-verified: any drift between
+    the stored state and a from-scratch rebuild fails the oracle.
+
+    The manifest lives in a deterministic per-sf_dir temp path and
+    rebuilds automatically when the staleness probe mismatches
+    (regenerated testdata) — a production deployment would pin
+    ``SPARK_GRAFT_MANIFEST_DIR`` to durable storage and rebuild on
+    the qs22 ``overfull`` drift signal instead."""
+    import json
+    import os
+
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        kmeans_centroids,
+        maintain_index,
+        trained_cells_for,
+        write_index_manifest,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("label") % 10 != 0)
+    delta = emb.where(F.col("label") % 10 == 0)
+    path = _manifest_dir(sf_dir)
+
+    # staleness probe: two cheap single-column aggregates (count +
+    # vec_id checksum) — NOT the n·k assignment recount
+    probe = corpus.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vec_id").cast("long").alias("ck"),
+    ).collect()[0]
+    fingerprint = {"n": int(probe["n"]), "ck": int(probe["ck"] or 0)}
+
+    meta = None
+    if os.path.isdir(path):
+        try:
+            with open(os.path.join(path, "meta.json")) as fh:
+                meta = json.load(fh)
+        except OSError:
+            meta = None
+    if not meta or meta.get("fingerprint") != fingerprint:
+        n = fingerprint["n"]
+        k = trained_cells_for(n)
+        sample = _digest_sample(corpus, "ivfm:", _train_frac(n, k))
+        cent = kmeans_centroids(
+            sample, "vec_id", "embedding", k=k, n_iter=2
         )
-    )
+        write_index_manifest(
+            corpus,
+            cent,
+            path,
+            meta={
+                "n": n,
+                "k": k,
+                "expected": (n + k - 1) // k,
+                "fingerprint": fingerprint,
+            },
+        )
+    return maintain_index(spark, path, delta)
 
 
 @register("qs23_cosine_topk_ivf_blas_sized")  # rows-only: BLAS kernel

@@ -818,3 +818,48 @@ def test_imi_multiprobe_dominates_single_probe(spark):
     assert len(multi) >= len(single) > 0
     for key, cos_single in single.items():
         assert key in multi and multi[key] >= cos_single
+
+
+def test_manifest_maintenance_matches_self_contained(spark, tmp_path, monkeypatch):
+    # qs22b: the manifest round-trip (build -> persist -> maintain)
+    # must reproduce qs22's report EXACTLY, the warm second run must
+    # reuse the stored manifest (no rebuild), and a corpus change
+    # must trip the staleness probe and rebuild
+    import json
+    import os
+
+    from spotify_pipeline_gcp_spark.queries.similarity import (
+        _manifest_dir,
+        qs22_ann_index_maintenance,
+        qs22b_ann_index_maintenance_manifest,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_MANIFEST_DIR", str(tmp_path / "man"))
+    sf_dir = "/root/testdata/sf0.001"
+    want = {tuple(r) for r in qs22_ann_index_maintenance(spark, sf_dir).collect()}
+    got = {
+        tuple(r)
+        for r in qs22b_ann_index_maintenance_manifest(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    path = _manifest_dir(sf_dir)
+    built_at = os.path.getmtime(os.path.join(path, "meta.json"))
+    warm = {
+        tuple(r)
+        for r in qs22b_ann_index_maintenance_manifest(spark, sf_dir).collect()
+    }
+    assert warm == want
+    assert os.path.getmtime(os.path.join(path, "meta.json")) == built_at
+
+    # poison the stored fingerprint -> staleness probe must rebuild
+    meta_path = os.path.join(path, "meta.json")
+    meta = json.load(open(meta_path))
+    meta["fingerprint"]["ck"] += 1
+    json.dump(meta, open(meta_path, "w"))
+    rebuilt = {
+        tuple(r)
+        for r in qs22b_ann_index_maintenance_manifest(spark, sf_dir).collect()
+    }
+    assert rebuilt == want
+    assert os.path.getmtime(os.path.join(path, "meta.json")) != built_at
