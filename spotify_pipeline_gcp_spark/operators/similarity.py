@@ -1665,15 +1665,31 @@ def cosine_topk_ivfpq(
     both the memory bound (codes, not floats) and the compute bound
     (cells × lookups) scale.
 
-    Plan shape: the per-point lookup table T (id, cell, sub, code,
-    quantized partial — n·m·k_pq rows, LINEAR in n) equi-joins the
-    exploded corpus codes on (cell, sub, code); partials collapse
-    map-side into the per-pair exact-integer sum. No broadcast of
-    anything data-sized: codebooks (m·k_pq·d_sub) and centroids
+    Plan shape (r8 — the memory-bounded rewrite): each point carries
+    its FULL quantized lookup table as one array<array<long>> column
+    (m·k_pq longs ≈ 64 values — built by a linear n·m·k_pq-row
+    aggregate that collapses map-side), the candidate pairs come
+    from ONE equi-join on the coarse cell, and the per-pair ADC
+    score is a zip_with/element_at fold computed INLINE on the pair
+    row — no per-(query, neighbor) aggregate ever materializes. The
+    previous shape joined on (cell, sub, code) and re-aggregated
+    n²/k·m exploded rows (~4×10⁹ at the 100× ladder point) through a
+    giant hash-agg — the measured 16 GiB heap floor (r7 verdict
+    "What's wrong" #3); this one streams n²/k pair rows straight
+    into the top-k window. The window partitions by (cell, query_id):
+    every query's candidates live entirely in its own cell, so the
+    rank is identical to a query_id window, and the cell equi-join's
+    hash-partitioning already satisfies the clustering — the top-k
+    adds a per-partition sort but NO further exchange. No broadcast
+    of anything data-sized: codebooks (m·k_pq·d_sub) and centroids
     (k·d) are the only models shipped. This variant encodes raw
     vectors, not residuals — residual encoding needs a per-cell
     codebook train that breaks nothing here but buys little at these
     dims; documented trade, same search topology.
+
+    The quantized per-sub integers, their sum, and the fixed-point
+    rounding are bit-identical to the previous shape, so the SQL
+    oracle replays unchanged — only the physical plan moved.
     """
     from pyspark.sql import Window as W
 
@@ -1696,55 +1712,83 @@ def cosine_topk_ivfpq(
     tagged = _tagged_books(books).select(
         F.col("q").alias("s"), F.col("cid").alias("code"), "c"
     )
-    tbl = (
+    # per-point quantized lookup table, folded into ONE
+    # array<array<long>> column (qt_all[s][code], 1-based inner
+    # index): the n·m·k_pq scoring rows exist only inside a linear,
+    # map-side-combining aggregate — never joined, never re-keyed
+    qt_entry = (
+        F.floor(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("u"), F.col("s") * d_sub + 1, F.lit(d_sub)),
+                    F.col("c"),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(float(_QSCALE))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("qt")
+    )
+    qtab = (
         asg.crossJoin(F.broadcast(tagged))
+        .select("id", F.col("cid").alias("cell"), "s", "code", qt_entry)
+        .groupBy("id", "cell")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("s", "code", "qt"))
+            ).alias("e")
+        )
         .select(
             F.col("id").alias("query_id"),
-            F.col("cid").alias("cell"),
-            "s",
-            "code",
-            F.floor(
-                F.aggregate(
-                    F.zip_with(
-                        F.slice(
-                            F.col("u"), F.col("s") * d_sub + 1, F.lit(d_sub)
-                        ),
-                        F.col("c"),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                * F.lit(float(_QSCALE))
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("qt"),
+            "cell",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.sequence(F.lit(0), F.lit(k_pq - 1)),
+                    lambda c: F.element_at(
+                        F.col("e"), (s * k_pq + c + F.lit(1)).cast("int")
+                    )["qt"],
+                ),
+            ).alias("qt_all"),
         )
     )
-    b_expl = codes.join(
+    cand = codes.join(
         asg.select("id", F.col("cid").alias("cell")), "id"
-    ).select(
-        F.col("id").alias("neighbor_id"),
-        "cell",
-        F.posexplode("codes").alias("s", "code"),
+    ).select(F.col("id").alias("neighbor_id"), "cell", "codes")
+    # one equi-join on the coarse cell; ADC is an inline fold on the
+    # pair row — zip the m codes against the m lookup sub-tables
+    adc_long = F.aggregate(
+        F.zip_with(
+            F.col("qt_all"),
+            F.col("codes"),
+            lambda t, cd: F.element_at(t, (cd + F.lit(1)).cast("int")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
-    adc = (
-        b_expl.join(tbl, ["cell", "s", "code"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg((F.sum("qt").cast("double") / F.lit(float(_QSCALE))).alias("adc"))
-    )
+    adc = F.col("adc_l").cast("double") / F.lit(float(_QSCALE))
     rounded = F.floor(
-        F.col("adc") * F.lit(float(10**round_digits)) + F.lit(0.5)
+        adc * F.lit(float(10**round_digits)) + F.lit(0.5)
     ) / F.lit(float(10**round_digits))
-    w = W.partitionBy("query_id").orderBy(
+    # (cell, query_id) clustering is already satisfied by the join's
+    # hash-partitioning on cell (query→cell is functional), so this
+    # window exchanges NOTHING — per-partition sort only; rank equals
+    # the query_id rank because all of a query's pairs share its cell
+    w = W.partitionBy("cell", "query_id").orderBy(
         F.col("adc_r").desc(), F.col("neighbor_id")
     )
     return (
-        adc.select("query_id", "neighbor_id", rounded.alias("adc_r"))
+        qtab.join(cand, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("cell", "query_id", "neighbor_id", adc_long.alias("adc_l"))
+        .select("cell", "query_id", "neighbor_id", rounded.alias("adc_r"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "adc_r", "rank")
     )
 
 
