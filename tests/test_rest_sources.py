@@ -110,3 +110,42 @@ def test_recommendations_source(spark):
     # empty response -> empty frame with the declared schema intact
     empty = RecommendationsSource(spark, lambda e, p: {}).load(["t1"])
     assert empty.count() == 0 and "popularity" in empty.columns
+
+
+def test_feature_trend_composes_s2_with_fact(spark):
+    # q50: the S2 audio-features dimension joins the playback fact and
+    # the windowed trend is a weighted 3-day mean - spot-check one
+    # user's arithmetic end to end against a hand rollup
+    from collections import defaultdict
+
+    from spotify_pipeline_gcp_spark.queries.compat import table
+    from spotify_pipeline_gcp_spark.queries.extra import q50_feature_trend
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = q50_feature_trend(spark, sf_dir).collect()
+    assert rows
+    ev = table(spark, sf_dir, "events").collect()
+    daily = defaultdict(lambda: [0, 0])  # (user, day) -> [n, e_sum]
+    for r in ev:
+        tid = r.event_id % 200
+        d = r.ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        cell = daily[(r.user_id, d)]
+        cell[0] += 1
+        cell[1] += (tid * 59) % 991
+    for row in rows:
+        n, s = daily[(row.user_id, row.day)]
+        assert row.n_plays == n
+        import math
+
+        want = math.floor(s / n / 990.0 * 10000 + 0.5) / 10000
+        assert row.energy_avg == want
+        # window never exceeds 3 days of mass and includes today
+        wn = ws = 0
+        for dd in range(3):
+            from datetime import timedelta
+
+            k = (row.user_id, row.day - timedelta(days=dd))
+            if k in daily:
+                wn += daily[k][0]
+                ws += daily[k][1]
+        assert row.energy_ma3 == math.floor(ws / wn / 990.0 * 10000 + 0.5) / 10000
