@@ -107,6 +107,19 @@ _WINDOW_ORDER = [
     "qt9_chunk_windows",
 ]
 
+# Pinned-size exactness baselines (r7 verdict item #5): kept
+# registered — they anchor every sized/sampled variant's correctness —
+# but DEMOTED to the end of the registry order so a user scanning
+# ``queries()`` reaches the production-shaped sibling (qs13, qs16,
+# qs14, qd3b, qd9b) first; each docstring fronts the same cross-link.
+_PINNED_BASELINES = [
+    "qs3_cosine_topk_bucketed",
+    "qs7_cosine_topk_ivf_kmeans",
+    "qs11_cosine_topk_ivf_kmeans_multiprobe",
+    "qd3_ngram_jaccard_pairs",
+    "qd9_simhash_pairs",
+]
+
 _MODULES = [
     "spotify_pipeline_gcp_spark.queries.relational",
     "spotify_pipeline_gcp_spark.queries.extra",
@@ -148,8 +161,11 @@ def _apply_window_order() -> None:
         raise ValueError(f"_WINDOW_ORDER names not registered: {missing}")
     ordered = {n: REGISTRY[n] for n in _WINDOW_ORDER}
     for name, spec in REGISTRY.items():
-        if name not in ordered:
+        if name not in ordered and name not in _PINNED_BASELINES:
             ordered[name] = spec
+    for name in _PINNED_BASELINES:
+        if name in REGISTRY and name not in ordered:
+            ordered[name] = REGISTRY[name]
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

@@ -89,14 +89,14 @@ def qd2_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def qd3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact word-3-gram Jaccard >= 0.8 (the
-    testdata contains injected ~0.99 pairs).
+    """EXACTNESS BASELINE — use qd3b_ngram_jaccard_capped at scale
+    (the documented 100 TB default, COVERAGE.md): uncapped postings
+    pair template cliques quadratically on adversarial corpora (a
+    shingle shared by m docs emits m² candidates); qd3b's
+    stop-shingle cap bounds every posting list.
 
-    EXACTNESS BASELINE — prefer qd3b at scale: uncapped postings pair
-    template cliques quadratically on adversarial corpora (a shingle
-    shared by m docs emits m² candidates); qd3b's stop-shingle cap
-    bounds every posting list and is the documented default for the
-    100 TB corpus (COVERAGE.md)."""
+    Near-dup pairs by exact word-3-gram Jaccard >= 0.8 (the testdata
+    contains injected ~0.99 pairs)."""
     return ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
     )
@@ -335,19 +335,19 @@ def qd3b_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def qd9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup PAIRS — bit-band LSH over 32-bit fingerprints
+    """EXACTNESS BASELINE — use qd9b_simhash_pairs_capped at scale
+    (the documented 100 TB default, COVERAGE.md): an uncapped band
+    bucket holding m near-identical fingerprints (template cliques)
+    emits m² candidates here; qd9b caps each band bucket (the
+    fingerprint-level stop-shingle move).
+
+    SimHash near-dup PAIRS — bit-band LSH over 32-bit fingerprints
     (4 bands x 8 bits), Hamming <= 3 verification via
     ``bit_count(a ^ b)``. With 4 bands the band filter is LOSSLESS
     for Hamming <= 3 (pigeonhole: 3 flipped bits leave one band
     intact), so this is exact near-dup pairing, not approximate —
     the operator SimHash fingerprints were missing (fingerprints
-    alone only bucket EXACT fingerprint equality).
-
-    EXACTNESS BASELINE — prefer qd9b at scale: an uncapped band
-    bucket holding m near-identical fingerprints (template cliques)
-    emits m² candidates; qd9b caps each band bucket (the
-    fingerprint-level stop-shingle move) and is the documented
-    default for the 100 TB corpus (COVERAGE.md)."""
+    alone only bucket EXACT fingerprint equality)."""
     return simhash_pairs(
         table(spark, sf_dir, "documents"),
         "doc_id",

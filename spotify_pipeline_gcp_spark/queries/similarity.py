@@ -366,7 +366,13 @@ def _imi_oracle(d: int, n_iter: int, topk: int, nprobe_each: int = 1) -> str:
 
 @register("qs7_cosine_topk_ivf_kmeans", oracle=_ivf_kmeans_oracle(16, 2, 64, 5))
 def qs7_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with a TRAINED coarse quantizer: seeded spherical k-means
+    """PINNED FULL-TRAIN BASELINE — use qs16 (sized cells, sample
+    trainer) or qs14 (same + multiprobe) at scale; this query exists
+    as the exactness anchor every sized/sampled variant verifies
+    against. k=16 is pinned (candidates grow n²/16, measured x8.6 on
+    x10 data) and the trainer scores the full corpus.
+
+    IVF with a TRAINED coarse quantizer: seeded spherical k-means
     (k=16, 2 Lloyd's rounds, pure DataFrame ops) replaces qs3's fixed
     sign-hyperplanes; search restricts candidates to the learned cell
     (equi-join on cluster id) before the exact fold kernel. The
@@ -375,14 +381,7 @@ def qs7_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verified, not just the search. Data-adaptive cells beat
     fixed sign-cuts on clustered data at equal candidate volume
     (recall asserted vs qs2 in tests/test_similarity.py); qs8 is the
-    BLAS-kernel throughput twin of this same search.
-
-    PINNED FULL-TRAIN BASELINE — prefer qs16 (sized cells, sample
-    trainer) or qs14 (same + multiprobe) at scale: k=16 is pinned
-    (candidates grow n²/16, measured x8.6 on x10 data) and the
-    trainer scores the full corpus — kept registered as the
-    exactness baseline every sized/sampled variant is verified
-    against."""
+    BLAS-kernel throughput twin of this same search."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         assign_clusters,
         kmeans_centroids,
@@ -420,7 +419,12 @@ def qs7_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def qs11_cosine_topk_ivf_kmeans_multiprobe(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Trained IVF with nprobe=2 — the recall/cost knob of a
+    """PINNED FULL-TRAIN BASELINE — use qs14 at scale: the same
+    multiprobe search with k sized from the corpus count and the
+    O(n) digest-sample trainer (k=16 pinned here, measured x13.9 on
+    x10 data); this query exists as the exactness anchor.
+
+    Trained IVF with nprobe=2 — the recall/cost knob of a
     production IVF index (operators/similarity.py::
     cosine_topk_kmeans_multiprobe). Each query probes its TWO nearest
     trained cells (``_topn_probes``: partial-aggregable per-point
@@ -430,11 +434,6 @@ def qs11_cosine_topk_ivf_kmeans_multiprobe(
     1 probe) → qs5 (fixed cells, multi-probe) → qs7 (trained cells,
     1 probe) → qs11 (trained cells, multi-probe). The oracle replays
     training AND probe ranking as one CTE chain.
-
-    PINNED FULL-TRAIN BASELINE — prefer qs14 at scale: same
-    multiprobe search with k sized from the corpus count and the
-    O(n) digest-sample trainer (k=16 pinned here measured x13.9 on
-    x10 data).
 
     The database side's assignment is probe rank 1 of the SAME
     ranked-probes subplan (identical total order — see
@@ -559,11 +558,12 @@ def qs2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def qs3_cosine_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN: sign-quantized bucketing (IVF shape) restricts
-    candidates to the same coarse cell before the exact kernel —
-    the join volume drops ~16x at 4 bits.
+    """PINNED BASELINE — use qs13_cosine_topk_bucketed_sized at
+    scale; this query exists as the byte-stable correctness anchor.
 
-    PINNED BASELINE — prefer qs13 at scale: 4 bits is pinned so the
+    Approximate ANN: sign-quantized bucketing (IVF shape) restricts
+    candidates to the same coarse cell before the exact kernel —
+    the join volume drops ~16x at 4 bits. 4 bits is pinned so the
     oracle replays byte-identically at every sf, but fixed buckets
     grow candidates n²/16 (measured x43.6 on x10 data). qs13 is this
     exact query with bits sized from the corpus count."""
