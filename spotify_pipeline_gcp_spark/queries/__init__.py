@@ -88,6 +88,7 @@ _WINDOW_ORDER = [
     # new manifest-backed maintenance (r7 verdict #2)
     "qst6_streaming_export_gate",
     "qs22b_ann_index_maintenance_manifest",
+    "qst7_streaming_index_maintenance",
     "q50_feature_trend",
     # r6-green backfill, re-measure set first (verdict #6), then the
     # patterns this round's new code leans on
@@ -104,7 +105,6 @@ _WINDOW_ORDER = [
     "qt1_lang_id",
     "qsp1_hash_sample",
     "qk1_salted_agg",
-    "qt9_chunk_windows",
 ]
 
 # Pinned-size exactness baselines (r7 verdict item #5): kept

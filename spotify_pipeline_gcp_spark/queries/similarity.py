@@ -2151,23 +2151,37 @@ def qs22b_ann_index_maintenance_manifest(
     (regenerated testdata) — a production deployment would pin
     ``SPARK_GRAFT_MANIFEST_DIR`` to durable storage and rebuild on
     the qs22 ``overfull`` drift signal instead."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        maintain_index,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    delta = emb.where(F.col("label") % 10 == 0)
+    path = ensure_ivfm_manifest(spark, sf_dir)
+    return maintain_index(spark, path, delta)
+
+
+def ensure_ivfm_manifest(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-stale guard for the 'ivfm:' index manifest shared by
+    qs22b (batch maintenance) and qst7 (streaming maintenance): a
+    cheap staleness probe (corpus count + vec_id checksum — two
+    single-column parquet aggregates, NOT the n·k assignment recount)
+    decides whether the stored manifest still describes this sf_dir's
+    corpus; on mismatch the sample trainer re-runs and the manifest
+    atomically replaces. Returns the manifest path."""
     import json
     import os
 
     from spotify_pipeline_gcp_spark.operators.similarity import (
         kmeans_centroids,
-        maintain_index,
         trained_cells_for,
         write_index_manifest,
     )
 
     emb = table(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("label") % 10 != 0)
-    delta = emb.where(F.col("label") % 10 == 0)
     path = _manifest_dir(sf_dir)
 
-    # staleness probe: two cheap single-column aggregates (count +
-    # vec_id checksum) — NOT the n·k assignment recount
     probe = corpus.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("vec_id").cast("long").alias("ck"),
@@ -2199,7 +2213,7 @@ def qs22b_ann_index_maintenance_manifest(
                 "fingerprint": fingerprint,
             },
         )
-    return maintain_index(spark, path, delta)
+    return path
 
 
 @register("qs23_cosine_topk_ivf_blas_sized")  # rows-only: BLAS kernel

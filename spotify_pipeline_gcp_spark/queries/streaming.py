@@ -242,3 +242,33 @@ def qst6_streaming_export_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_export_gate(spark, sf_dir, new_sources=_GATE_NEW)
+
+
+from spotify_pipeline_gcp_spark.queries.similarity import (  # noqa: E402
+    _maint_oracle,
+    ensure_ivfm_manifest,
+)
+
+
+@register("qst7_streaming_index_maintenance", oracle=_maint_oracle())
+def qst7_streaming_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING ANN index maintenance — qs22b's manifest-backed
+    add-without-retrain loop in ``foreachBatch``
+    (streaming/incremental.py::streaming_index_maintenance): embedding
+    micro-batches assign to the STORED centroids, per-cell fill state
+    grows across batches through replay-safe per-batch_id delta
+    directories (current batch excluded from its own state read), and
+    the drained final state equals the batch qs22 report on the same
+    rows — so the whole streaming lifecycle (manifest build → stream
+    assign → cross-batch accounting) is hash-verified by the same
+    oracle as the batch path. The delta spools into two files read at
+    one file per trigger, so the registered query genuinely exercises
+    multi-batch state growth, not a single-batch degenerate."""
+    from spotify_pipeline_gcp_spark.streaming.incremental import (
+        streaming_index_maintenance,
+    )
+
+    path = ensure_ivfm_manifest(spark, sf_dir)
+    return streaming_index_maintenance(spark, sf_dir, path)

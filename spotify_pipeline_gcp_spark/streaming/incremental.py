@@ -498,3 +498,150 @@ def streaming_export_gate(
     return spark.read.schema(EXPORT_GATE_SCHEMA).parquet(
         os.path.join(accepted_path, "b*")
     )
+
+
+EMBEDDINGS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+INDEX_MAINT_SCHEMA = T.StructType(
+    [
+        T.StructField("cid", T.LongType()),
+        T.StructField("n_indexed", T.LongType()),
+        T.StructField("n_delta", T.LongType()),
+        T.StructField("n_total", T.LongType()),
+        T.StructField("overfull", T.LongType()),
+    ]
+)
+
+
+def streaming_index_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    manifest_path: str,
+    store_dir: str | None = None,
+    delta_stream: DataFrame | None = None,
+) -> DataFrame:
+    """qs22b's manifest-backed maintenance lifted to CONTINUOUS
+    ingest (the r7 verdict's stretch item): each arriving embedding
+    micro-batch is ASSIGNED to the STORED corpus-trained centroids in
+    ``foreachBatch`` — one O(|batch|·k) broadcast scoring pass, the
+    FAISS add-without-retrain loop — with CROSS-BATCH fill
+    accounting: batch b's report counts ``n_indexed`` as the manifest
+    base PLUS every EARLIER batch's accepted delta (per-batch_id
+    overwrite directories, current batch excluded — the same
+    replay-safe store discipline ``streaming_export_gate`` uses, so
+    an at-least-once replay neither double-counts nor sees its own
+    partial output). The returned frame is the drained FINAL state —
+    base + all batch deltas — which equals the batch qs22 report on
+    the same rows, which is what makes the stream oracle-checkable.
+
+    Without ``delta_stream`` the delta slice (label % 10 = 0) spools
+    into TWO files read at ``maxFilesPerTrigger=1``, so even the
+    self-contained registered query exercises genuine multi-batch
+    state growth. ``store_dir`` lifecycle: same contract as
+    ``streaming_export_gate`` (fresh temp dir, not auto-deleted).
+    """
+    import os
+    import tempfile
+
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        assign_clusters,
+        cell_fill_report,
+        read_index_manifest,
+    )
+
+    cent, cells, meta = read_index_manifest(spark, manifest_path)
+    expected = int(meta["expected"])
+    store = store_dir or tempfile.mkdtemp(prefix="index_maint_store_")
+    deltas_path = os.path.join(store, "cell_deltas")
+    reports_path = os.path.join(store, "reports")
+    ckpt_path = os.path.join(store, "checkpoint")
+
+    if delta_stream is None:
+        spool = os.path.join(store, "delta_spool")
+        if not os.path.isdir(spool):
+            emb = spark.read.parquet(
+                os.path.join(sf_dir, "embeddings.parquet")
+            )
+            delta = emb.where(F.col("label") % 10 == 0)
+            for i in range(2):
+                delta.where(F.col("vec_id") % 2 == i).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(spool, f"f{i}"))
+        delta_stream = (
+            spark.readStream.schema(EMBEDDINGS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(spool)
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # state visible to batch b = manifest base + deltas of batches
+        # STRICTLY BEFORE b (own directory excluded: replay safety)
+        prior = (
+            [
+                os.path.join(deltas_path, d)
+                for d in sorted(os.listdir(deltas_path))
+                if d.startswith("b")
+                and d[1:].isdigit()
+                and int(d[1:]) < batch_id
+            ]
+            if os.path.isdir(deltas_path)
+            else []
+        )
+        state = cells
+        if prior:
+            prev = (
+                spark.read.parquet(*prior)
+                .groupBy("cid")
+                .agg(F.sum("n_delta").cast("long").alias("nd"))
+            )
+            state = (
+                cells.join(prev, "cid", "left")
+                .select(
+                    "cid",
+                    (
+                        F.col("n_indexed")
+                        + F.coalesce(F.col("nd"), F.lit(0))
+                    )
+                    .cast("long")
+                    .alias("n_indexed"),
+                )
+            )
+        nd = (
+            assign_clusters(batch_df, cent, "vec_id", "embedding")
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_delta"))
+        )
+        report = cell_fill_report(cent, state, nd, expected).persist()
+        report.write.mode("overwrite").parquet(
+            os.path.join(reports_path, f"b{batch_id}")
+        )
+        report.select("cid", "n_delta").write.mode("overwrite").parquet(
+            os.path.join(deltas_path, f"b{batch_id}")
+        )
+        lastplan.record_batch(report)
+        report.unpersist()
+
+    q = (
+        delta_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    if not os.path.isdir(deltas_path):
+        empty = spark.createDataFrame([], "cid long, n_delta long")
+        return cell_fill_report(cent, cells, empty, expected)
+    alld = (
+        spark.read.parquet(os.path.join(deltas_path, "b*"))
+        .groupBy("cid")
+        .agg(F.sum("n_delta").cast("long").alias("n_delta"))
+    )
+    return cell_fill_report(cent, cells, alld, expected)

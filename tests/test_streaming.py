@@ -303,3 +303,56 @@ def test_streaming_export_gate_midbatch_replay_keeps_own_docs(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "store" / "checkpoint"))
     replayed = {(r.doc_id, r.n_tokens) for r in run().collect()}
     assert replayed == first  # replay must not drop its own docs
+
+
+def test_streaming_index_maintenance_two_batch_accounting(spark, tmp_path, monkeypatch):
+    """qst7: cross-batch fill accounting — batch 1's visible
+    n_indexed must equal batch 0's n_indexed + n_delta per cell (state
+    grew through the delta store), the drained final state must equal
+    the batch qs22b report on the same rows, and the executed
+    micro-batch plan must be captured with the broadcast assignment."""
+    from spotify_pipeline_gcp_spark.queries.similarity import (
+        ensure_ivfm_manifest,
+        qs22b_ann_index_maintenance_manifest,
+    )
+    from spotify_pipeline_gcp_spark.streaming import lastplan
+    from spotify_pipeline_gcp_spark.streaming.incremental import (
+        streaming_index_maintenance,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_MANIFEST_DIR", str(tmp_path / "man"))
+    sf_dir = "/root/testdata/sf0.001"
+    path = ensure_ivfm_manifest(spark, sf_dir)
+    out = streaming_index_maintenance(
+        spark, sf_dir, path, store_dir=str(tmp_path / "store")
+    )
+    final = {r.cid: r for r in out.collect()}
+
+    b0 = {
+        r.cid: r
+        for r in spark.read.parquet(
+            str(tmp_path / "store" / "reports" / "b0")
+        ).collect()
+    }
+    b1 = {
+        r.cid: r
+        for r in spark.read.parquet(
+            str(tmp_path / "store" / "reports" / "b1")
+        ).collect()
+    }
+    assert set(b0) == set(b1) == set(final)
+    for cid, r1 in b1.items():
+        r0 = b0[cid]
+        assert r1.n_indexed == r0.n_indexed + r0.n_delta  # state grew
+        assert final[cid].n_delta == r0.n_delta + r1.n_delta
+        assert final[cid].n_total == r1.n_total
+
+    want = {
+        tuple(r)
+        for r in qs22b_ann_index_maintenance_manifest(spark, sf_dir).collect()
+    }
+    assert {tuple(r) for r in out.collect()} == want
+
+    plan = lastplan.get()
+    assert plan is not None
+    assert "Broadcast" in plan, plan  # the O(|batch|*k) assignment pass
