@@ -406,3 +406,95 @@ def q50_feature_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("e_sum").over(w) / F.sum("n_plays").over(w) / 990.0, 4
         ).alias("energy_ma3"),
     )
+
+
+@register(
+    "q51_genre_affinity",
+    oracle="""
+    WITH plays AS (
+      SELECT user_id, event_id % 60 AS aid FROM events
+    ),
+    artists AS (
+      SELECT aid,
+             ['g' || ((aid * 7) % 8), 'g' || ((aid * 7 + 3) % 8)] AS genres
+      FROM (SELECT DISTINCT aid FROM plays)
+    ),
+    listens AS (
+      SELECT p.user_id, unnest(a.genres) AS genre
+      FROM plays p JOIN artists a USING (aid)
+    ),
+    counts AS (
+      SELECT user_id, genre, count(*)::BIGINT AS n_plays
+      FROM listens GROUP BY 1, 2
+    )
+    SELECT user_id, genre, n_plays, rank FROM (
+      SELECT user_id, genre, n_plays,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n_plays DESC, genre)::BIGINT AS rank
+      FROM counts) t
+    WHERE rank <= 3
+    """,
+)
+def q51_genre_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Playback history × ARTIST GENRES — the S3 twin of q50: the
+    reference also fetches ``track_genres.json`` daily
+    (``main.py:28,35``; ``spotify_api.py:87-105``) without ever
+    consuming it. Here the S3 source
+    (``sources/rest.py::ArtistGenresSource``) feeds the declared
+    ``ARTIST_GENRES_SCHEMA`` (with its genres ARRAY column — the
+    reference data model's only array-typed dimension attribute),
+    the array EXPLODES against the playback fact, and a per-user
+    rank window emits each listener's top-3 genres — the
+    listener-taste profile query. All-integer counts with a
+    deterministic (count DESC, genre) tie-break keep both engines'
+    rankings identical.
+
+    Scale shape: the genre dim is artist-count-sized (broadcast
+    after explode), the count is one map-side-combining aggregate on
+    (user, genre) — bounded fan-out: each play contributes exactly
+    |genres| rows — and the top-3 window benefits from
+    WindowGroupLimit's rank pushdown."""
+    from spotify_pipeline_gcp_spark.sources.rest import ArtistGenresSource
+
+    ev = table(spark, sf_dir, "events")
+    plays = ev.select("user_id", (F.col("event_id") % 60).alias("aid"))
+
+    def _fetcher(endpoint: str, params: dict) -> dict:
+        rows = []
+        for s in params["ids"].split(","):
+            a = int(s[2:])
+            rows.append(
+                {
+                    "id": s,
+                    "name": f"artist {a}",
+                    "genres": [f"g{(a * 7) % 8}", f"g{(a * 7 + 3) % 8}"],
+                    "popularity": (a * 31) % 100,
+                }
+            )
+        return {"artists": rows}
+
+    artist_ids = [f"ar{a}" for a in range(60)]
+    genres = ArtistGenresSource(spark, _fetcher).load(artist_ids)
+
+    listens = plays.join(
+        F.broadcast(
+            genres.select(
+                F.substring("id", 3, 10).cast("long").alias("aid"),
+                F.explode("genres").alias("genre"),
+            )
+        ),
+        "aid",
+    )
+    counts = listens.groupBy("user_id", "genre").agg(
+        F.count(F.lit(1)).cast("long").alias("n_plays")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.col("n_plays").desc(), F.col("genre")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("user_id", "genre", "n_plays", "rank")
+    )
