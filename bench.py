@@ -99,6 +99,11 @@ HEADLINE_EXT = [
     "qs22_ann_index_maintenance",
     "qs23_cosine_topk_ivf_blas_sized",
     "qs24_cosine_topk_imi_multiprobe",
+    "qs22b_ann_index_maintenance_manifest",
+    "qs25_cosine_topk_imi_adc",
+    "qst7_streaming_index_maintenance",
+    "q50_feature_trend",
+    "q51_genre_affinity",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

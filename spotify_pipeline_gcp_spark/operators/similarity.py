@@ -224,16 +224,26 @@ def cosine_topk_bucketed(
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.id") != F.col("b.id")),
     ).select(
+        F.col("a.bucket").alias("bucket"),
         F.col("a.id").alias("query_id"),
         F.col("b.id").alias("neighbor_id"),
         cos.alias("cosine"),
     )
-    w = W.partitionBy("query_id").orderBy(
+    # cell-local top-k (the qs19 r8 rewrite's trick): a query's
+    # candidates all live in its own bucket, so ranking within
+    # (bucket, query_id) equals the global per-query rank — and the
+    # equi-join's hash-partitioning on bucket already satisfies the
+    # window's clustering, so the FULL pair stream is never
+    # re-exchanged on query_id; WindowGroupLimit prunes to k during
+    # the local sort. At the 100× ladder point that exchange is the
+    # entire candidate set (~256·n rows) — this removes it.
+    w = W.partitionBy("bucket", "query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
@@ -781,15 +791,23 @@ def cosine_topk_kmeans(
         b,
         (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") != F.col("b.id")),
     ).select(
+        F.col("a.cid").alias("cid"),
         F.col("a.id").alias("query_id"),
         F.col("b.id").alias("neighbor_id"),
         cos.alias("cosine"),
     )
-    w = W.partitionBy("query_id").orderBy(
+    # cell-local top-k: rank within (cid, query_id) equals the global
+    # per-query rank (single-probe — every candidate shares the
+    # query's cell), and the cid partitioning from the join satisfies
+    # the window's clustering, so the n·√n pair stream is never
+    # re-exchanged on query_id; WindowGroupLimit prunes during sort.
+    w = W.partitionBy("cid", "query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
-        F.col("rank") <= k_neighbors
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
@@ -1280,15 +1298,25 @@ def cosine_topk_imi(
         & (F.col("a.cid2") == F.col("b.cid2"))
         & (F.col("a.id") != F.col("b.id")),
     ).select(
+        F.col("a.cid1").alias("cid1"),
+        F.col("a.cid2").alias("cid2"),
         F.col("a.id").alias("query_id"),
         F.col("b.id").alias("neighbor_id"),
         cos.alias("cosine"),
     )
-    w = W.partitionBy("query_id").orderBy(
+    # cell-local top-k: rank within (cid1, cid2, query_id) equals the
+    # global per-query rank (single probe — all candidates share the
+    # query's product cell), and the join's (cid1, cid2) hash
+    # partitioning satisfies the window's clustering — the ~256·n
+    # candidate stream is never re-exchanged on query_id;
+    # WindowGroupLimit prunes to k during the local sort.
+    w = W.partitionBy("cid1", "cid2", "query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
-        F.col("rank") <= k_neighbors
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 

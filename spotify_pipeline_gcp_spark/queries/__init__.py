@@ -91,6 +91,7 @@ _WINDOW_ORDER = [
     "qst7_streaming_index_maintenance",
     "q50_feature_trend",
     "q51_genre_affinity",
+    "qs25_cosine_topk_imi_adc",
     # r6-green backfill, re-measure set first (verdict #6), then the
     # patterns this round's new code leans on
     "qs20_hybrid_rrf",
@@ -104,7 +105,6 @@ _WINDOW_ORDER = [
     "qs15_query_corpus_topk",
     "qp5_export_manifest",
     "qt1_lang_id",
-    "qsp1_hash_sample",
 ]
 
 # Pinned-size exactness baselines (r7 verdict item #5): kept

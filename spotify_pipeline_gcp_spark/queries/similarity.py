@@ -400,15 +400,20 @@ def qs7_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") != F.col("b.id")),
     ).select(
+        F.col("a.cid").alias("cid"),
         F.col("a.id").alias("query_id"),
         F.col("b.id").alias("neighbor_id"),
         cos.alias("cosine_r"),
     )
-    w = W.partitionBy("query_id").orderBy(
+    # cell-local top-k (r8): single probe ⇒ (cid, query_id) rank
+    # equals the global rank; no query_id re-exchange of the pairs
+    w = W.partitionBy("cid", "query_id").orderBy(
         F.col("cosine_r").desc(), F.col("neighbor_id")
     )
-    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
-        F.col("rank") <= 5
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine_r", "rank")
     )
 
 
@@ -457,15 +462,27 @@ def qs11_cosine_topk_ivf_kmeans_multiprobe(
         & (F.col("b.probe_rank") == F.lit(1))
         & (F.col("a.id") != F.col("b.id")),
     ).select(
+        F.col("a.cid").alias("cid"),
         F.col("a.id").alias("query_id"),
         F.col("b.id").alias("neighbor_id"),
         cos.alias("cosine_r"),
     )
+    # two-level top-k (r8, see qs14): per-(cell, query) top-5 with no
+    # exchange, then a global re-rank over ≤ 2·5 rows per query
+    w_cell = W.partitionBy("cid", "query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id")
+    )
+    pruned = (
+        pairs.withColumn("crank", F.row_number().over(w_cell))
+        .where(F.col("crank") <= 5)
+        .drop("crank", "cid")
+    )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine_r").desc(), F.col("neighbor_id")
     )
-    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
-        F.col("rank") <= 5
+    return (
+        pruned.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
     )
 
 
@@ -495,16 +512,26 @@ def _ranked_pairs(base: DataFrame, same_bucket: bool, k: int) -> DataFrame:
         _dot_pre(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm")),
         6,
     )
+    head = [F.col("a.bucket").alias("bucket")] if same_bucket else []
     pairs = a.join(b, cond).select(
+        *head,
         F.col("a.id").alias("query_id"),
         F.col("b.id").alias("neighbor_id"),
         cos.alias("cosine_r"),
     )
-    w = W.partitionBy("query_id").orderBy(
+    # bucketed shape: cell-local ranking (r8) — (bucket, query_id)
+    # rank equals the global rank at one probe, and the bucket
+    # equi-join's partitioning satisfies the window, so the candidate
+    # stream is never re-exchanged on query_id. The exact all-pairs
+    # shape has no key to localize on; it keeps the query_id window.
+    keys = ["bucket", "query_id"] if same_bucket else ["query_id"]
+    w = W.partitionBy(*keys).orderBy(
         F.col("cosine_r").desc(), F.col("neighbor_id")
     )
-    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
-        F.col("rank") <= k
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_r", "rank")
     )
 
 
@@ -628,7 +655,22 @@ def qs5_cosine_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = probes.join(
         b,
         (F.col("probe") == F.col("b.bucket")) & (F.col("query_id") != F.col("b.id")),
-    ).select("query_id", F.col("b.id").alias("neighbor_id"), cos.alias("cosine_r"))
+    ).select(
+        "probe", "query_id", F.col("b.id").alias("neighbor_id"),
+        cos.alias("cosine_r"),
+    )
+    # two-level top-k (r8, see qs14): per-(probe, query) top-5 with
+    # no exchange beyond the probe equi-join, then a global re-rank
+    # over ≤ 5·5 rows per query (each neighbor pairs once — its one
+    # bucket matches at most one of the query's 5 distinct probes)
+    w_cell = W.partitionBy("probe", "query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id")
+    )
+    pairs = (
+        pairs.withColumn("crank", F.row_number().over(w_cell))
+        .where(F.col("crank") <= 5)
+        .drop("crank", "probe")
+    )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine_r").desc(), F.col("neighbor_id")
     )
@@ -994,15 +1036,36 @@ def qs14_cosine_topk_ivf_kmeans_sized(
         & (F.col("b.probe_rank") == F.lit(1))
         & (F.col("a.id") != F.col("b.id")),
     ).select(
+        F.col("a.cid").alias("cid"),
         F.col("a.id").alias("query_id"),
         F.col("b.id").alias("neighbor_id"),
         cos.alias("cosine_r"),
     )
+    # TWO-LEVEL top-k (r8): with nprobe=2 a query's candidates span
+    # two cells, so a single cell-local window can't rank globally —
+    # instead prune to the per-(cell, query) top-5 first (no
+    # exchange: the cid join partitioning satisfies the window, and
+    # WindowGroupLimit cuts the n·√n·2 pair stream to ≤ 2·5 rows per
+    # query during the local sort), then re-rank that tiny stream
+    # globally per query. Each (query, neighbor) pair exists once
+    # (the neighbor's single rank-1 cell), and the global top-5 is a
+    # subset of the per-cell top-5s, so the result is identical to
+    # the direct query_id window — only the exchange shrinks from
+    # the full candidate stream to ≤ 10 rows per query.
+    w_cell = W.partitionBy("cid", "query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id")
+    )
+    pruned = (
+        pairs.withColumn("crank", F.row_number().over(w_cell))
+        .where(F.col("crank") <= 5)
+        .drop("crank", "cid")
+    )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine_r").desc(), F.col("neighbor_id")
     )
-    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
-        F.col("rank") <= 5
+    return (
+        pruned.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
     )
 
 
@@ -1341,15 +1404,23 @@ def qs17_cosine_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.cid2") == F.col("b.cid2"))
         & (F.col("a.id") != F.col("b.id")),
     ).select(
+        F.col("a.cid1").alias("cid1"),
+        F.col("a.cid2").alias("cid2"),
         F.col("a.id").alias("query_id"),
         F.col("b.id").alias("neighbor_id"),
         cos.alias("cosine_r"),
     )
-    w = W.partitionBy("query_id").orderBy(
+    # cell-local top-k (r8): single probe ⇒ all of a query's
+    # candidates share its product cell; the (cid1, cid2) join
+    # partitioning satisfies the window, so the ~256·n candidate
+    # stream is never re-exchanged on query_id
+    w = W.partitionBy("cid1", "cid2", "query_id").orderBy(
         F.col("cosine_r").desc(), F.col("neighbor_id")
     )
-    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
-        F.col("rank") <= 5
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine_r", "rank")
     )
 
 
@@ -1498,15 +1569,22 @@ def qs16_cosine_topk_ivf_sample_trained(
         b,
         (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") != F.col("b.id")),
     ).select(
+        F.col("a.cid").alias("cid"),
         F.col("a.id").alias("query_id"),
         F.col("b.id").alias("neighbor_id"),
         cos.alias("cosine_r"),
     )
-    w = W.partitionBy("query_id").orderBy(
+    # cell-local top-k (r8): single probe ⇒ a query's candidates all
+    # share its cell, so (cid, query_id) ranking equals the global
+    # rank and the cid exchange from the join already satisfies the
+    # window — the n·√n pair stream is never re-shuffled on query_id
+    w = W.partitionBy("cid", "query_id").orderBy(
         F.col("cosine_r").desc(), F.col("neighbor_id")
     )
-    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
-        F.col("rank") <= 5
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine_r", "rank")
     )
 
 
@@ -1952,12 +2030,17 @@ def qe2_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = qb.alias("q").join(
         cb.alias("c"), F.col("q.bucket") == F.col("c.bucket")
     ).select(
+        F.col("q.bucket").alias("bucket"),
         F.col("q.id").alias("query_id"),
         F.col("c.id").alias("neighbor_id"),
         F.col("c.label").alias("nlabel"),
         cos.alias("cosine_r"),
     )
-    wk = W.partitionBy("query_id").orderBy(
+    # cell-local kNN cut (r8): a query's candidates all share its
+    # bucket, so the (bucket, query_id) rank equals the global rank
+    # and the bucket join's partitioning satisfies the window — the
+    # |Q|·256 candidate stream is never re-exchanged on query_id
+    wk = W.partitionBy("bucket", "query_id").orderBy(
         F.col("cosine_r").desc(), F.col("neighbor_id")
     )
     knn = pairs.withColumn("r", F.row_number().over(wk)).where(
@@ -2319,13 +2402,257 @@ def qs24_cosine_topk_imi_multiprobe(
         & (F.col("b.pr2") == F.lit(1))
         & (F.col("a.id") != F.col("b.id")),
     ).select(
+        F.col("a.cid1").alias("cid1"),
+        F.col("a.cid2").alias("cid2"),
         F.col("a.id").alias("query_id"),
         F.col("b.id").alias("neighbor_id"),
         cos.alias("cosine_r"),
     )
+    # two-level top-k (r8, see qs14): the 2×2 product probes span 4
+    # cells per query — prune to the per-(product-cell, query) top-5
+    # with no exchange (the (cid1, cid2) join partitioning satisfies
+    # the window), then re-rank ≤ 4·5 rows per query globally. Each
+    # (query, neighbor) pair exists once: the neighbor's single
+    # rank-(1,1) cell matches at most one of the query's probes.
+    w_cell = W.partitionBy("cid1", "cid2", "query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id")
+    )
+    pruned = (
+        pairs.withColumn("crank", F.row_number().over(w_cell))
+        .where(F.col("crank") <= 5)
+        .drop("crank", "cid1", "cid2")
+    )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine_r").desc(), F.col("neighbor_id")
     )
-    return pairs.withColumn("rank", F.row_number().over(w).cast("long")).where(
-        F.col("rank") <= 5
+    return (
+        pruned.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+    )
+
+
+def _imi_adc_oracle(d: int, m: int, k_pq: int, n_iter: int, topk: int) -> str:
+    """DuckDB replay of the COMPOSED IMI+ADC index (qs25): the qs17
+    search-sized product-cell chain ('imi:' sample, suffixes _i1/_i2
+    to keep CTE names disjoint from the PQ sub-chains) generates
+    candidates, the qs18 PQ chain ('pqtr:' constant sample) scores
+    them in the compressed domain with exact-integer partial sums,
+    and the per-pair ADC total is restricted to same-product-cell
+    pairs — the full two-model pipeline as one finite CTE chain."""
+    h = d // 2
+    d_sub = d // m
+    k = "(SELECT k FROM sizek)"
+    ctes = [
+        "sizen AS (SELECT count(*)::BIGINT AS n FROM embeddings)",
+        "sizek AS (SELECT greatest(2, CAST(ceil(sqrt(n / 256.0)) AS BIGINT))"
+        " AS k FROM sizen)",
+        """u AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[]))) AS u
+      FROM embeddings
+    )""",
+        _sample_cte(
+            "utrain",
+            "u",
+            "imi:",
+            "least(1.0, (32.0 * (SELECT k FROM sizek))"
+            " / (SELECT n FROM sizen))",
+        ),
+        f"uh1 AS (SELECT vec_id, u[1:{h}] AS u FROM u)",
+        f"uh2 AS (SELECT vec_id, u[{h + 1}:{d}] AS u FROM u)",
+        f"uh1t AS (SELECT vec_id, u[1:{h}] AS u FROM utrain)",
+        f"uh2t AS (SELECT vec_id, u[{h + 1}:{d}] AS u FROM utrain)",
+    ]
+    ctes += _imi_half_chain("_i1", "uh1t", k, n_iter, h, assign_src="uh1")
+    ctes += _imi_half_chain("_i2", "uh2t", k, n_iter, h, assign_src="uh2")
+    ctes.append(
+        """asg AS (
+      SELECT a1.vec_id, a1.cid AS cid1, a2.cid AS cid2
+      FROM asgf_i1 a1 JOIN asgf_i2 a2 ON a1.vec_id = a2.vec_id
+    )"""
+    )
+    ctes.append(
+        _sample_cte(
+            "utrainpq",
+            "u",
+            "pqtr:",
+            f"least(1.0, (32.0 * {k_pq}) / (SELECT n FROM sizen))",
+        )
+    )
+    ctes.append("qview AS (SELECT vec_id, u FROM u)")
+    ctes.append("cview AS (SELECT vec_id, u FROM u)")
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        ctes += _pq_sub_chain(
+            s, k_pq, n_iter, d_sub, lo, hi, train_src="utrainpq"
+        )
+    enc_union = " UNION ALL ".join(f"SELECT * FROM enc_{s}" for s in range(m))
+    tq_union = " UNION ALL ".join(f"SELECT * FROM tq_{s}" for s in range(m))
+    ctes.append(f"enc AS ({enc_union})")
+    ctes.append(f"tq AS ({tq_union})")
+    ctes.append(
+        """adc AS (
+      SELECT t.query_id, e.vec_id AS neighbor_id,
+             floor((sum(t.qt)::BIGINT)::DOUBLE / 1000000000.0 * 1000000.0 + 0.5)
+               / 1000000.0 AS adc_r
+      FROM enc e
+      JOIN asg na ON na.vec_id = e.vec_id
+      JOIN tq t ON e.s = t.s AND e.code = t.code
+      JOIN asg qa ON qa.vec_id = t.query_id
+      WHERE qa.cid1 = na.cid1 AND qa.cid2 = na.cid2
+        AND t.query_id <> e.vec_id
+      GROUP BY t.query_id, e.vec_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, adc_r,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_r DESC, neighbor_id)::BIGINT AS rank
+    FROM adc
+    QUALIFY rank <= {topk}
+    """
+    )
+
+
+@register("qs25_cosine_topk_imi_adc", oracle=_imi_adc_oracle(64, 4, 16, 2, 5))
+def qs25_cosine_topk_imi_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMI + PQ-ADC — the composed 100 TB all-corpus architecture,
+    closing the index matrix: qs17's search-sized product grid (the
+    LINEAR trained candidate generator, same 'imi:' model) with
+    qs18's product-quantization scoring (the COMPRESSED domain, same
+    'pqtr:' constant-sample codebooks). FAISS calls this family
+    ``IMI2x…,PQy`` — the multi-index + compressed-codes combination
+    Babenko & Lempitsky propose for billion-scale corpora: candidates
+    stay ~256·n (linear), scored pairs cost m table lookups instead
+    of d multiplies, and the corpus-side storage is m small ints per
+    vector. qs19 composes √n-cell IVF with ADC and inherits the
+    n·√n candidate term; THIS query is what replaces it when the
+    workload is the all-corpus self-join.
+
+    Execution is the r8 memory-bounded shape end to end: each point
+    carries its quantized lookup table as one array<array<long>>
+    column (built by a linear map-side-combining aggregate over the
+    broadcast codebooks), candidates come from ONE equi-join on the
+    product cell, the per-pair ADC total is an inline zip_with fold
+    (no pair-level hash aggregate ever materializes), and the top-5
+    window partitions by (cid1, cid2, query_id) — satisfied by the
+    join's own partitioning, so the candidate stream is never
+    re-exchanged. Both trainings, both assignments, the encoding,
+    and the integer ADC sums replay in the oracle — the entire
+    two-model composition is hash-verified."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _QSCALE,
+        _tagged_books,
+        _unit_vectors,
+        imi_assign,
+        imi_cells_for,
+        kmeans_centroids_on_halves,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    m, d_sub, k_pq = 4, 16, 16
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k_each = imi_cells_for(n)
+    pts = _unit_vectors(emb, "vec_id", "embedding")
+    spts = _unit_vectors(
+        _digest_sample(emb, "imi:", _train_frac(n, k_each)),
+        "vec_id",
+        "embedding",
+    )
+    cent1, cent2 = kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2)
+    asg = imi_assign(pts, cent1, cent2, 32)
+
+    strain = _unit_vectors(
+        _digest_sample(emb, "pqtr:", _train_frac(n, k_pq)),
+        "vec_id",
+        "embedding",
+    )
+    books = pq_codebooks(strain, m=m, d_sub=d_sub, k_pq=k_pq, n_iter=2)
+    codes = pq_encode(pts, books, m=m, d_sub=d_sub)
+
+    tagged = _tagged_books(books).select(
+        F.col("q").alias("s"), F.col("cid").alias("code"), "c"
+    )
+    qt_entry = (
+        F.floor(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("u"), F.col("s") * d_sub + 1, F.lit(d_sub)),
+                    F.col("c"),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(float(_QSCALE))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("qt")
+    )
+    qtab = (
+        asg.crossJoin(F.broadcast(tagged))
+        .select("id", "cid1", "cid2", "s", "code", qt_entry)
+        .groupBy("id", "cid1", "cid2")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("s", "code", "qt"))
+            ).alias("e")
+        )
+        .select(
+            F.col("id").alias("query_id"),
+            "cid1",
+            "cid2",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.sequence(F.lit(0), F.lit(k_pq - 1)),
+                    lambda c: F.element_at(
+                        F.col("e"), (s * k_pq + c + F.lit(1)).cast("int")
+                    )["qt"],
+                ),
+            ).alias("qt_all"),
+        )
+    )
+    cand = codes.join(asg.select("id", "cid1", "cid2"), "id").select(
+        F.col("id").alias("neighbor_id"), "cid1", "cid2", "codes"
+    )
+    adc_long = F.aggregate(
+        F.zip_with(
+            F.col("qt_all"),
+            F.col("codes"),
+            lambda t, cd: F.element_at(t, (cd + F.lit(1)).cast("int")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    adc_r = F.floor(
+        F.col("adc_l").cast("double")
+        / F.lit(float(_QSCALE))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cid1", "cid2", "query_id").orderBy(
+        F.col("adc_r").desc(), F.col("neighbor_id")
+    )
+    return (
+        qtab.join(cand, ["cid1", "cid2"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "cid1", "cid2", "query_id", "neighbor_id",
+            adc_long.alias("adc_l"),
+        )
+        .select("cid1", "cid2", "query_id", "neighbor_id", adc_r.alias("adc_r"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "adc_r", "rank")
     )
