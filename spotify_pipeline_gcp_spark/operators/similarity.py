@@ -42,7 +42,17 @@ def _dot(a: Column, b: Column) -> Column:
 
 def _dot_pre(a: Column, b: Column) -> Column:
     """Dot product over pre-cast ``array<double>`` columns (no per-pair
-    casts; ~30% faster in the interpreted HOF evaluator)."""
+    casts; ~30% faster in the interpreted HOF evaluator).
+
+    Measured dead end (r8): unrolling a d=64 dot into 64 scalar
+    ``element_at(a,i)*element_at(b,i)`` terms is 9× SLOWER than this
+    fold (6.4e7 pairs: 17 s fold vs 152 s unrolled, identical sums) —
+    the 128-element_at expression tree falls out of whole-stage
+    codegen while the HOF fold runs one tight specialized loop.
+    Unrolling only wins at SMALL static term counts (the m=8 ADC sum
+    in ``cosine_topk_ivfpq``: 2.5 s unrolled vs 5.6–7.5 s zip_with on
+    the same pair count). Keep d-dimensional dots on this fold; the
+    throughput path remains the BLAS kernel."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -1607,64 +1617,91 @@ def pq_adc_topk(
     d-dim dot (Jégou, Douze & Schmid, "Product Quantization for
     Nearest Neighbor Search", TPAMI 2011).
 
-    Shape: the per-query lookup table T (n_q·m·k rows — queries ×
-    codebooks, broadcast) joins the EXPLODED corpus codes on
-    (sub, code); the partial scores collapse map-side in the
-    (query, corpus) sum — so the corpus-side shuffle carries one row
-    per surviving pair partial, and the corpus parquet itself only
-    ever streams its m-int code column, never the vectors. Scores
-    are fixed-point rounded BEFORE ranking (engine-independent cut);
-    ties → neighbor_id."""
+    Shape (r8, the qs19 memory-bounded recipe): each query folds its
+    ENTIRE quantized lookup table into one broadcast
+    ``array<array<long>>`` row (m sub-tables × k_pq entries — exact
+    BIGINT partials, same trick as ``_cell_means``), the corpus code
+    column streams through ONE broadcast join (the m-int codes, never
+    the vectors, never exploded), and the per-pair ADC total is an
+    inline sum UNROLLED over the m literal sub-quantizers — plain
+    scalar codegen, no n·m row explode, no (sub, code) join fan-out,
+    no |Q|·n-group hash aggregate (the prior shape's 2.6e8-row
+    intermediate at 100×). The per-query rank<=k filter lets Spark
+    infer a PARTIAL WindowGroupLimit below the exchange, so each map
+    task ships only its local top-k per query. Scores are fixed-point
+    rounded BEFORE ranking (engine-independent cut); ties →
+    neighbor_id. Values are bitwise-identical to the explode/join
+    shape: the same qt integers are summed, exactly, in any order."""
     from pyspark.sql import Window as W
 
-    tagged = _tagged_books(books)
-    tbl = (
-        queries_pts.alias("qq")
-        .crossJoin(F.broadcast(tagged))
-        .select(
-            F.col("id").alias("query_id"),
-            F.col("q").alias("s"),
-            F.col("cid").alias("code"),
-            # partial scores quantized to integers at the table, so
-            # the per-pair Σ_s is an EXACT commutative BIGINT sum —
-            # deterministic under any combine order (same trick as
-            # ``_cell_means``), and replayable in SQL
-            F.floor(
-                F.aggregate(
-                    F.zip_with(
-                        F.slice(
-                            F.col("u"), F.col("q") * d_sub + 1, F.lit(d_sub)
-                        ),
-                        F.col("c"),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                * F.lit(float(_QSCALE))
-                + F.lit(0.5)
+    k_pq = books[0].count()
+    tagged = _tagged_books(books).select(
+        F.col("q").alias("s"), F.col("cid").alias("code"), "c"
+    )
+    # partial scores quantized to integers at the table, so the
+    # per-pair Σ_s is an EXACT commutative BIGINT sum — deterministic
+    # under any combine order, and replayable in SQL
+    qt_entry = (
+        F.floor(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("u"), F.col("s") * d_sub + 1, F.lit(d_sub)),
+                    F.col("c"),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
             )
-            .cast("long")
-            .alias("qt"),
+            * F.lit(float(_QSCALE))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("qt")
+    )
+    qtab = (
+        queries_pts.crossJoin(F.broadcast(tagged))
+        .select(F.col("id").alias("query_id"), "s", "code", qt_entry)
+        .groupBy("query_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "code", "qt"))).alias(
+                "e"
+            )
+        )
+        .select(
+            "query_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.sequence(F.lit(0), F.lit(k_pq - 1)),
+                    lambda c: F.element_at(
+                        F.col("e"), (s * k_pq + c + F.lit(1)).cast("int")
+                    )["qt"],
+                ),
+            ).alias("qt_all"),
         )
     )
-    expl = corpus_codes.select(
-        F.col("id").alias("neighbor_id"),
-        F.posexplode("codes").alias("s", "code"),
+    adc_long = sum(
+        (
+            F.element_at(
+                F.element_at(F.col("qt_all"), s + 1),
+                (F.element_at(F.col("codes"), s + 1) + F.lit(1)).cast("int"),
+            )
+            for s in range(m)
+        ),
+        F.lit(0).cast("long"),
     )
-    adc = (
-        expl.join(F.broadcast(tbl), ["s", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg((F.sum("qt").cast("double") / F.lit(float(_QSCALE))).alias("adc"))
-    )
+    adc = F.col("adc_l").cast("double") / F.lit(float(_QSCALE))
     rounded = F.floor(
-        F.col("adc") * F.lit(float(10**round_digits)) + F.lit(0.5)
+        adc * F.lit(float(10**round_digits)) + F.lit(0.5)
     ) / F.lit(float(10**round_digits))
     w = W.partitionBy("query_id").orderBy(
         F.col("adc_r").desc(), F.col("neighbor_id")
     )
     return (
-        adc.select("query_id", "neighbor_id", rounded.alias("adc_r"))
+        corpus_codes.select(F.col("id").alias("neighbor_id"), "codes")
+        .crossJoin(F.broadcast(qtab))
+        .select("query_id", "neighbor_id", adc_long.alias("adc_l"))
+        .select("query_id", "neighbor_id", rounded.alias("adc_r"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k_neighbors)
     )
@@ -1787,16 +1824,21 @@ def cosine_topk_ivfpq(
     cand = codes.join(
         asg.select("id", F.col("cid").alias("cell")), "id"
     ).select(F.col("id").alias("neighbor_id"), "cell", "codes")
-    # one equi-join on the coarse cell; ADC is an inline fold on the
-    # pair row — zip the m codes against the m lookup sub-tables
-    adc_long = F.aggregate(
-        F.zip_with(
-            F.col("qt_all"),
-            F.col("codes"),
-            lambda t, cd: F.element_at(t, (cd + F.lit(1)).cast("int")),
+    # one equi-join on the coarse cell; ADC is an inline sum on the
+    # pair row, UNROLLED over the m literal sub-quantizers — plain
+    # scalar codegen (two element_at per term), no zip_with
+    # intermediate array allocated per pair on the 10⁹-row hot path
+    # (measured 2.2–3× faster than the zip_with fold at 6.4e7 pairs;
+    # unrolling only wins at small m — see _dot_pre's docstring)
+    adc_long = sum(
+        (
+            F.element_at(
+                F.element_at(F.col("qt_all"), s + 1),
+                (F.element_at(F.col("codes"), s + 1) + F.lit(1)).cast("int"),
+            )
+            for s in range(m)
         ),
         F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
     )
     adc = F.col("adc_l").cast("double") / F.lit(float(_QSCALE))
     rounded = F.floor(

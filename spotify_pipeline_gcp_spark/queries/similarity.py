@@ -2624,14 +2624,17 @@ def qs25_cosine_topk_imi_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = codes.join(asg.select("id", "cid1", "cid2"), "id").select(
         F.col("id").alias("neighbor_id"), "cid1", "cid2", "codes"
     )
-    adc_long = F.aggregate(
-        F.zip_with(
-            F.col("qt_all"),
-            F.col("codes"),
-            lambda t, cd: F.element_at(t, (cd + F.lit(1)).cast("int")),
+    # unrolled over the m literal sub-quantizers: plain scalar
+    # codegen, no zip_with intermediate array per pair row
+    adc_long = sum(
+        (
+            F.element_at(
+                F.element_at(F.col("qt_all"), s + 1),
+                (F.element_at(F.col("codes"), s + 1) + F.lit(1)).cast("int"),
+            )
+            for s in range(m)
         ),
         F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
     )
     adc_r = F.floor(
         F.col("adc_l").cast("double")

@@ -242,13 +242,17 @@ def test_imi_assign_single_pass_no_corpus_shuffle(spark):
 
 
 def test_pq_adc_broadcasts_table_not_corpus(spark):
-    # qs18's ADC join must broadcast the per-query lookup table; the
-    # corpus code stream stays on the probe side, and the per-pair
-    # sum is a partial (map-side combinable) aggregate
+    # qs18's ADC pairing must broadcast the folded per-query lookup
+    # tables (64 rows) against the streaming corpus code column — the
+    # corpus is never exploded, never hash-aggregated; and the
+    # rank<=k filter must infer a PARTIAL WindowGroupLimit so each
+    # map task ships only its local top-k per query into the
+    # window's exchange
     df = _q(spark, "qs18_pq_adc_topk")
     phys = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in phys, phys
-    assert "partial_sum" in phys, phys
+    assert "BroadcastNestedLoopJoin" in phys, phys
+    assert "WindowGroupLimit" in phys, phys
+    assert phys.count("Partial") >= 1, phys
 
 
 def test_duplicated_spans_single_pass_no_joins(spark):
