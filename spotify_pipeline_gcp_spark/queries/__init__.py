@@ -85,26 +85,31 @@ _WINDOW_ORDER = [
     "qt7_contamination",
     "qt8_pii_scrub",
     # changed this round: the streaming export gate's replay fix;
-    # new manifest-backed maintenance (r7 verdict #2)
+    # new manifest-backed maintenance (r7 verdict #2); the cell-local
+    # / two-level top-k rewrite (qs14/qs17/qs24 — qs3/qs5/qs9/qs11/
+    # qs7/qs13/qs16/qe2 share it and already sit in the window above)
+    # and the unrolled-ADC rewrites (qs18/qs19/qs25)
     "qst6_streaming_export_gate",
     "qs22b_ann_index_maintenance_manifest",
     "qst7_streaming_index_maintenance",
     "q50_feature_trend",
     "q51_genre_affinity",
     "qs25_cosine_topk_imi_adc",
+    "qs14_cosine_topk_ivf_kmeans_sized",
+    "qs17_cosine_topk_imi",
+    "qs24_cosine_topk_imi_multiprobe",
+    "qs18_pq_adc_topk",
+    "qs19_cosine_topk_ivfpq",
     # r6-green backfill, re-measure set first (verdict #6), then the
-    # patterns this round's new code leans on
+    # patterns this round's new code leans on. (qs15/qp5/qt1/qd3b/
+    # qd9b — r6-green, UNCHANGED this round — gave up their slots to
+    # the changed-code set above; they lead the r9 rotation.)
     "qs20_hybrid_rrf",
     "qe2_knn_label_vote",
     "qd11_incremental_near_dup",
     "qs16_cosine_topk_ivf_sample_trained",
     "qs7_cosine_topk_ivf_kmeans",
-    "qd3b_ngram_jaccard_capped",
-    "qd9b_simhash_pairs_capped",
     "qs13_cosine_topk_bucketed_sized",
-    "qs15_query_corpus_topk",
-    "qp5_export_manifest",
-    "qt1_lang_id",
 ]
 
 # Pinned-size exactness baselines (r7 verdict item #5): kept
