@@ -1915,3 +1915,86 @@ def cosine_topk_kmeans_blas_trained(
             F.col("items").alias("q_items"), F.col("items").alias("d_items")
         )
     return _blas_topk_from_combos(combos, k_neighbors)
+
+
+def cosine_topk_imi_blas(
+    df: DataFrame,
+    k_neighbors: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_each: int = 4,
+    n_iter: int = 2,
+    train_df: DataFrame | None = None,
+    blas_assign: bool = False,
+) -> DataFrame:
+    """The search-sized IMI at BLAS throughput — ``cosine_topk_imi``'s
+    model (same half-quantizer trainer, so with the same ``train_df``
+    the product cells are IDENTICAL) searched with the bucket-packed
+    Arrow/NumPy matmul kernel instead of the codegen fold: each
+    product cell (~256 vectors at the search sizing) packs into one
+    block that scores against itself in a single dgemm — no candidate
+    join at all, the ``cosine_topk_kmeans_blas_trained`` recipe with
+    the (cid1, cid2) product grid as the bucket key. The self-join
+    search stays LINEAR (~256·n multiply-adds — the IMI property);
+    the kernel changes the constant, exactly the qs16→qs23 move
+    applied to the index family whose search term already scales.
+    Float accumulation order differs from the SQL fold at ulp level,
+    so this is rows-only (the qs4/qs6/qs8/qs10/qs23 convention);
+    ``cosine_topk_imi`` is the hash-verified exactness twin over the
+    SAME cells, agreement pinned in tests/test_similarity.py.
+
+    ``blas_assign`` moves the Θ(n^1.5/16) half-assignment scoring —
+    what dominates this operator's wall once the search is dgemm —
+    into the same NumPy kernel family (the ``cosine_topk_kmeans_blas``
+    recipe: O(k·d) centroid collect, per-batch ``argmax(U @ C.T)``
+    per half; argmax-first ties to the lowest cid, matching
+    ``imi_assign``'s (dot, -cid) struct-max)."""
+    pts = _unit_vectors(df, id_col, vec_col)
+    h = _half_dim(df, vec_col)
+    tpts = (
+        _unit_vectors(train_df, id_col, vec_col)
+        if train_df is not None
+        else pts
+    )
+    cent1, cent2 = kmeans_centroids_on_halves(tpts, h, k=k_each, n_iter=n_iter)
+    if blas_assign:
+        import numpy as np
+
+        r1 = sorted((r["cid"], list(r["c"])) for r in cent1.collect())
+        r2 = sorted((r["cid"], list(r["c"])) for r in cent2.collect())
+        C1 = np.asarray([c for _, c in r1], dtype="float64")
+        cids1 = np.asarray([cid for cid, _ in r1], dtype="int64")
+        C2 = np.asarray([c for _, c in r2], dtype="float64")
+        cids2 = np.asarray([cid for cid, _ in r2], dtype="int64")
+
+        def _assign(batches):
+            import numpy as _np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                U = _np.stack(
+                    [_np.asarray(u, dtype="float64") for u in pdf["u"]]
+                )
+                b1 = cids1[_np.argmax(U[:, :h] @ C1.T, axis=1)]
+                b2 = cids2[_np.argmax(U[:, h:] @ C2.T, axis=1)]
+                yield pd.DataFrame(
+                    {"id": pdf["id"], "u": pdf["u"], "cid1": b1, "cid2": b2}
+                )
+
+        import pandas as pd  # noqa: F401 — worker-side dependency
+
+        asg = pts.mapInPandas(
+            _assign,
+            schema="id long, u array<double>, cid1 long, cid2 long",
+        )
+    else:
+        asg = imi_assign(pts, cent1, cent2, h)
+    packed = asg.select(
+        "cid1", "cid2", F.struct(F.col("id"), F.col("u").alias("v")).alias("item")
+    ).groupBy("cid1", "cid2").agg(F.collect_list("item").alias("items"))
+    combos = packed.select(
+        F.col("items").alias("q_items"), F.col("items").alias("d_items")
+    )
+    return _blas_topk_from_combos(combos, k_neighbors)

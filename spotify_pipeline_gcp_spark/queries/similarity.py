@@ -2659,3 +2659,38 @@ def qs25_cosine_topk_imi_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "adc_r", "rank")
     )
+
+
+@register("qs26_cosine_topk_imi_blas")  # rows-only: BLAS kernel
+def qs26_cosine_topk_imi_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The search-sized IMI at BLAS throughput (see
+    ``operators/similarity.py::cosine_topk_imi_blas``) — qs17's model
+    (same k_each = ceil(√(n/256)) sizing, same 'imi:' digest training
+    sample, so the trained product cells are IDENTICAL) searched by
+    packing each ~256-vector product cell into one block and scoring
+    it against itself in a single dgemm. This completes the BLAS-twin
+    matrix: sign buckets have qs4/qs6, the √n-cell IVF has qs23, and
+    the LINEAR-search index family — the one the decision table
+    routes all-corpus self-joins to — now has its throughput shape
+    too. Search stays ~256·n multiply-adds; only the constant moves.
+    Float accumulation order differs from the fold at ulp level →
+    rows-only driver row; qs17 is the hash-verified exactness twin
+    over the SAME cells (pair/rank agreement pytest-pinned)."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        cosine_topk_imi_blas,
+        imi_cells_for,
+    )
+    from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k_each = imi_cells_for(n)
+    return cosine_topk_imi_blas(
+        emb,
+        k_neighbors=5,
+        k_each=k_each,
+        n_iter=2,
+        train_df=_digest_sample(emb, "imi:", _train_frac(n, k_each)),
+        blas_assign=True,
+    )

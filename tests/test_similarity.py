@@ -797,6 +797,29 @@ def test_sized_blas_ivf_matches_sized_fold_ivf(spark):
     assert fold == blas and len(fold) > 0
 
 
+def test_sized_blas_imi_matches_sized_fold_imi(spark):
+    # qs26 (BLAS kernel) must produce the same (query, neighbor,
+    # rank) triples as qs17 (hash-verified fold) — both build the
+    # SAME search-sized sample-trained product grid ('imi:' salt),
+    # so any diff is kernel-level, and ulp-order noise must not
+    # reorder ranks on this data
+    from spotify_pipeline_gcp_spark.queries.similarity import (
+        qs17_cosine_topk_imi,
+        qs26_cosine_topk_imi_blas,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    fold = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in qs17_cosine_topk_imi(spark, sf_dir).collect()
+    }
+    blas = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in qs26_cosine_topk_imi_blas(spark, sf_dir).collect()
+    }
+    assert fold == blas and len(fold) > 0
+
+
 def test_imi_multiprobe_dominates_single_probe(spark):
     # qs24 and qs17 share ONE trained model (same 'imi:' sample) —
     # the 2x2 product probe grid can only improve each query's
