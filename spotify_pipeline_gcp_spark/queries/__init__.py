@@ -100,13 +100,14 @@ _WINDOW_ORDER = [
     "qs24_cosine_topk_imi_multiprobe",
     "qs18_pq_adc_topk",
     "qs19_cosine_topk_ivfpq",
+    "qs26_cosine_topk_imi_blas",
     # r6-green backfill, re-measure set first (verdict #6), then the
     # patterns this round's new code leans on. (qs15/qp5/qt1/qd3b/
-    # qd9b — r6-green, UNCHANGED this round — gave up their slots to
-    # the changed-code set above; they lead the r9 rotation.)
+    # qd9b/qd11 — r6-green, UNCHANGED this round — gave up their
+    # slots to the changed-code set above; they lead the r9
+    # rotation.)
     "qs20_hybrid_rrf",
     "qe2_knn_label_vote",
-    "qd11_incremental_near_dup",
     "qs16_cosine_topk_ivf_sample_trained",
     "qs7_cosine_topk_ivf_kmeans",
     "qs13_cosine_topk_bucketed_sized",
