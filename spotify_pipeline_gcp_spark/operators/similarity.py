@@ -1707,6 +1707,90 @@ def pq_adc_topk(
     )
 
 
+def _ivfpq_gather_topk(
+    qtab: DataFrame,
+    cand: DataFrame,
+    k_neighbors: int,
+    round_digits: int,
+) -> DataFrame:
+    """Per-cell cogroup + int64 table-gather ADC top-k (the
+    ``gather_kernel=True`` tail of ``cosine_topk_ivfpq``; see that
+    docstring for why this is bit-identical to the declarative
+    shape). One Arrow exchange per side keyed on the coarse cell;
+    inside each cell the kernel gathers ``scores[q, c] = Σ_s
+    QT[q, s, codes[c, s]]`` as NumPy int64 (exact — order-free),
+    applies the same IEEE double rounding, and emits the per-query
+    top-k with the (adc desc, neighbor_id asc) tie-break, splitting
+    value ties by neighbor_id BEFORE the cut so the boundary matches
+    row_number semantics. Queries are chunked so the score matrix
+    stays ≤ ~64 MB per block regardless of cell size."""
+    import numpy as np
+    import pandas as pd
+
+    qscale = float(_QSCALE)
+    rd = float(10**round_digits)
+    k = k_neighbors
+
+    def _score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "adc_r": pd.Series(dtype="float64"),
+                "rank": pd.Series(dtype="int64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        q_ids = left["query_id"].to_numpy(dtype="int64")
+        QT = np.stack(
+            [
+                np.stack([np.asarray(t, dtype="int64") for t in row])
+                for row in left["qt_all"]
+            ]
+        )  # (nq, m, k_pq)
+        n_ids = right["neighbor_id"].to_numpy(dtype="int64")
+        CD = np.stack(
+            [np.asarray(c, dtype="int64") for c in right["codes"]]
+        )  # (nc, m)
+        nc, m = CD.shape
+        out = []
+        block = max(1, (1 << 23) // nc)  # ≤ 64 MB of int64 scores
+        for lo in range(0, len(q_ids), block):
+            hi = min(lo + block, len(q_ids))
+            scores = QT[lo:hi, 0][:, CD[:, 0]].copy()
+            for s in range(1, m):
+                scores += QT[lo:hi, s][:, CD[:, s]]
+            adc = np.floor(scores.astype("float64") / qscale * rd + 0.5) / rd
+            adc[q_ids[lo:hi, None] == n_ids[None, :]] = -np.inf
+            for i in range(adc.shape[0]):
+                row = adc[i]
+                if nc > k:
+                    part = np.argpartition(-row, k - 1)
+                    thresh = row[part[k - 1]]
+                    sel = np.nonzero(row >= thresh)[0]
+                else:
+                    sel = np.arange(nc)
+                sel = sel[np.isfinite(row[sel])]
+                sel = sel[np.lexsort((n_ids[sel], -row[sel]))][:k]
+                for r, j in enumerate(sel, start=1):
+                    out.append((int(q_ids[lo + i]), int(n_ids[j]), float(row[j]), r))
+        if not out:
+            return empty
+        return pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "adc_r", "rank"]
+        )
+
+    return (
+        qtab.groupby("cell")
+        .cogroup(cand.groupby("cell"))
+        .applyInPandas(
+            _score,
+            schema="query_id long, neighbor_id long, adc_r double, rank long",
+        )
+    )
+
+
 def cosine_topk_ivfpq(
     df: DataFrame,
     k_neighbors: int = 5,
@@ -1719,6 +1803,7 @@ def cosine_topk_ivfpq(
     n_iter: int = 2,
     round_digits: int = 6,
     train_df: DataFrame | None = None,
+    gather_kernel: bool = False,
 ) -> DataFrame:
     """IVF+PQ — the composed index (FAISS ``IVFx,PQy``, Jégou et al.
     2011): a TRAINED coarse quantizer bounds candidates to same-cell
@@ -1755,6 +1840,20 @@ def cosine_topk_ivfpq(
     The quantized per-sub integers, their sum, and the fixed-point
     rounding are bit-identical to the previous shape, so the SQL
     oracle replays unchanged — only the physical plan moved.
+
+    ``gather_kernel=True`` (qs27) swaps the pair-join + window tail
+    for a per-cell cogroup + NumPy table-gather kernel — FAISS's
+    actual per-inverted-list scan. UNLIKE the float BLAS twins this
+    stays HASH-VERIFIED against the same oracle: the ADC partials are
+    exact int64, so their sum is accumulation-order-independent, and
+    the final double rounding is the same IEEE op sequence — the
+    kernel cannot change a single output bit. What it changes is the
+    physical cost: no n²/k joined pair ROWS are ever materialized
+    (the join output row carries the ~0.5 kB qt_all payload per pair
+    — ~500 GB of row traffic at the 100× point — and the top-k sorts
+    the full pair stream); the kernel gathers scores as one
+    (queries × candidates) int64 matrix per cell, block-chunked to
+    ~64 MB so per-task memory is flat in cell size.
     """
     from pyspark.sql import Window as W
 
@@ -1824,6 +1923,8 @@ def cosine_topk_ivfpq(
     cand = codes.join(
         asg.select("id", F.col("cid").alias("cell")), "id"
     ).select(F.col("id").alias("neighbor_id"), "cell", "codes")
+    if gather_kernel:
+        return _ivfpq_gather_topk(qtab, cand, k_neighbors, round_digits)
     # one equi-join on the coarse cell; ADC is an inline sum on the
     # pair row, UNROLLED over the m literal sub-quantizers — plain
     # scalar codegen (two element_at per term), no zip_with

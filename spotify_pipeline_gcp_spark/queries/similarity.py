@@ -2694,3 +2694,39 @@ def qs26_cosine_topk_imi_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_df=_digest_sample(emb, "imi:", _train_frac(n, k_each)),
         blas_assign=True,
     )
+
+
+@register("qs27_cosine_topk_ivfpq_gather", oracle=_ivfpq_oracle(64, 4, 16, 2, 5))
+def qs27_cosine_topk_ivfpq_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qs19's composed IVF+PQ index served by the per-cell NumPy
+    table-GATHER kernel (``cosine_topk_ivfpq(gather_kernel=True)``) —
+    FAISS's actual inverted-list scan shape. The interesting property:
+    unlike the float BLAS twins (qs23/qs26, rows-only), this kernel
+    query is HASH-VERIFIED against qs19's unchanged oracle, because
+    compressed-domain ADC scoring is exact int64 arithmetic — the
+    sum of quantized lookups is accumulation-order-independent, so a
+    vectorized gather cannot change one output bit. Same model, same
+    'ivfpq:' shared digest sample, same sizing; what moves is the
+    physical cost — the declarative shape materializes n²/k joined
+    pair ROWS (each dragging the ~0.5 kB per-query lookup table) and
+    sorts the full pair stream for the top-k window, while the kernel
+    builds one block-chunked (queries × candidates) int64 matrix per
+    cell and emits only top-k rows. The throughput path for the
+    100 TB compressed index that LOSES NO verification strength."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+        trained_cells_for,
+    )
+    from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = trained_cells_for(n)
+    return cosine_topk_ivfpq(
+        emb,
+        k_neighbors=5,
+        n_clusters=k,
+        train_df=_digest_sample(emb, "ivfpq:", _train_frac(n, k)),
+        gather_kernel=True,
+    )

@@ -886,3 +886,24 @@ def test_manifest_maintenance_matches_self_contained(spark, tmp_path, monkeypatc
     }
     assert rebuilt == want
     assert os.path.getmtime(os.path.join(path, "meta.json")) != built_at
+
+
+def test_ivfpq_gather_kernel_matches_declarative(spark):
+    # qs27 (cogroup + NumPy int64 gather) must reproduce qs19's
+    # output EXACTLY — same model, and integer ADC makes the kernel
+    # bit-identical, so full row equality (not just pair sets)
+    from spotify_pipeline_gcp_spark.queries.similarity import (
+        qs19_cosine_topk_ivfpq,
+        qs27_cosine_topk_ivfpq_gather,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    decl = {
+        (r.query_id, r.neighbor_id, r.adc_r, r.rank)
+        for r in qs19_cosine_topk_ivfpq(spark, sf_dir).collect()
+    }
+    gath = {
+        (r.query_id, r.neighbor_id, r.adc_r, r.rank)
+        for r in qs27_cosine_topk_ivfpq_gather(spark, sf_dir).collect()
+    }
+    assert decl == gath and len(decl) > 0
