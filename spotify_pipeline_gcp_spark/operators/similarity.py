@@ -640,21 +640,30 @@ def _argmax_assign(pts: DataFrame, centroids: DataFrame) -> DataFrame:
     row per point instead of shuffling every (point × centroid) pair
     WITH its vector payload through a sort (measured ~25% off
     training wall-clock; at scale it is the difference between an
-    O(n) and an O(n·k) shuffle of vector-width rows). ``first(u)``
-    is deterministic here — every row in an id-group carries the
-    same u."""
-    return (
+    O(n) and an O(n·k) shuffle of vector-width rows).
+
+    The scored stream drops ``u`` BEFORE the aggregate and joins it
+    back by id afterwards (r8): carrying the d-double payload through
+    the n·k join→project→agg pipeline as a ``first(u)`` buffer made
+    every scored row and every partial-agg buffer vector-width —
+    measured 141 s vs 79 s for the u-free agg + join-back at the
+    100× ladder point, with assignments verified identical row for
+    row. The join shuffles n vector-width rows — the same volume the
+    old agg exchange carried — so nothing gets heavier downstream."""
+    best = (
         pts.crossJoin(F.broadcast(centroids))
-        .withColumn("dot", _dot_pre(F.col("u"), F.col("c")))
+        .select(
+            "id", _dot_pre(F.col("u"), F.col("c")).alias("dot"), "cid"
+        )
         .groupBy("id")
         .agg(
             F.max(
                 F.struct(F.col("dot"), (-F.col("cid")).alias("ncid"))
-            ).alias("best"),
-            F.first("u").alias("u"),
+            ).alias("best")
         )
-        .select("id", "u", (-F.col("best.ncid")).cast("long").alias("cid"))
+        .select("id", (-F.col("best.ncid")).cast("long").alias("cid"))
     )
+    return pts.join(best, "id").select("id", "u", "cid")
 
 
 def _unit_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -967,8 +976,9 @@ def _topn_probes(pts: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame
     which guarantees ``probe_rank`` 1 == the assigned cell (so
     callers needing the assignment filter on it instead of scoring
     the points a second time)."""
-    scored = pts.crossJoin(F.broadcast(centroids)).withColumn(
-        "dot", _dot_pre(F.col("u"), F.col("c"))
+    # u-free scored stream + join-back (the _argmax_assign r8 fix)
+    scored = pts.crossJoin(F.broadcast(centroids)).select(
+        "id", _dot_pre(F.col("u"), F.col("c")).alias("dot"), "cid"
     )
     best = scored.groupBy("id").agg(
         F.slice(
@@ -977,15 +987,16 @@ def _topn_probes(pts: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame
             ),
             1,
             nprobe,
-        ).alias("top"),
-        F.first("u").alias("u"),
+        ).alias("top")
     )
-    return best.select("id", "u", F.posexplode("top").alias("pos", "p")).select(
+    probes = best.select(
+        "id", F.posexplode("top").alias("pos", "p")
+    ).select(
         "id",
-        "u",
         F.col("p.cid").alias("cid"),
         (F.col("pos") + 1).cast("long").alias("probe_rank"),
     )
+    return pts.join(probes, "id").select("id", "u", "cid", "probe_rank")
 
 
 def cosine_topk_kmeans_multiprobe(
@@ -1221,19 +1232,25 @@ def imi_assign(
     c1 = cent1.select(F.lit(1).alias("q"), "cid", "c")
     c2 = cent2.select(F.lit(2).alias("q"), "cid", "c")
     cents = c1.unionByName(c2)
+    # the scored stream carries ONLY (id, q, cid, dot) — the full
+    # vector and both half-slices are dropped before the aggregate
+    # and u is joined back by id afterwards (the _argmax_assign r8
+    # fix: a first(u) buffer made every scored row and agg buffer
+    # vector-width; here the naive stream carried u AND u1 AND u2)
     halved = pts.select(
         "id",
-        "u",
         F.slice("u", 1, d_half).alias("u1"),
         F.slice("u", d_half + 1, d_half).alias("u2"),
     )
-    scored = halved.crossJoin(F.broadcast(cents)).withColumn(
-        "dot",
-        F.when(
-            F.col("q") == 1, _dot_pre(F.col("u1"), F.col("c"))
-        ).otherwise(_dot_pre(F.col("u2"), F.col("c"))),
+    scored = halved.crossJoin(F.broadcast(cents)).select(
+        "id",
+        "q",
+        "cid",
+        F.when(F.col("q") == 1, _dot_pre(F.col("u1"), F.col("c")))
+        .otherwise(_dot_pre(F.col("u2"), F.col("c")))
+        .alias("dot"),
     )
-    return (
+    best = (
         scored.groupBy("id")
         .agg(
             F.max(
@@ -1248,15 +1265,14 @@ def imi_assign(
                     F.struct(F.col("dot"), (-F.col("cid")).alias("ncid")),
                 )
             ).alias("b2"),
-            F.first("u").alias("u"),
         )
         .select(
             "id",
-            "u",
             (-F.col("b1.ncid")).cast("long").alias("cid1"),
             (-F.col("b2.ncid")).cast("long").alias("cid2"),
         )
     )
+    return pts.join(best, "id").select("id", "u", "cid1", "cid2")
 
 
 def cosine_topk_imi(
