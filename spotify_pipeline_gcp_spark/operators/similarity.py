@@ -1580,9 +1580,11 @@ def pq_encode(
     self-joined. 64 float dims become m small ints — the compressed
     representation a 100 TB index actually stores."""
     tagged = _tagged_books(books)
+    # the scored stream carries only the m half-slices — not the full
+    # vector, which the codes output never uses (the r8 vector-payload
+    # rule: nothing data-sized rides through an n·k aggregate)
     withsubs = pts.select(
         "id",
-        "u",
         *[
             F.slice("u", s * d_sub + 1, d_sub).alias(f"u{s}")
             for s in range(m)
@@ -1650,51 +1652,14 @@ def pq_adc_topk(
     shape: the same qt integers are summed, exactly, in any order."""
     from pyspark.sql import Window as W
 
-    k_pq = books[0].count()
-    tagged = _tagged_books(books).select(
-        F.col("q").alias("s"), F.col("cid").alias("code"), "c"
-    )
-    # partial scores quantized to integers at the table, so the
-    # per-pair Σ_s is an EXACT commutative BIGINT sum — deterministic
-    # under any combine order, and replayable in SQL
-    qt_entry = (
-        F.floor(
-            F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("u"), F.col("s") * d_sub + 1, F.lit(d_sub)),
-                    F.col("c"),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            * F.lit(float(_QSCALE))
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("qt")
-    )
-    qtab = (
-        queries_pts.crossJoin(F.broadcast(tagged))
-        .select(F.col("id").alias("query_id"), "s", "code", qt_entry)
-        .groupBy("query_id")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("s", "code", "qt"))).alias(
-                "e"
-            )
-        )
-        .select(
-            "query_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.transform(
-                    F.sequence(F.lit(0), F.lit(k_pq - 1)),
-                    lambda c: F.element_at(
-                        F.col("e"), (s * k_pq + c + F.lit(1)).cast("int")
-                    )["qt"],
-                ),
-            ).alias("qt_all"),
-        )
+    # per-query quantized lookup table as ONE projection over the
+    # LITERAL codebooks (exact BIGINT partials — the per-pair Σ_s is
+    # a commutative integer sum, deterministic under any order and
+    # replayable in SQL); see _qt_all_literal for why there is no
+    # crossJoin/groupBy assembly
+    qtab = queries_pts.select(
+        F.col("id").alias("query_id"),
+        _qt_all_literal(books, m, d_sub).alias("qt_all"),
     )
     adc_long = sum(
         (
@@ -1720,6 +1685,54 @@ def pq_adc_topk(
         .select("query_id", "neighbor_id", rounded.alias("adc_r"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k_neighbors)
+    )
+
+
+def _qt_all_literal(
+    books: list[DataFrame], m: int, d_sub: int, u_col: str = "u"
+) -> Column:
+    """Per-point quantized ADC lookup table ``qt_all[s][code]`` as ONE
+    projection over literal codebooks — no crossJoin, no groupBy.
+
+    The r8 pre-literal build crossJoined every point with the m·k_pq
+    tagged codebook rows and re-assembled the table with
+    ``groupBy(id).agg(sort_array(collect_list(...)))`` — measured at
+    the 100× ladder point, that aggregate alone was ~600 s of
+    qs19/qs27's ~870 s wall (the scored stream itself: 15 s). The
+    codebooks are O(m·k_pq·d_sub) MODEL state (4·16·16 doubles here),
+    so they belong in the plan as literals — the same collect-the-
+    model convention as every trainer. Each entry replays the exact
+    oracle arithmetic: floor(fold(slice(u) · c) · QSCALE + 0.5), with
+    the same left-to-right fold over the same doubles (F.lit
+    round-trips the collected float64 exactly), so every hash-verified
+    consumer stays bit-identical."""
+    rows: dict[tuple[int, int], list[float]] = {}
+    k_pq = 0
+    for s, b in enumerate(books):
+        for r in b.collect():
+            rows[(s, int(r["cid"]))] = [float(x) for x in r["c"]]
+            k_pq = max(k_pq, int(r["cid"]) + 1)
+
+    def entry(s: int, code: int) -> Column:
+        c = rows[(s, code)]
+        zipped = F.zip_with(
+            F.slice(F.col(u_col), s * d_sub + 1, d_sub),
+            F.array(*[F.lit(x) for x in c]),
+            lambda x, y: x * y,
+        )
+        return (
+            F.floor(
+                F.aggregate(zipped, F.lit(0.0), lambda a, v: a + v)
+                * F.lit(float(_QSCALE))
+                + F.lit(0.5)
+            )
+        ).cast("long")
+
+    return F.array(
+        *[
+            F.array(*[entry(s, code) for code in range(k_pq)])
+            for s in range(m)
+        ]
     )
 
 
@@ -1889,52 +1902,14 @@ def cosine_topk_ivfpq(
     asg = _argmax_assign(pts, cent)
     books = pq_codebooks(tpts, m=m, d_sub=d_sub, k_pq=k_pq, n_iter=n_iter)
     codes = pq_encode(pts, books, m=m, d_sub=d_sub)
-    tagged = _tagged_books(books).select(
-        F.col("q").alias("s"), F.col("cid").alias("code"), "c"
-    )
-    # per-point quantized lookup table, folded into ONE
-    # array<array<long>> column (qt_all[s][code], 1-based inner
-    # index): the n·m·k_pq scoring rows exist only inside a linear,
-    # map-side-combining aggregate — never joined, never re-keyed
-    qt_entry = (
-        F.floor(
-            F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("u"), F.col("s") * d_sub + 1, F.lit(d_sub)),
-                    F.col("c"),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            * F.lit(float(_QSCALE))
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("qt")
-    )
-    qtab = (
-        asg.crossJoin(F.broadcast(tagged))
-        .select("id", F.col("cid").alias("cell"), "s", "code", qt_entry)
-        .groupBy("id", "cell")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("s", "code", "qt"))
-            ).alias("e")
-        )
-        .select(
-            F.col("id").alias("query_id"),
-            "cell",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.transform(
-                    F.sequence(F.lit(0), F.lit(k_pq - 1)),
-                    lambda c: F.element_at(
-                        F.col("e"), (s * k_pq + c + F.lit(1)).cast("int")
-                    )["qt"],
-                ),
-            ).alias("qt_all"),
-        )
+    # per-point quantized lookup table as ONE projection over the
+    # LITERAL codebooks (qt_all[s][code], 1-based inner index) — see
+    # _qt_all_literal for the measured reason there is no crossJoin
+    # and no groupBy here
+    qtab = asg.select(
+        F.col("id").alias("query_id"),
+        F.col("cid").alias("cell"),
+        _qt_all_literal(books, m, d_sub).alias("qt_all"),
     )
     cand = codes.join(
         asg.select("id", F.col("cid").alias("cell")), "id"

@@ -2547,7 +2547,7 @@ def qs25_cosine_topk_imi_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-model composition is hash-verified."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         _QSCALE,
-        _tagged_books,
+        _qt_all_literal,
         _unit_vectors,
         imi_assign,
         imi_cells_for,
@@ -2577,49 +2577,15 @@ def qs25_cosine_topk_imi_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_codebooks(strain, m=m, d_sub=d_sub, k_pq=k_pq, n_iter=2)
     codes = pq_encode(pts, books, m=m, d_sub=d_sub)
 
-    tagged = _tagged_books(books).select(
-        F.col("q").alias("s"), F.col("cid").alias("code"), "c"
-    )
-    qt_entry = (
-        F.floor(
-            F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("u"), F.col("s") * d_sub + 1, F.lit(d_sub)),
-                    F.col("c"),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            * F.lit(float(_QSCALE))
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("qt")
-    )
-    qtab = (
-        asg.crossJoin(F.broadcast(tagged))
-        .select("id", "cid1", "cid2", "s", "code", qt_entry)
-        .groupBy("id", "cid1", "cid2")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("s", "code", "qt"))
-            ).alias("e")
-        )
-        .select(
-            F.col("id").alias("query_id"),
-            "cid1",
-            "cid2",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.transform(
-                    F.sequence(F.lit(0), F.lit(k_pq - 1)),
-                    lambda c: F.element_at(
-                        F.col("e"), (s * k_pq + c + F.lit(1)).cast("int")
-                    )["qt"],
-                ),
-            ).alias("qt_all"),
-        )
+    # per-point lookup table as ONE projection over the LITERAL
+    # codebooks — no crossJoin/groupBy assembly (the r8-late fix:
+    # that aggregate alone was ~600 s of qs19's 100× wall; see
+    # operators/similarity.py::_qt_all_literal)
+    qtab = asg.select(
+        F.col("id").alias("query_id"),
+        "cid1",
+        "cid2",
+        _qt_all_literal(books, m, d_sub).alias("qt_all"),
     )
     cand = codes.join(asg.select("id", "cid1", "cid2"), "id").select(
         F.col("id").alias("neighbor_id"), "cid1", "cid2", "codes"
