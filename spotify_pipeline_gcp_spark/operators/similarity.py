@@ -1783,32 +1783,50 @@ def _ivfpq_gather_topk(
             [np.asarray(c, dtype="int64") for c in right["codes"]]
         )  # (nc, m)
         nc, m = CD.shape
-        out = []
+        parts = []
         block = max(1, (1 << 23) // nc)  # ≤ 64 MB of int64 scores
         for lo in range(0, len(q_ids), block):
             hi = min(lo + block, len(q_ids))
+            nb = hi - lo
             scores = QT[lo:hi, 0][:, CD[:, 0]].copy()
             for s in range(1, m):
                 scores += QT[lo:hi, s][:, CD[:, s]]
             adc = np.floor(scores.astype("float64") / qscale * rd + 0.5) / rd
             adc[q_ids[lo:hi, None] == n_ids[None, :]] = -np.inf
-            for i in range(adc.shape[0]):
-                row = adc[i]
-                if nc > k:
-                    part = np.argpartition(-row, k - 1)
-                    thresh = row[part[k - 1]]
-                    sel = np.nonzero(row >= thresh)[0]
-                else:
-                    sel = np.arange(nc)
-                sel = sel[np.isfinite(row[sel])]
-                sel = sel[np.lexsort((n_ids[sel], -row[sel]))][:k]
-                for r, j in enumerate(sel, start=1):
-                    out.append((int(q_ids[lo + i]), int(n_ids[j]), float(row[j]), r))
-        if not out:
+            # fully vectorized per-row top-k with row_number tie
+            # semantics: keep every entry >= the row's k-th value
+            # (ties included), lexsort by (row, -adc, neighbor_id),
+            # rank by position within row, cut at k — no per-query
+            # Python loop (the loop was ~ms per query: the measured
+            # wall at 200k queries)
+            mask = np.isfinite(adc)
+            if nc > k:
+                kth = np.argpartition(-adc, k - 1, axis=1)[:, k - 1]
+                thresh = adc[np.arange(nb), kth]
+                mask &= adc >= thresh[:, None]
+            ri, ci = np.nonzero(mask)
+            if len(ri) == 0:
+                continue
+            vals = adc[ri, ci]
+            nids = n_ids[ci]
+            order = np.lexsort((nids, -vals, ri))
+            ri, vals, nids = ri[order], vals[order], nids[order]
+            starts = np.searchsorted(ri, np.arange(nb))
+            ranks = np.arange(len(ri)) - starts[ri] + 1
+            keep = ranks <= k
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "query_id": q_ids[lo + ri[keep]],
+                        "neighbor_id": nids[keep],
+                        "adc_r": vals[keep],
+                        "rank": ranks[keep].astype("int64"),
+                    }
+                )
+            )
+        if not parts:
             return empty
-        return pd.DataFrame(
-            out, columns=["query_id", "neighbor_id", "adc_r", "rank"]
-        )
+        return pd.concat(parts, ignore_index=True)
 
     return (
         qtab.groupby("cell")
