@@ -101,12 +101,11 @@ _WINDOW_ORDER = [
     "qs18_pq_adc_topk",
     "qs19_cosine_topk_ivfpq",
     "qs26_cosine_topk_imi_blas",
-    # r6-green backfill, re-measure set first (verdict #6), then the
-    # patterns this round's new code leans on. (qs15/qp5/qt1/qd3b/
-    # qd9b/qd11 — r6-green, UNCHANGED this round — gave up their
-    # slots to the changed-code set above; they lead the r9
-    # rotation.)
-    "qs20_hybrid_rrf",
+    "qs27_cosine_topk_ivfpq_gather",
+    # r6-green backfill: the re-measure set's entries whose CODE
+    # changed this round. (qs15/qp5/qt1/qd3b/qd9b/qd11/qs20 —
+    # r6-green, UNCHANGED this round — gave up their slots to the
+    # changed/new-code set above; they lead the r9 rotation.)
     "qe2_knn_label_vote",
     "qs16_cosine_topk_ivf_sample_trained",
     "qs7_cosine_topk_ivf_kmeans",
