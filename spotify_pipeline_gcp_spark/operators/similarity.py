@@ -64,11 +64,27 @@ def _double_base(
     df: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """(id, v: array<double>, norm) — cast + norm computed once per
-    vector, before any pair join multiplies the row count."""
+    vector, before any pair join multiplies the row count.
+
+    The scan is REPARTITIONED to full cluster width first (r8): the
+    embeddings parquet splits into few, large input partitions
+    (13 × ~9 MB at the 100× ladder point under 128 MB
+    maxPartitionBytes), and every downstream interpreted-fold
+    pipeline — assignment scoring, encode, pair scoring — FUSES into
+    that stage, capping the engine's hottest CPU work at the scan's
+    split count (measured: the dominant qs19 stage ran 727 s on 13
+    of 32 cores). One linear n-row exchange here buys full-width
+    parallelism for every fold stage above it; the explicit
+    partition NUMBER keeps AQE from coalescing the exchange back
+    down (vector bytes per partition are small — the cost downstream
+    is CPU per row, which AQE's size heuristic cannot see)."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return df.select(
-        F.col(id_col).alias("id"), vd.alias("v")
-    ).withColumn("norm", F.sqrt(_dot_pre(F.col("v"), F.col("v"))))
+    return (
+        df.repartition(n_part)
+        .select(F.col(id_col).alias("id"), vd.alias("v"))
+        .withColumn("norm", F.sqrt(_dot_pre(F.col("v"), F.col("v"))))
+    )
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
