@@ -104,6 +104,9 @@ HEADLINE_EXT = [
     "qst7_streaming_index_maintenance",
     "q50_feature_trend",
     "q51_genre_affinity",
+    "qs26_cosine_topk_imi_blas",
+    "qs27_cosine_topk_ivfpq_gather",
+    "qst8_streaming_ann_serving",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative
@@ -237,6 +240,16 @@ def main() -> None:
             del compact["queries"][name]
             compact["queries_elided"] = len(names) - len(compact["queries"])
             break
+    # Last-ditch guard (ADVICE r8): if the FIXED payload alone ever
+    # outgrows the budget (eliding every query is not enough), drop
+    # _calibration — it is already persisted in BENCH.json — rather
+    # than print a line the driver's 2000-char tail would truncate
+    # into unparseable JSON.
+    if (
+        len(json.dumps(compact, separators=(",", ":"))) > stdout_budget
+        and "_calibration" in compact
+    ):
+        del compact["_calibration"]
     print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 

@@ -904,10 +904,16 @@ def write_index_manifest(
     maintainer then pays O(|delta|·k) per batch instead of the ×149
     corpus recount the self-contained qs22 query measures.
 
-    The write is ATOMIC: everything stages into a uuid-suffixed tmp
-    directory that renames into place, so a concurrent reader never
-    sees a half-written manifest and a concurrent builder loses only
-    its redundant copy."""
+    The write stages everything into a uuid-suffixed tmp directory
+    that renames into place, so a reader never sees a HALF-WRITTEN
+    manifest and a concurrent builder loses only its redundant copy.
+    Replacing a stale manifest is two renames (old aside, new in) —
+    POSIX rename cannot replace a non-empty directory, so a reader
+    racing exactly between them can see the path MISSING for a
+    moment (never partial); ``read_index_manifest`` absorbs that
+    transient with one retry. The aside-dir is deleted only AFTER
+    the new manifest is live, so mid-read file handles on the old
+    generation stay valid through the swap on POSIX semantics."""
     import json
     import os
     import shutil
@@ -923,33 +929,46 @@ def write_index_manifest(
     cells.write.mode("overwrite").parquet(os.path.join(tmp, "cells"))
     with open(os.path.join(tmp, "meta.json"), "w") as fh:
         json.dump(meta or {}, fh)
+    old = None
     if os.path.isdir(path):
-        # replacing a STALE manifest: move it aside (atomic for any
-        # concurrent reader mid-open) before the new one renames in
+        # replacing a STALE manifest: move it aside — but keep it on
+        # disk until the replacement is live (see docstring)
         old = f"{path}.old.{token}"
         try:
             os.rename(path, old)
-            shutil.rmtree(old, ignore_errors=True)
         except OSError:
-            pass
+            old = None
     try:
         os.rename(tmp, path)
     except OSError:
         # lost a build race: a complete manifest is already in place
         shutil.rmtree(tmp, ignore_errors=True)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def read_index_manifest(spark, path: str):
     """(centroids_df, cells_df, meta_dict) from a
-    ``write_index_manifest`` directory."""
+    ``write_index_manifest`` directory. One retry absorbs the
+    transient between a concurrent replacer's two renames (the path
+    can be briefly MISSING mid-swap — never half-written; see the
+    writer's docstring)."""
     import json
     import os
+    import time
 
-    cent = spark.read.parquet(os.path.join(path, "centroids"))
-    cells = spark.read.parquet(os.path.join(path, "cells"))
-    with open(os.path.join(path, "meta.json")) as fh:
-        meta = json.load(fh)
-    return cent, cells, meta
+    def _read():
+        cent = spark.read.parquet(os.path.join(path, "centroids"))
+        cells = spark.read.parquet(os.path.join(path, "cells"))
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        return cent, cells, meta
+
+    try:
+        return _read()
+    except Exception:
+        time.sleep(0.2)
+        return _read()
 
 
 def maintain_index(
@@ -1730,7 +1749,14 @@ def _qt_all_literal(
             k_pq = max(k_pq, int(r["cid"]) + 1)
 
     def entry(s: int, code: int) -> Column:
-        c = rows[(s, code)]
+        # k_pq is the global max cid+1 across ALL books; a sub-codebook
+        # that lost a mid-range cid to an empty Lloyd cluster (or just
+        # has a smaller max) legitimately lacks that (s, code) entry.
+        # Such codes can never appear in pq_encode output for that s,
+        # so the table slot is dead — emit literal 0 instead of raising.
+        c = rows.get((s, code))
+        if c is None:
+            return F.lit(0).cast("long")
         zipped = F.zip_with(
             F.slice(F.col(u_col), s * d_sub + 1, d_sub),
             F.array(*[F.lit(x) for x in c]),
@@ -1867,6 +1893,8 @@ def cosine_topk_ivfpq(
     round_digits: int = 6,
     train_df: DataFrame | None = None,
     gather_kernel: bool = False,
+    cent: DataFrame | None = None,
+    books: list[DataFrame] | None = None,
 ) -> DataFrame:
     """IVF+PQ — the composed index (FAISS ``IVFx,PQy``, Jégou et al.
     2011): a TRAINED coarse quantizer bounds candidates to same-cell
@@ -1932,9 +1960,14 @@ def cosine_topk_ivfpq(
         if train_df is not None
         else pts
     )
-    cent = kmeans_centroids_on(tpts, k=n_clusters, n_iter=n_iter)
+    # ``cent``/``books`` accept a PRE-TRAINED model (the FAISS serving
+    # split: train once, search many — qs19/qs27 share one memoized
+    # 'ivfpq:' model this way); when absent, train here on ``tpts``.
+    if cent is None:
+        cent = kmeans_centroids_on(tpts, k=n_clusters, n_iter=n_iter)
     asg = _argmax_assign(pts, cent)
-    books = pq_codebooks(tpts, m=m, d_sub=d_sub, k_pq=k_pq, n_iter=n_iter)
+    if books is None:
+        books = pq_codebooks(tpts, m=m, d_sub=d_sub, k_pq=k_pq, n_iter=n_iter)
     codes = pq_encode(pts, books, m=m, d_sub=d_sub)
     # per-point quantized lookup table as ONE projection over the
     # LITERAL codebooks (qt_all[s][code], 1-based inner index) — see
@@ -2074,7 +2107,16 @@ def cosine_topk_imi_blas(
     into the same NumPy kernel family (the ``cosine_topk_kmeans_blas``
     recipe: O(k·d) centroid collect, per-batch ``argmax(U @ C.T)``
     per half; argmax-first ties to the lowest cid, matching
-    ``imi_assign``'s (dot, -cid) struct-max)."""
+    ``imi_assign``'s (dot, -cid) struct-max at EXACT ties). Caveat
+    (r9, ADVICE): dgemm accumulation order differs from the fold at
+    ulp level, so when two cells' dots are within an ulp the two
+    assigners can legitimately disagree — "product cells IDENTICAL
+    to the fold" is a data-dependent observation (it holds on the
+    test corpora, pinned in tests/test_similarity.py), not an
+    arithmetic guarantee. Pinning it would mean quantizing dots in
+    BOTH assigners, which would perturb ``imi_assign``'s
+    hash-verified oracle consumers — not worth it for a rows-only
+    throughput twin."""
     pts = _unit_vectors(df, id_col, vec_col)
     h = _half_dim(df, vec_col)
     tpts = (

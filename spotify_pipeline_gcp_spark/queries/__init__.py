@@ -34,82 +34,77 @@ REGISTRY: dict[str, QuerySpec] = {}
 # now an explicit list edit: ``_WINDOW_ORDER`` below is applied after
 # module import, so module order no longer determines the window.
 #
-# Round-8 window (r7 verdict item #1 — retire the r5 staleness debt):
-# leads with ALL 33 queries whose LAST driver row is r5 (by r8 those
-# rows are three rounds stale: q17–q22, qd9, qe1, qm3/qm4, qp4,
-# qs1–qs3/qs5/qs8–qs12, qsp2–qsp4, qst2/qst4/qst5, qt2–qt8), then
-# the queries whose CODE changed this round (qst6 — the export-gate
-# replay fix — plus any new registrations), then backfills with
-# r6-green rows, prioritizing the ones the r7 verdict asks to
-# re-measure (qs20/qe2 shared gram helpers; qd11 whose stored-store
-# pattern the new manifest maintenance reuses; qs16 which shares the
-# 'ivf:' model with qs23) and the promoted capped defaults
-# (qd3b/qd9b). Out of window: the remaining r6-green rows (2 rounds
-# stale at r8 — first in line for r9) and everything r7-green.
-# Run tools/window_check.py after any registration change;
-# tools/selfcheck.py re-verifies the FULL registry every round.
+# Round-9 window (r8 verdict item #2 — retire the r6 staleness debt):
+# leads with ALL 39 queries whose LAST driver row is r6 (the
+# cross-round union in VERDICT r8; at r9 they'd be 3 rounds stale),
+# then the queries whose CODE changed this round — the trained-model
+# memoization path (qs18/qs19/qs25/qs27 share memoized 'pqtr:'/
+# 'ivfpq:'/'imi:' literals now), the content-sensitive manifest
+# fingerprint (qs22b/qst7), and the new streaming ANN serving
+# (qst8) — then backfills with r7-green rows led by the flagship
+# and qs22b's self-contained sibling. Out of window: the remaining
+# r7-green rows (2 rounds stale at r9 — first in line for r10) and
+# everything r8-green. Run tools/window_check.py after any
+# registration change; tools/selfcheck.py re-verifies the FULL
+# registry every round.
 _WINDOW_ORDER = [
-    # r5-stale breadth — the rotation debt named in VERDICT r7
-    # "What's missing" #1 (all 33)
-    "q17_json_extract",
-    "q18_complete_year",
-    "q19_distinct_count",
-    "q20_pivot_event_types",
-    "q21_rollup",
-    "q22_regional_revenue",
-    "qd9_simhash_pairs",
-    "qe1_label_centroids",
-    "qm3_payload_features",
-    "qm4_frame_sample",
-    "qp4_curriculum_buckets",
-    "qs1_embed_norms",
-    "qs2_cosine_topk",
-    "qs3_cosine_topk_bucketed",
-    "qs5_cosine_topk_multiprobe",
-    "qs8_cosine_topk_ivf_kmeans_blas",
-    "qs9_filtered_ann",
-    "qs10_ann_full_blas",
-    "qs11_cosine_topk_ivf_kmeans_multiprobe",
-    "qs12_embedding_quantize",
-    "qsp2_split_assign",
-    "qsp3_stratified_sample",
-    "qsp4_domain_mixture",
-    "qst2_streaming_sessionize",
-    "qst4_streaming_stateful_totals",
-    "qst5_streaming_incremental_near_dup",
-    "qt2_quality_score",
-    "qt3_token_stats",
-    "qt4_fingerprint",
-    "qt5_token_bpeish",
-    "qt6_repetition_filter",
-    "qt7_contamination",
-    "qt8_pii_scrub",
-    # changed this round: the streaming export gate's replay fix;
-    # new manifest-backed maintenance (r7 verdict #2); the cell-local
-    # / two-level top-k rewrite (qs14/qs17/qs24 — qs3/qs5/qs9/qs11/
-    # qs7/qs13/qs16/qe2 share it and already sit in the window above)
-    # and the unrolled-ADC rewrites (qs18/qs19/qs25)
-    "qst6_streaming_export_gate",
-    "qs22b_ann_index_maintenance_manifest",
-    "qst7_streaming_index_maintenance",
-    "q50_feature_trend",
-    "q51_genre_affinity",
-    "qs25_cosine_topk_imi_adc",
-    "qs14_cosine_topk_ivf_kmeans_sized",
-    "qs17_cosine_topk_imi",
-    "qs24_cosine_topk_imi_multiprobe",
+    # r6-stale breadth — VERDICT r8 "What's missing" #2 (all 39)
+    "q23_full_outer_join",
+    "q29_window_lag_lead",
+    "q49_grouping_sets",
+    "qd10_semantic_dedup_components",
+    "qd11_incremental_near_dup",
+    "qd12_keep_best_per_cluster",
+    "qd13_duplicated_spans",
+    "qd1_dedup_exact_groups",
+    "qd2_dedup_exact_keep",
+    "qd3_ngram_jaccard_pairs",
+    "qd3b_ngram_jaccard_capped",
+    "qd4_minhash_signatures",
+    "qd5_minhash_lsh_pairs",
+    "qd6_simhash",
+    "qd7_embedding_near_dup",
+    "qd7b_embedding_near_dup_pruned",
+    "qd8_dedup_components",
+    "qd9b_simhash_pairs_capped",
+    "qk1_salted_agg",
+    "qm1_binary_meta",
+    "qm2_image_decode_meta",
+    "qp1_corpus_prep",
+    "qp2_token_shard_packing",
+    "qp3_token_budget_selection",
+    "qp5_export_manifest",
+    "qp6_pack_manifest",
+    "qs15_query_corpus_topk",
+    "qs20_hybrid_rrf",
+    "qs4_cosine_topk_blas",
+    "qs6_cosine_topk_ivf_blas",
+    "qsp1_hash_sample",
+    "qsp5_temperature_resample",
+    "qsp6_exact_quota_sample",
+    "qst1_streaming_type_rollup",
+    "qst3_streaming_static_enrich",
+    "qt10_ngram_lm_score",
+    "qt11_vocab_stats",
+    "qt1_lang_id",
+    "qt9_chunk_windows",
+    # changed this round: trained-model memoization (values identical,
+    # physical model-prep path changed), manifest fingerprint, and
+    # the new streaming ANN serving query
     "qs18_pq_adc_topk",
     "qs19_cosine_topk_ivfpq",
-    "qs26_cosine_topk_imi_blas",
+    "qs25_cosine_topk_imi_adc",
     "qs27_cosine_topk_ivfpq_gather",
-    # r6-green backfill: the re-measure set's entries whose CODE
-    # changed this round. (qs15/qp5/qt1/qd3b/qd9b/qd11/qs20 —
-    # r6-green, UNCHANGED this round — gave up their slots to the
-    # changed/new-code set above; they lead the r9 rotation.)
-    "qe2_knn_label_vote",
-    "qs16_cosine_topk_ivf_sample_trained",
-    "qs7_cosine_topk_ivf_kmeans",
-    "qs13_cosine_topk_bucketed_sized",
+    "qs22b_ann_index_maintenance_manifest",
+    "qst7_streaming_index_maintenance",
+    "qst8_streaming_ann_serving",
+    # r7-green backfill (2 rounds stale at r9): flagship + the
+    # self-contained maintenance sibling of the changed qs22b +
+    # the recall audit whose model family this round touches
+    "q00_flagship_pipeline",
+    "qs22_ann_index_maintenance",
+    "qs21_ann_recall_audit",
+    "qd14_near_dup_export",
 ]
 
 # Pinned-size exactness baselines (r7 verdict item #5): kept

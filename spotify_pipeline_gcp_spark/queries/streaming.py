@@ -272,3 +272,35 @@ def qst7_streaming_index_maintenance(
 
     path = ensure_ivfm_manifest(spark, sf_dir)
     return streaming_index_maintenance(spark, sf_dir, path)
+
+
+from spotify_pipeline_gcp_spark.queries.similarity import (  # noqa: E402
+    _pq_oracle,
+    ensure_pq_store,
+)
+
+
+@register("qst8_streaming_ann_serving", oracle=_pq_oracle(64, 4, 16, 2, 3))
+def qst8_streaming_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN serving — the READ half of the streamed index
+    lifecycle (qst7 is the WRITE half): query-vector micro-batches
+    served in ``foreachBatch`` against the STORED compressed index
+    (``ensure_pq_store``: qs18's trained codebooks + the PQ-encoded
+    corpus, built once, parquet-exact), each batch running qs18's
+    serving shape — lookup-table literals, one broadcast join over
+    the stored codes, partial WindowGroupLimit top-3 — with results
+    in replay-safe per-batch_id overwrite dirs
+    (streaming/incremental.py::streaming_ann_serving). Per-query
+    top-k is independent of other queries, so the drained union over
+    micro-batches equals the batch qs18 run on the same 64-query
+    slice — this query therefore reuses qs18's oracle VERBATIM, and
+    the whole streamed lifecycle (store build → stream serve →
+    drain) is hash-verified. The query slice spools into two files
+    read one per trigger, so the registered query genuinely serves
+    multiple batches."""
+    from spotify_pipeline_gcp_spark.streaming.incremental import (
+        streaming_ann_serving,
+    )
+
+    path = ensure_pq_store(spark, sf_dir)
+    return streaming_ann_serving(spark, sf_dir, path)

@@ -645,3 +645,124 @@ def streaming_index_maintenance(
         .agg(F.sum("n_delta").cast("long").alias("n_delta"))
     )
     return cell_fill_report(cent, cells, alld, expected)
+
+
+ANN_SERVING_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("adc_r", T.DoubleType()),
+        T.StructField("rank", T.LongType()),
+    ]
+)
+
+
+def streaming_ann_serving(
+    spark: SparkSession,
+    sf_dir: str,
+    store_path: str,
+    store_dir: str | None = None,
+    query_stream: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming ANN QUERY serving against a stored compressed index —
+    the counterpart to ``streaming_index_maintenance`` (qst7 closes
+    the index WRITE loop; this closes the READ loop): query-vector
+    micro-batches arrive on a stream, each batch is served in
+    ``foreachBatch`` with qs18's exact PQ-ADC shape — per-query
+    quantized lookup-table literal over the STORED codebooks, one
+    broadcast join against the STORED corpus codes (the corpus never
+    re-encodes, never shuffles; |batch| is bounded so the broadcast
+    side is tiny), partial WindowGroupLimit top-k — and results land
+    in per-batch_id OVERWRITE directories (the replay-safe store
+    discipline of the export gate: an at-least-once replay rewrites
+    identical content instead of appending duplicates).
+
+    Each query's top-k depends only on its own vector and the stored
+    codes — queries are independent — so the drained union over
+    batches EQUALS the batch qs18 run on the same 64-query slice,
+    and the registered query (qst8) reuses qs18's oracle verbatim:
+    the store build replays the same deterministic training/encoding
+    (``ensure_pq_store``), parquet round-trips the model exactly,
+    and the ADC integers sum identically.
+
+    Without ``query_stream`` the qs18 query slice (64 digest-ordered
+    label%10==0 rows) spools into TWO files read at
+    ``maxFilesPerTrigger=1``, so the registered query genuinely
+    serves multiple micro-batches. ``store_dir`` lifecycle: same
+    contract as ``streaming_export_gate`` (fresh temp dir, not
+    auto-deleted)."""
+    import os
+    import tempfile
+
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _unit_vectors,
+        pq_adc_topk,
+    )
+    from spotify_pipeline_gcp_spark.queries.similarity import read_pq_store
+
+    books, codes, meta = read_pq_store(spark, store_path)
+    store = store_dir or tempfile.mkdtemp(prefix="ann_serving_store_")
+    results_path = os.path.join(store, "results")
+    ckpt_path = os.path.join(store, "checkpoint")
+
+    if query_stream is None:
+        spool = os.path.join(store, "query_spool")
+        if not os.path.isdir(spool):
+            emb = spark.read.parquet(
+                os.path.join(sf_dir, "embeddings.parquet")
+            )
+            qsel = (
+                emb.where(F.col("label") % 10 == 0)
+                .withColumn(
+                    "_d",
+                    F.md5(
+                        F.concat(
+                            F.lit("pq:"), F.col("vec_id").cast("string")
+                        )
+                    ),
+                )
+                .orderBy("_d")
+                .limit(64)
+                .drop("_d")
+            )
+            for i in range(2):
+                qsel.where(F.col("vec_id") % 2 == i).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(spool, f"f{i}"))
+        query_stream = (
+            spark.readStream.schema(EMBEDDINGS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(spool)
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        qpts = _unit_vectors(batch_df, "vec_id", "embedding")
+        out = pq_adc_topk(
+            qpts,
+            codes,
+            books,
+            m=int(meta["m"]),
+            d_sub=int(meta["d_sub"]),
+            k_neighbors=3,
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(results_path, f"b{batch_id}")
+        )
+        lastplan.record_batch(out)
+
+    q = (
+        query_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    if not os.path.isdir(results_path):
+        # the stream fired no batch (empty query slice): contract
+        # schema, not a missing-path error
+        return spark.createDataFrame([], ANN_SERVING_SCHEMA)
+    return spark.read.schema(ANN_SERVING_SCHEMA).parquet(
+        os.path.join(results_path, "b*")
+    )

@@ -802,7 +802,12 @@ def test_sized_blas_imi_matches_sized_fold_imi(spark):
     # rank) triples as qs17 (hash-verified fold) — both build the
     # SAME search-sized sample-trained product grid ('imi:' salt),
     # so any diff is kernel-level, and ulp-order noise must not
-    # reorder ranks on this data
+    # reorder ranks on this data. NOTE (r9, ADVICE): with
+    # blas_assign the cell ASSIGNMENT itself is a dgemm argmax,
+    # which can differ from the fold's struct-max when two cells'
+    # dots sit within an ulp — exact equality here is a
+    # data-dependent pin on this corpus, not an arithmetic
+    # guarantee (see cosine_topk_imi_blas's docstring).
     from spotify_pipeline_gcp_spark.queries.similarity import (
         qs17_cosine_topk_imi,
         qs26_cosine_topk_imi_blas,

@@ -356,3 +356,52 @@ def test_streaming_index_maintenance_two_batch_accounting(spark, tmp_path, monke
     plan = lastplan.get()
     assert plan is not None
     assert "Broadcast" in plan, plan  # the O(|batch|*k) assignment pass
+
+
+def test_streaming_ann_serving_two_batch_equals_qs18(spark, tmp_path, monkeypatch):
+    """qst8: the drained streaming serving result must equal batch
+    qs18 on the same rows (per-query top-k is independent of other
+    queries), both spooled micro-batches must have produced result
+    dirs, a checkpoint-lost replay must not duplicate rows
+    (per-batch_id overwrite), and the captured micro-batch plan must
+    broadcast the bounded query side."""
+    from spotify_pipeline_gcp_spark.queries.similarity import (
+        ensure_pq_store,
+        qs18_pq_adc_topk,
+    )
+    from spotify_pipeline_gcp_spark.streaming import lastplan
+    from spotify_pipeline_gcp_spark.streaming.incremental import (
+        streaming_ann_serving,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_MANIFEST_DIR", str(tmp_path / "man"))
+    sf_dir = "/root/testdata/sf0.001"
+    path = ensure_pq_store(spark, sf_dir)
+    store = str(tmp_path / "store")
+    out = streaming_ann_serving(spark, sf_dir, path, store_dir=store)
+    got = {tuple(r) for r in out.collect()}
+
+    import os
+
+    batches = sorted(os.listdir(os.path.join(store, "results")))
+    assert len(batches) == 2 and batches[0] == "b0"  # two micro-batches
+
+    want = {tuple(r) for r in qs18_pq_adc_topk(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+
+    plan = lastplan.get()
+    assert plan is not None
+    assert "Broadcast" in plan, plan  # bounded query side broadcast
+
+    # crash window: results/b* persisted, checkpoint commit lost —
+    # replay rewrites identical content instead of duplicating
+    import shutil
+
+    shutil.rmtree(os.path.join(store, "checkpoint"))
+    replayed = {
+        tuple(r)
+        for r in streaming_ann_serving(
+            spark, sf_dir, path, store_dir=store
+        ).collect()
+    }
+    assert replayed == got
