@@ -1102,6 +1102,7 @@ def cosine_topk_kmeans_blas(
     n_sub: int = 1,
     train_df: DataFrame | None = None,
     blas_assign: bool = False,
+    cent: DataFrame | None = None,
 ) -> DataFrame:
     """Trained IVF at BLAS speed: the production composition. k-means
     cells from ``kmeans_centroids`` provide the candidate pruning
@@ -1122,14 +1123,18 @@ def cosine_topk_kmeans_blas(
     assignment is the OTHER n^1.5 term, so at scale it needs the
     matmul constant as much as the search does. np.argmax takes the
     first maximum, matching the fold's ties-to-lowest-cid order up
-    to ulp accumulation differences (requires a long-typed id)."""
-    cent = kmeans_centroids(
-        train_df if train_df is not None else df,
-        id_col,
-        vec_col,
-        k=n_clusters,
-        n_iter=n_iter,
-    )
+    to ulp accumulation differences (requires a long-typed id).
+    ``cent`` accepts a PRE-TRAINED centroid frame (the
+    train-once-serve-many split; qs23 passes the memoized shared
+    'ivf:' model)."""
+    if cent is None:
+        cent = kmeans_centroids(
+            train_df if train_df is not None else df,
+            id_col,
+            vec_col,
+            k=n_clusters,
+            n_iter=n_iter,
+        )
     if blas_assign:
         import numpy as np
 
@@ -2085,6 +2090,7 @@ def cosine_topk_imi_blas(
     n_iter: int = 2,
     train_df: DataFrame | None = None,
     blas_assign: bool = False,
+    cents: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """The search-sized IMI at BLAS throughput — ``cosine_topk_imi``'s
     model (same half-quantizer trainer, so with the same ``train_df``
@@ -2119,12 +2125,19 @@ def cosine_topk_imi_blas(
     throughput twin."""
     pts = _unit_vectors(df, id_col, vec_col)
     h = _half_dim(df, vec_col)
-    tpts = (
-        _unit_vectors(train_df, id_col, vec_col)
-        if train_df is not None
-        else pts
-    )
-    cent1, cent2 = kmeans_centroids_on_halves(tpts, h, k=k_each, n_iter=n_iter)
+    if cents is not None:
+        # pre-trained half-quantizers (the train-once-serve-many
+        # split; qs26 passes the memoized 'imi:' model here)
+        cent1, cent2 = cents
+    else:
+        tpts = (
+            _unit_vectors(train_df, id_col, vec_col)
+            if train_df is not None
+            else pts
+        )
+        cent1, cent2 = kmeans_centroids_on_halves(
+            tpts, h, k=k_each, n_iter=n_iter
+        )
     if blas_assign:
         import numpy as np
 

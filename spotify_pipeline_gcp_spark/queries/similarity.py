@@ -1049,7 +1049,13 @@ def qs14_cosine_topk_ivf_kmeans_sized(
     n = emb.count()
     k = trained_cells_for(n)
     sample = _digest_sample(emb, "ivf:", _train_frac(n, k))
-    cent = kmeans_centroids(sample, "vec_id", "embedding", k=k, n_iter=2)
+    # the memoized shared 'ivf:' model (qs14/qs16/qs23 — one
+    # in-session trainer run serves all three; values identical)
+    cent = _memo_model(
+        spark,
+        ("ivf-cent", sf_dir, n, k, 2),
+        lambda: kmeans_centroids(sample, "vec_id", "embedding", k=k, n_iter=2),
+    )
     pts = _unit_vectors(emb, "vec_id", "embedding")
     probes = _topn_probes(pts, cent, 2).repartition(F.col("cid"))
     a, b = probes.alias("a"), probes.alias("b")
@@ -1457,7 +1463,13 @@ def qs17_cosine_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
     )
-    cent1, cent2 = kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2)
+    # memoized per (session, sf_dir, n): the same 'imi:' model qs24/
+    # qs25/qs26 build — one trainer run serves all of them in-session
+    cent1, cent2 = _memo_model(
+        spark,
+        ("imi-cent", sf_dir, n, k_each, 2),
+        lambda: kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2),
+    )
     asg = imi_assign(pts, cent1, cent2, 32).repartition("cid1", "cid2")
     a, b = asg.alias("a"), asg.alias("b")
     cos = fixed(_dot_pre(F.col("a.u"), F.col("b.u")), 6)
@@ -1622,7 +1634,12 @@ def qs16_cosine_topk_ivf_sample_trained(
     n = emb.count()
     k = trained_cells_for(n)
     sample = _digest_sample(emb, "ivf:", _train_frac(n, k))
-    cent = kmeans_centroids(sample, "vec_id", "embedding", k=k, n_iter=2)
+    # the memoized shared 'ivf:' model (see qs14)
+    cent = _memo_model(
+        spark,
+        ("ivf-cent", sf_dir, n, k, 2),
+        lambda: kmeans_centroids(sample, "vec_id", "embedding", k=k, n_iter=2),
+    )
     asg = assign_clusters(emb, cent, "vec_id", "embedding").repartition(
         F.col("cid")
     )
@@ -2536,6 +2553,7 @@ def qs23_cosine_topk_ivf_blas_sized(
     pinned in tests/test_similarity.py."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         cosine_topk_kmeans_blas,
+        kmeans_centroids,
         trained_cells_for,
     )
     from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
@@ -2544,13 +2562,20 @@ def qs23_cosine_topk_ivf_blas_sized(
     emb = table(spark, sf_dir, "embeddings")
     n = emb.count()
     k = trained_cells_for(n)
+    sample = _digest_sample(emb, "ivf:", _train_frac(n, k))
+    # the memoized shared 'ivf:' model (see qs14/qs16)
+    cent = _memo_model(
+        spark,
+        ("ivf-cent", sf_dir, n, k, 2),
+        lambda: kmeans_centroids(sample, "vec_id", "embedding", k=k, n_iter=2),
+    )
     return cosine_topk_kmeans_blas(
         emb,
         k_neighbors=5,
         n_clusters=k,
         n_iter=2,
-        train_df=_digest_sample(emb, "ivf:", _train_frac(n, k)),
         blas_assign=True,
+        cent=cent,
     )
 
 
@@ -2591,7 +2616,13 @@ def qs24_cosine_topk_imi_multiprobe(
         "vec_id",
         "embedding",
     )
-    cent1, cent2 = kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2)
+    # the same memoized 'imi:' model qs17/qs25 build (one in-session
+    # trainer run serves the whole family; values identical)
+    cent1, cent2 = _memo_model(
+        spark,
+        ("imi-cent", sf_dir, n, k_each, 2),
+        lambda: kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2),
+    )
     h = 32
     p1 = _topn_probes(
         pts.select("id", F.slice("u", 1, h).alias("u")), cent1, 2
@@ -2871,8 +2902,10 @@ def qs26_cosine_topk_imi_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only driver row; qs17 is the hash-verified exactness twin
     over the SAME cells (pair/rank agreement pytest-pinned)."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
+        _unit_vectors,
         cosine_topk_imi_blas,
         imi_cells_for,
+        kmeans_centroids_on_halves,
     )
     from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
 
@@ -2880,13 +2913,25 @@ def qs26_cosine_topk_imi_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     n = emb.count()
     k_each = imi_cells_for(n)
+    spts = _unit_vectors(
+        _digest_sample(emb, "imi:", _train_frac(n, k_each)),
+        "vec_id",
+        "embedding",
+    )
+    # the same memoized 'imi:' model as qs17/qs24/qs25 — one
+    # in-session trainer run serves the family (values identical)
+    cents = _memo_model(
+        spark,
+        ("imi-cent", sf_dir, n, k_each, 2),
+        lambda: kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2),
+    )
     return cosine_topk_imi_blas(
         emb,
         k_neighbors=5,
         k_each=k_each,
         n_iter=2,
-        train_df=_digest_sample(emb, "imi:", _train_frac(n, k_each)),
         blas_assign=True,
+        cents=cents,
     )
 
 
