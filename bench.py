@@ -107,6 +107,7 @@ HEADLINE_EXT = [
     "qs26_cosine_topk_imi_blas",
     "qs27_cosine_topk_ivfpq_gather",
     "qst8_streaming_ann_serving",
+    "qs28_cosine_topk_imi_multiprobe_blas",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

@@ -2081,6 +2081,80 @@ def cosine_topk_kmeans_blas_trained(
     return _blas_topk_from_combos(combos, k_neighbors)
 
 
+def cosine_topk_imi_multiprobe_blas(
+    df: DataFrame,
+    k_neighbors: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_each: int = 4,
+    n_iter: int = 2,
+    nprobe_each: int = 2,
+    train_df: DataFrame | None = None,
+    cents: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Multiprobe IMI at BLAS throughput — the last cell of the
+    recall-knob × kernel matrix: qs24's 2×2 product probe grid (each
+    query probes its top-``nprobe_each`` cells PER HALF, database
+    vectors stay in their single assigned product cell, candidates
+    ~nprobe²·256·n — still LINEAR) executed as per-cell dgemm blocks
+    instead of the codegen fold. Unlike the single-probe BLAS twins
+    the q/d sides of a block DIFFER: the database side of cell
+    (c1, c2) is its assigned members, the query side is every point
+    whose probe grid contains (c1, c2) — ``_blas_topk_from_combos``
+    already handles asymmetric (q_items, d_items) blocks and merges
+    the per-block partial top-k under a global per-query window (a
+    query's ≤nprobe² probed cells are distinct and each database
+    point lives in exactly one cell, so a pair arises in at most one
+    block — the same uniqueness argument as the fold multiprobe).
+    Float dgemm accumulation differs from the fold at ulp level →
+    rows-only (the qs4/qs6/qs8/qs10/qs23/qs26 convention);
+    ``cosine_topk_imi`` multiprobe (qs24) is the hash-verified twin
+    over the SAME model and probe grid, agreement pytest-pinned.
+    ``cents`` accepts the pre-trained half-quantizers (qs28 passes
+    the memoized shared 'imi:' model)."""
+    pts = _unit_vectors(df, id_col, vec_col)
+    h = _half_dim(df, vec_col)
+    if cents is not None:
+        cent1, cent2 = cents
+    else:
+        tpts = (
+            _unit_vectors(train_df, id_col, vec_col)
+            if train_df is not None
+            else pts
+        )
+        cent1, cent2 = kmeans_centroids_on_halves(
+            tpts, h, k=k_each, n_iter=n_iter
+        )
+    asg = imi_assign(pts, cent1, cent2, h)
+    d_packed = asg.groupBy("cid1", "cid2").agg(
+        F.collect_list(
+            F.struct(F.col("id"), F.col("u").alias("v"))
+        ).alias("d_items")
+    )
+    p1 = _topn_probes(
+        pts.select("id", F.slice("u", 1, h).alias("u")), cent1, nprobe_each
+    ).select("id", F.col("cid").alias("cid1"))
+    p2 = _topn_probes(
+        pts.select("id", F.slice("u", h + 1, h).alias("u")),
+        cent2,
+        nprobe_each,
+    ).select("id", F.col("cid").alias("cid2"))
+    q_packed = (
+        pts.join(p1, "id")
+        .join(p2, "id")
+        .groupBy("cid1", "cid2")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("id"), F.col("u").alias("v"))
+            ).alias("q_items")
+        )
+    )
+    combos = q_packed.join(d_packed, ["cid1", "cid2"]).select(
+        "q_items", "d_items"
+    )
+    return _blas_topk_from_combos(combos, k_neighbors)
+
+
 def cosine_topk_imi_blas(
     df: DataFrame,
     k_neighbors: int = 5,

@@ -98,13 +98,13 @@ _WINDOW_ORDER = [
     "qs22b_ann_index_maintenance_manifest",
     "qst7_streaming_index_maintenance",
     "qst8_streaming_ann_serving",
+    "qs28_cosine_topk_imi_multiprobe_blas",
     # r7-green backfill (2 rounds stale at r9): flagship + the
     # self-contained maintenance sibling of the changed qs22b +
     # the recall audit whose model family this round touches
     "q00_flagship_pipeline",
     "qs22_ann_index_maintenance",
     "qs21_ann_recall_audit",
-    "qd14_near_dup_export",
 ]
 
 # Pinned-size exactness baselines (r7 verdict item #5): kept

@@ -2935,6 +2935,54 @@ def qs26_cosine_topk_imi_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("qs28_cosine_topk_imi_multiprobe_blas")  # rows-only: BLAS kernel
+def qs28_cosine_topk_imi_multiprobe_blas(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multiprobe IMI at BLAS throughput (see ``operators/similarity
+    .py::cosine_topk_imi_multiprobe_blas``) — qs24's recall knob (the
+    2×2 product probe grid over the linear search-sized index) at
+    qs26's dgemm constant, completing the recall-knob × kernel
+    matrix: every trained index family now has a hash-verified fold
+    form AND a BLAS throughput twin at BOTH probe settings. Same
+    memoized 'imi:' model as qs17/qs24/qs25/qs26 (identical trained
+    cells), asymmetric per-cell blocks (assigned members vs probe
+    members), per-block partial top-k merged under one global
+    per-query window. Float kernel → rows-only driver row; qs24 is
+    the hash-verified twin over the SAME model and probe grid —
+    pair/rank agreement pytest-pinned."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _unit_vectors,
+        cosine_topk_imi_multiprobe_blas,
+        imi_cells_for,
+        kmeans_centroids_on_halves,
+    )
+    from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k_each = imi_cells_for(n)
+    spts = _unit_vectors(
+        _digest_sample(emb, "imi:", _train_frac(n, k_each)),
+        "vec_id",
+        "embedding",
+    )
+    cents = _memo_model(
+        spark,
+        ("imi-cent", sf_dir, n, k_each, 2),
+        lambda: kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2),
+    )
+    return cosine_topk_imi_multiprobe_blas(
+        emb,
+        k_neighbors=5,
+        k_each=k_each,
+        n_iter=2,
+        nprobe_each=2,
+        cents=cents,
+    )
+
+
 @register("qs27_cosine_topk_ivfpq_gather", oracle=_ivfpq_oracle(64, 4, 16, 2, 5))
 def qs27_cosine_topk_ivfpq_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
     """qs19's composed IVF+PQ index served by the per-cell NumPy

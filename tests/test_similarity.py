@@ -912,3 +912,26 @@ def test_ivfpq_gather_kernel_matches_declarative(spark):
         for r in qs27_cosine_topk_ivfpq_gather(spark, sf_dir).collect()
     }
     assert decl == gath and len(decl) > 0
+
+
+def test_multiprobe_blas_imi_matches_multiprobe_fold_imi(spark):
+    # qs28 (BLAS kernel) must produce the same (query, neighbor,
+    # rank) triples as qs24 (hash-verified fold multiprobe) — both
+    # probe the same 2x2 grid over the SAME memoized 'imi:' model,
+    # so any diff is kernel-level. Same data-dependent ulp caveat as
+    # the qs26-vs-qs17 pin (see cosine_topk_imi_blas's docstring).
+    from spotify_pipeline_gcp_spark.queries.similarity import (
+        qs24_cosine_topk_imi_multiprobe,
+        qs28_cosine_topk_imi_multiprobe_blas,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    fold = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in qs24_cosine_topk_imi_multiprobe(spark, sf_dir).collect()
+    }
+    blas = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in qs28_cosine_topk_imi_multiprobe_blas(spark, sf_dir).collect()
+    }
+    assert fold == blas and len(fold) > 0
