@@ -108,6 +108,7 @@ HEADLINE_EXT = [
     "qs27_cosine_topk_ivfpq_gather",
     "qst8_streaming_ann_serving",
     "qs28_cosine_topk_imi_multiprobe_blas",
+    "qs29_imi_recall_audit",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

@@ -99,12 +99,13 @@ _WINDOW_ORDER = [
     "qst7_streaming_index_maintenance",
     "qst8_streaming_ann_serving",
     "qs28_cosine_topk_imi_multiprobe_blas",
+    "qs29_imi_recall_audit",
     # r7-green backfill (2 rounds stale at r9): flagship + the
-    # self-contained maintenance sibling of the changed qs22b +
-    # the recall audit whose model family this round touches
+    # self-contained maintenance sibling of the changed qs22b
+    # (qs21/qd14 gave their slots to the new qs28/qs29 and lead the
+    # r10 rotation)
     "q00_flagship_pipeline",
     "qs22_ann_index_maintenance",
-    "qs21_ann_recall_audit",
 ]
 
 # Pinned-size exactness baselines (r7 verdict item #5): kept

@@ -1864,6 +1864,206 @@ _AUDIT_BUCKET = (
 )
 
 
+def _imi_audit_oracle(d: int, n_iter: int) -> str:
+    """DuckDB replay of the IMI recall audit (qs29): the full 'imi:'
+    training + product-cell assignment chain of ``_imi_oracle`` over
+    ALL embeddings (the index being audited is the one qs17 serves),
+    then qs21's bounded eval — 64 'aud:' digest queries × the ≤65536
+    'audc:' digest audit corpus, exact vs same-product-cell top-5,
+    integer hits and one exact division."""
+    h = d // 2
+    k = "(SELECT k FROM sizek)"
+    ctes = [
+        "sizen AS (SELECT count(*)::BIGINT AS n FROM embeddings)",
+        "sizek AS (SELECT greatest(2, CAST(ceil(sqrt(n / 256.0)) AS BIGINT))"
+        " AS k FROM sizen)",
+        """u AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[]))) AS u
+      FROM embeddings
+    )""",
+        _sample_cte(
+            "utrain",
+            "u",
+            "imi:",
+            "least(1.0, (32.0 * (SELECT k FROM sizek))"
+            " / (SELECT n FROM sizen))",
+        ),
+        f"uh1 AS (SELECT vec_id, u[1:{h}] AS u FROM u)",
+        f"uh2 AS (SELECT vec_id, u[{h + 1}:{d}] AS u FROM u)",
+        f"uh1t AS (SELECT vec_id, u[1:{h}] AS u FROM utrain)",
+        f"uh2t AS (SELECT vec_id, u[{h + 1}:{d}] AS u FROM utrain)",
+    ]
+    ctes += _imi_half_chain("_1", "uh1t", k, n_iter, h, assign_src="uh1")
+    ctes += _imi_half_chain("_2", "uh2t", k, n_iter, h, assign_src="uh2")
+    ctes.append(
+        """asg AS (
+      SELECT a1.vec_id, u.u, a1.cid AS cid1, a2.cid AS cid2
+      FROM asgf_1 a1
+      JOIN asgf_2 a2 ON a1.vec_id = a2.vec_id
+      JOIN u ON u.vec_id = a1.vec_id
+    )"""
+    )
+    ctes.append(
+        """qids AS (
+      SELECT vec_id FROM embeddings WHERE label % 10 = 0
+      ORDER BY md5('aud:' || vec_id::VARCHAR) LIMIT 64
+    )"""
+    )
+    ctes.append(
+        "cn AS (SELECT count(*)::BIGINT AS n FROM embeddings"
+        " WHERE label % 10 <> 0)"
+    )
+    ctes.append(
+        f"""cids AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, md5('audc:' || vec_id::VARCHAR) AS _d
+        FROM embeddings WHERE label % 10 <> 0
+      ) WHERE ({_IVF_UNIT_FOLD}) / 4294967296.0
+          < least(1.0, 65536.0 / (SELECT n FROM cn))
+    )"""
+    )
+    ctes.append(
+        """pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+             (a.cid1 = b.cid1 AND a.cid2 = b.cid2) AS same_cell,
+             floor(list_dot_product(a.u, b.u) * 1000000 + 0.5) / 1000000
+               AS cosine_r
+      FROM (SELECT asg.* FROM asg JOIN qids USING (vec_id)) a
+      CROSS JOIN (SELECT asg.* FROM asg JOIN cids USING (vec_id)) b
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """,
+    exact AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_r DESC, doc_id) AS r
+        FROM pairs
+      ) WHERE r <= 5
+    ),
+    approx AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_r DESC, doc_id) AS r
+        FROM pairs WHERE same_cell
+      ) WHERE r <= 5
+    ),
+    hits AS (
+      SELECT e.query_id, count(*)::BIGINT AS n_hits
+      FROM exact e JOIN approx a
+        ON e.query_id = a.query_id AND e.doc_id = a.doc_id
+      GROUP BY 1
+    )
+    SELECT q.vec_id AS query_id,
+           coalesce(n_hits, 0)::BIGINT AS n_hits,
+           coalesce(n_hits, 0) / 5.0 AS recall_at_5
+    FROM qids q LEFT JOIN hits ON q.vec_id = hits.query_id
+    """
+    )
+
+
+@register("qs29_imi_recall_audit", oracle=_imi_audit_oracle(64, 2))
+def qs29_imi_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 audit of the TRAINED linear index — qs21's bounded
+    eval loop pointed at the index the decision table actually routes
+    self-join work to (qs17/qs24/qs25/qs26/qs28 all serve the same
+    'imi:' product cells; qs21 audits only the training-free sign
+    buckets). Ground truth and approx sides both rank the SAME
+    bounded universe — 64 'aud:' digest queries × a ≤65536-vector
+    'audc:' digest audit corpus — so the exact pass is ≤64×65536
+    pairs at ANY corpus size; the approx side restricts candidates
+    to the query's assigned product cell (single probe — the
+    pessimistic setting: every multiprobe/kernel variant can only do
+    better, so this is the family's recall floor). The oracle
+    replays sizing, the 'imi:' training sample, both half-quantizer
+    trainings, the product-cell assignment, the audit sampling, and
+    the integer hit counts — the whole measurement is hash-verified.
+    Uses the memoized shared 'imi:' model: the audit measures the
+    exact centroids the serving queries use."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _unit_vectors,
+        imi_assign,
+        imi_cells_for,
+        kmeans_centroids_on_halves,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k_each = imi_cells_for(n)
+    pts = _unit_vectors(emb, "vec_id", "embedding")
+    spts = _unit_vectors(
+        _digest_sample(emb, "imi:", _train_frac(n, k_each)),
+        "vec_id",
+        "embedding",
+    )
+    cent1, cent2 = _memo_model(
+        spark,
+        ("imi-cent", sf_dir, n, k_each, 2),
+        lambda: kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2),
+    )
+    asg = imi_assign(pts, cent1, cent2, 32)
+    qids = (
+        emb.where(F.col("label") % 10 == 0)
+        .withColumn(
+            "_d",
+            F.md5(F.concat(F.lit("aud:"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("_d")
+        .limit(64)
+        .select(F.col("vec_id").alias("id"))
+    )
+    corpus = emb.where(F.col("label") % 10 != 0)
+    n_c = corpus.count()
+    cids = _digest_sample(
+        corpus, "audc:", min(1.0, 65536.0 / n_c) if n_c else 1.0
+    ).select(F.col("vec_id").alias("id"))
+    qv = asg.join(F.broadcast(qids), "id")
+    cv = asg.join(cids, "id", "left_semi")
+    cos = fixed(_dot_pre(F.col("q.u"), F.col("c.u")), 6)
+    pairs = F.broadcast(qv.alias("q")).crossJoin(cv.alias("c")).select(
+        F.col("q.id").alias("query_id"),
+        F.col("c.id").alias("doc_id"),
+        (
+            (F.col("q.cid1") == F.col("c.cid1"))
+            & (F.col("q.cid2") == F.col("c.cid2"))
+        ).alias("same_cell"),
+        cos.alias("cosine_r"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("doc_id")
+    )
+    exact = (
+        pairs.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 5)
+        .select("query_id", "doc_id")
+    )
+    approx = (
+        pairs.where(F.col("same_cell"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 5)
+        .select("query_id", "doc_id")
+    )
+    hits = exact.join(approx, ["query_id", "doc_id"], "left_semi").groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return qids.select(F.col("id").alias("query_id")).join(
+        hits, "query_id", "left"
+    ).select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0).cast("long")) / 5.0).alias(
+            "recall_at_5"
+        ),
+    )
+
+
 @register(
     "qs21_ann_recall_audit",
     oracle=f"""

@@ -142,3 +142,64 @@ def test_train_fraction_replays_in_sql_at_any_scale(n, k):
         f"SELECT least(1.0, (32.0 * {k}) / n) FROM (SELECT {n}::BIGINT AS n)"
     ).fetchone()
     assert row[0] == _train_frac(n, k)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.lists(
+                st.floats(-1, 1, allow_nan=False, width=32),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_cell_means_partition_invariant(spark, rows):
+    # the quantized-integer positional mean must be BITWISE identical
+    # under any partitioning/combine order — the property every
+    # trainer's oracle-replayability rests on (exact BIGINT partials
+    # commute; a float mean would not)
+    from spotify_pipeline_gcp_spark.operators.similarity import _cell_means
+
+    df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v], i) for i, (c, v) in enumerate(rows)],
+        "cid long, u array<double>, id long",
+    )
+    a = {
+        r.cid: r.mv for r in _cell_means(df.repartition(1), "cid").collect()
+    }
+    b = {
+        r.cid: r.mv for r in _cell_means(df.repartition(7), "cid").collect()
+    }
+    assert a == b  # exact equality, not approx
+
+
+def test_qt_all_literal_tolerates_missing_codes(spark):
+    # ADVICE r8: a sub-codebook missing a mid-range cid (empty Lloyd
+    # cluster) must yield a 0 table slot, not a plan-build KeyError —
+    # such codes can never appear in pq_encode output for that book
+    from pyspark.sql import functions as F
+
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _qt_all_literal,
+    )
+
+    full = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0]), (3, [0.5, 0.5])],
+        "cid long, c array<double>",
+    )
+    gappy = spark.createDataFrame(  # missing cid=1 and cid=2
+        [(0, [1.0, 0.0]), (3, [0.25, 0.75])], "cid long, c array<double>"
+    )
+    df = spark.createDataFrame([([1.0, 0.0, 0.0, 1.0],)], "u array<double>")
+    out = df.select(
+        _qt_all_literal([full, gappy], m=2, d_sub=2).alias("qt")
+    ).collect()[0]["qt"]
+    assert len(out) == 2 and len(out[0]) == 4 and len(out[1]) == 4
+    assert out[1][1] == 0 and out[1][2] == 0  # absent codes -> 0 sentinel
+    assert out[0][0] != 0  # present codes still score

@@ -935,3 +935,51 @@ def test_multiprobe_blas_imi_matches_multiprobe_fold_imi(spark):
         for r in qs28_cosine_topk_imi_multiprobe_blas(spark, sf_dir).collect()
     }
     assert fold == blas and len(fold) > 0
+
+
+def test_model_memo_shares_and_reproduces(spark):
+    # 1) a cleared memo and a warm memo must give IDENTICAL qs19
+    #    results (the memo only skips re-running deterministic
+    #    trainers); 2) qs27 must HIT qs19's 'ivfpq' entries (shared
+    #    model — no new keys), the train-once-serve-many split.
+    from spotify_pipeline_gcp_spark.queries import similarity as S
+
+    sf_dir = "/root/testdata/sf0.001"
+    S._MODEL_MEMO.clear()
+    cold = {tuple(r) for r in S.qs19_cosine_topk_ivfpq(spark, sf_dir).collect()}
+    keys_after_qs19 = {k for k in S._MODEL_MEMO if "ivfpq" in str(k)}
+    assert keys_after_qs19  # trainer ran and registered
+    warm = {tuple(r) for r in S.qs19_cosine_topk_ivfpq(spark, sf_dir).collect()}
+    assert warm == cold
+    S.qs27_cosine_topk_ivfpq_gather(spark, sf_dir).count()
+    keys_after_qs27 = {k for k in S._MODEL_MEMO if "ivfpq" in str(k)}
+    assert keys_after_qs27 == keys_after_qs19  # qs27 reused, not retrained
+
+
+def test_pq_store_staleness_rebuild(spark, tmp_path, monkeypatch):
+    # a content-mismatched fingerprint must force a rebuild; a
+    # matching one must reuse the stored files untouched
+    import json
+    import os
+
+    from spotify_pipeline_gcp_spark.queries.similarity import (
+        ensure_pq_store,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_MANIFEST_DIR", str(tmp_path / "man"))
+    sf_dir = "/root/testdata/sf0.001"
+    path = ensure_pq_store(spark, sf_dir)
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta1 = json.load(fh)
+    mtime1 = os.path.getmtime(os.path.join(path, "meta.json"))
+    # matching fingerprint: reuse (same inode, no rewrite)
+    assert ensure_pq_store(spark, sf_dir) == path
+    assert os.path.getmtime(os.path.join(path, "meta.json")) == mtime1
+    # corrupt the stored fingerprint -> rebuild with fresh meta
+    meta1["fingerprint"]["cv"] += 1
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta1, fh)
+    assert ensure_pq_store(spark, sf_dir) == path
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta2 = json.load(fh)
+    assert meta2["fingerprint"]["cv"] == meta1["fingerprint"]["cv"] - 1
