@@ -52,6 +52,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Start every shuffle at 8x the core count and let AQE
+        # coalesce back down: per-task aggregate/spill memory shrinks
+        # 8x at the 100x ladder point (r9: qd8's uncapped pair-agg
+        # OOM'd a 4g heap at 32 partitions when run after other
+        # queries, passes with headroom at 256) while small stages
+        # coalesce to the same post-AQE parallelism as before. On a
+        # real cluster this is the standard "initial partitions >>
+        # final" AQE sizing.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(cpus * 8),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
