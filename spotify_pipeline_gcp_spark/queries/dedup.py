@@ -53,6 +53,29 @@ JACCARD_CTE = f"""
 """
 
 
+JACCARD_CAPPED_CTE = f"""
+  {SHINGLE_CTE},
+  hot AS (SELECT shingle FROM shingle GROUP BY shingle HAVING count(*) > 4),
+  kept AS (
+    SELECT s.doc_id, s.shingle
+    FROM shingle s ANTI JOIN hot h ON s.shingle = h.shingle
+  ),
+  sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM kept GROUP BY doc_id),
+  common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+    FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  jac AS (
+    SELECT doc_a, doc_b,
+           n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+  )
+"""
+
+
 @register(
     "qd1_dedup_exact_groups",
     oracle="""
@@ -232,7 +255,7 @@ def qd7_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "qd8_dedup_components",
     oracle=f"""
-    WITH RECURSIVE {JACCARD_CTE},
+    WITH RECURSIVE {JACCARD_CAPPED_CTE},
     np AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM np
@@ -251,9 +274,20 @@ def qd8_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the near-dup relation: one component id
     (min doc id) per clustered document — the keep-one-per-cluster
     dedup policy. Iterative min-label propagation in Spark; the
-    oracle replays it as a recursive label-walk CTE."""
+    oracle replays it as a recursive label-walk CTE. As of r9 the
+    pair generation is the CAPPED generator (``max_shingle_df=4``,
+    qd3b's production shape — the oracle replays the capped chain):
+    the uncapped posting lists put the pair-aggregate at the edge of
+    a 4 g heap at the 100× ladder point, exactly the hazard the
+    qd3→qd3b demotion documents; the closure itself is
+    generator-agnostic."""
     pairs = ngram_jaccard_pairs(
-        table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.8,
+        max_shingle_df=4,
     )
     return dedup_components(pairs)
 
@@ -578,7 +612,7 @@ def qd11_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "qd12_keep_best_per_cluster",
     oracle=f"""
-    WITH RECURSIVE {JACCARD_CTE},
+    WITH RECURSIVE {JACCARD_CAPPED_CTE},
     np AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM np
@@ -633,7 +667,9 @@ def qd12_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_pipeline_gcp_spark.queries.compat import fixed
 
     docs = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=4
+    )
     comp = dedup_components(pairs)
     scores = quality_score(docs, "doc_id", "text").select(
         "doc_id", fixed(F.col("quality"), 6).alias("q_r")
