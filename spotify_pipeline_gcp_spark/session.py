@@ -71,6 +71,18 @@ def get_spark(
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
+        # RocksDB state store: streaming state lives on local disk
+        # instead of the executor heap. The default HDFSBacked store
+        # keeps EVERY key in deserialized heap objects — r9 measured
+        # qst2's session_window state over the 100x events replica
+        # OOMing a 4g driver solo; RocksDB is the documented Spark
+        # answer for state that outgrows memory (rocksdbjni ships in
+        # Spark's jars since 3.2; no extra install needed).
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         # 512m code cache: whole-stage codegen emits a distinct class per
         # plan; the JVM default (240m) fills over a many-query session,
         # silently disabling JIT (~10-30x slowdowns on later queries)

@@ -18,6 +18,7 @@ the driver can call synchronously.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,7 +39,15 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Drive a streaming plan to completion into a memory sink and
-    return the materialized result as a DataFrame."""
+    return the materialized result as a DataFrame.
+
+    Memory sinks hold EVERY output row in driver heap — correct only
+    when the output is model-sized (complete/update-mode aggregates
+    bounded by group count). A stream whose output grows with the
+    data (append-mode sessionize, dedup passthrough) must drain
+    through ``_run_to_parquet`` instead: r9 measured qst2's ~2M
+    session rows at the 100× ladder point OOMing a 4 g driver purely
+    in the sink."""
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.outputMode(output_mode)
@@ -50,6 +59,32 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     q.awaitTermination()
     lastplan.record_query(q)
     return stream_df.sparkSession.table(name)
+
+
+def _run_to_parquet(stream_df: DataFrame) -> DataFrame:
+    """Drive an APPEND-mode streaming plan to completion into a
+    parquet file sink and read the result back — the drain for
+    streams whose OUTPUT is data-sized (the memory sink's driver-heap
+    cost is the row count; a file sink's is one open writer per
+    partition). Executor-side, exactly what a production job would
+    write; parquet round-trips timestamps/doubles exactly, so
+    oracle-checked values are unchanged."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="stream_sink_")
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out, "data"))
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    lastplan.record_query(q)
+    return stream_df.sparkSession.read.schema(stream_df.schema).parquet(
+        os.path.join(out, "data")
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,7 +222,9 @@ def streaming_sessionize(
         gap=gap,
         watermark=watermark,
     )
-    return _run_to_memory(sessions, "append")
+    # data-sized append output -> file-sink drain (see _run_to_memory
+    # docstring: the memory sink OOM'd a 4 g driver at the 100x point)
+    return _run_to_parquet(sessions)
 
 
 def streaming_static_enrich_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
