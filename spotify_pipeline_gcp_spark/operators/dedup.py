@@ -646,15 +646,28 @@ def simhash(
         # instead of failing here at the API boundary.
         raise ValueError(f"bits must be in [1, 63], got {bits}")
     toks = tokenize(df, id_col, text_col).select(
-        F.col(id_col).alias("doc_id"), F.md5("token").alias("h")
+        F.col(id_col).alias("doc_id"),
+        F.md5("token").alias("h"),
+        # bits 32..59 draw parity from a SALTED second hash — md5 has
+        # only 32 hex digits, so one digest carries 32 parity bits;
+        # the 'b:' prefix mirrors the minhash oracle convention and
+        # keeps bits < 32 (qd6/qd9 and every stored fingerprint)
+        # bit-identical to the single-hash form
+        *(
+            [F.md5(F.concat(F.lit("b:"), F.col("token"))).alias("h2")]
+            if bits > 32
+            else []
+        ),
     )
-    contribs = [
-        F.expr(
-            f"CAST((((instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1)"
-            f" % 2) * 2 - 1) AS BIGINT)"
+
+    def _contrib(j: int):
+        col, pos = ("h", j + 1) if j < 32 else ("h2", j - 31)
+        return F.expr(
+            f"CAST((((instr('0123456789abcdef', substring({col}, {pos}, 1))"
+            f" - 1) % 2) * 2 - 1) AS BIGINT)"
         ).alias(f"c{j}")
-        for j in range(bits)
-    ]
+
+    contribs = [_contrib(j) for j in range(bits)]
     per_doc = toks.select("doc_id", *contribs).groupBy("doc_id").agg(
         *[F.sum(f"c{j}").alias(f"s{j}") for j in range(bits)]
     )
@@ -664,6 +677,28 @@ def simhash(
             F.col(f"s{j}") > 0, F.lit(2**j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return per_doc.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_bits_for(
+    n_docs: int, bands: int = 4, target_bucket: int = 4
+) -> int:
+    """Adaptive SimHash width — the ``sign_bits_for`` convention
+    applied to the fingerprint LSH: pick the band width ``w`` so a
+    typical (band, value) bucket holds ~``target_bucket`` documents
+    (2^w ≈ n/target), clamped to w ∈ [8, 15] (bits ∈ [32, 60]; 60
+    keeps the fingerprint comfortably inside a signed long for the
+    shift/mask banding on BOTH engines). Candidate volume per band is
+    then ~n·target — LINEAR in the corpus at any scale, where a FIXED
+    width goes quadratic (n²/2^w) and a fixed bucket CAP inverts into
+    zero recall once typical buckets exceed it: r9 measured the fixed
+    32-bit qd9b returning 0 of ~120k pairs at the 100× ladder point
+    because EVERY 8-bit band value held ~195 > cap docs. The formula
+    is replayed in SQL by the qd9b oracle (property-pinned to 10^12
+    like the ANN sizings)."""
+    import math
+
+    w = max(8, min(15, math.ceil(math.log2(max(1, n_docs // target_bucket)))))
+    return bands * w
 
 
 def simhash_pairs(

@@ -683,25 +683,41 @@ def qd12_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "qd9b_simhash_pairs_capped",
     oracle="""
-    WITH tok AS (
-      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+    WITH sizen AS (SELECT count(*)::BIGINT AS n FROM documents),
+    sizew AS (
+      SELECT least(15, greatest(8,
+               CAST(ceil(log2(greatest(1, n // 4))) AS BIGINT))) AS w
+      FROM sizen
+    ),
+    tok0 AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, md5(token) AS h, md5('b:' || token) AS h2 FROM tok0
     ),
     expanded AS (
-      SELECT doc_id, h, unnest(range(32)) AS j FROM tok
+      SELECT * FROM (SELECT doc_id, h, h2, unnest(range(60)) AS j FROM tok)
+      WHERE j < 4 * (SELECT w FROM sizew)
     ),
     per_bit AS (
       SELECT doc_id, j,
-             sum((((strpos('0123456789abcdef', substr(h, (j + 1)::INT, 1)) - 1) % 2)
+             sum((((strpos('0123456789abcdef',
+                           substr(CASE WHEN j < 32 THEN h ELSE h2 END,
+                                  (CASE WHEN j < 32 THEN j ELSE j - 32 END
+                                   + 1)::INT, 1)) - 1) % 2)
                   * 2 - 1)::BIGINT) AS s
       FROM expanded GROUP BY doc_id, j
     ),
     fp AS (
       SELECT doc_id,
-             sum(CASE WHEN s > 0 THEN power(2.0, j) ELSE 0.0 END)::BIGINT AS simhash
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)
+               ::BIGINT AS simhash
       FROM per_bit GROUP BY doc_id
     ),
     banded AS (
-      SELECT doc_id, simhash, band, (simhash >> (band * 8)::INT) & 255 AS bv
+      SELECT doc_id, simhash, band,
+             (simhash >> (band * (SELECT w FROM sizew))::INT)
+               & ((1::BIGINT << (SELECT w FROM sizew)::INT) - 1) AS bv
       FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band)
     ),
     hot AS (
@@ -722,18 +738,36 @@ def qd12_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def qd9b_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash pairing with BOUNDED band buckets (``max_bucket=32``):
-    oversized (band, value) buckets — each worth ~size²/2 candidate
-    rows on one reducer — are dropped before the join, the
-    fingerprint-level stop-shingle cap. On this corpus the cap cuts
-    candidates ~2.7x; the recall trade (pairs whose every intact band
-    is hot) is part of the oracle-checked semantics, proven here by
-    the driver rather than assumed."""
+    """SimHash pairing with ADAPTIVE width and BOUNDED band buckets —
+    the 100 TB default. Width: ``simhash_bits_for(count)`` picks the
+    band width so a typical (band, value) bucket holds ~4 documents
+    (candidates stay LINEAR in the corpus; a fixed width goes
+    quadratic and, worse, inverts the bucket cap into zero recall
+    once typical buckets exceed it — r9 measured the previous fixed
+    32-bit form returning 0 pairs at the 100× ladder point, every
+    8-bit band value holding ~195 > 32 docs). Cap: ``max_bucket=32``
+    now only drops buckets ~8× hotter than typical — template
+    cliques, the thing it was for. Both the sizing arithmetic and
+    the salted second hash for bits ≥ 32 are replayed in the oracle,
+    so the adaptive fingerprint is hash-verified; at driver scale
+    (n=500 → 32 bits) values equal the previous fixed form.
+
+    Deliberate semantic note: Hamming ≤ 3 at width w(n) is a
+    similarity threshold that TIGHTENS as the corpus grows (3 of 60
+    bits is a stricter cut than 3 of 32) — the price of linear
+    candidates at a fixed band count. Workloads needing a
+    scale-stable threshold should pin ``bits`` explicitly (qd9 is
+    the fixed-width exactness baseline) or raise ``max_hamming``
+    with ``bands = max_hamming + 1`` to keep the lossless radius."""
+    from spotify_pipeline_gcp_spark.operators.dedup import simhash_bits_for
+
+    docs = table(spark, sf_dir, "documents")
+    n = docs.count()
     return simhash_pairs(
-        table(spark, sf_dir, "documents"),
+        docs,
         "doc_id",
         "text",
-        bits=32,
+        bits=simhash_bits_for(n),
         bands=4,
         max_hamming=3,
         max_bucket=32,

@@ -203,3 +203,22 @@ def test_qt_all_literal_tolerates_missing_codes(spark):
     assert len(out) == 2 and len(out[0]) == 4 and len(out[1]) == 4
     assert out[1][1] == 0 and out[1][2] == 0  # absent codes -> 0 sentinel
     assert out[0][0] != 0  # present codes still score
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=1, max_value=10**12))
+def test_simhash_sizing_replays_in_sql_at_any_scale(n):
+    # qd9b's adaptive fingerprint width vs the exact SQL its oracle
+    # embeds — the same cross-engine pin as the ANN sizings
+    import duckdb
+
+    from spotify_pipeline_gcp_spark.operators.dedup import simhash_bits_for
+
+    w_sql = (
+        "least(15, greatest(8, CAST(ceil(log2(greatest(1, n // 4)))"
+        " AS BIGINT)))"
+    )
+    row = duckdb.sql(
+        f"SELECT {w_sql} AS w FROM (SELECT {n}::BIGINT AS n)"
+    ).fetchone()
+    assert 4 * row[0] == simhash_bits_for(n)
