@@ -74,6 +74,180 @@ FACTOR10 = [
     "qs22b_ann_index_maintenance_manifest",
 ]
 
+# ---------------------------------------------------------------------------
+# Full-registry sweep (late r9): the 4 g ladder extended past the ANN
+# family caught three scale bugs the oracles could not see (qd8/qd12
+# OOM, qst2 OOM, qd9b zero recall — see PERFORMANCE.md); this sweep
+# finishes the job for every remaining registered query. Exclusions,
+# each deliberate and documented:
+#   - pinned exactness baselines qs3/qs7/qs11/qd3/qd9 (registry-demoted
+#     anchors; invoking them at 100x measures the documented all-pairs
+#     shape, not the engine) and qd7 (exact pairwise twin of qd7b);
+#   - brute-force BLAS twins qs2/qs4/qs5/qs6/qs8 (qs10 is the
+#     representative full-scan kernel row);
+#   - qs22 (known n*k recount, superseded by qs22b; its 100x cost is
+#     recorded in SCALE_BENCH_r08 and COVERAGE.md's decision table);
+#   - queries already measured in this file's FACTOR100/r9 rows.
+SWEEP_DRAIN = {
+    # data-sized outputs: draining through a noop DSv2 write keeps the
+    # full plan (nothing pruned by count()) while nothing data-sized
+    # ever reaches the Python driver — collect() here would measure
+    # py4j serialization, not the engine.
+    "q00_flagship_pipeline",
+    "q01_project_derived",
+    "q02_filter_isin",
+    "q03_explode_tokens",
+    "q04_bag_collect",
+    "q05_bag_join",
+    "q06_delta_anti_join",
+    "q07_distinct",
+    "q12_window_running",
+    "q14_semi_join",
+    "q17_json_extract",
+    "q18_complete_year",
+    "q25_except",
+    "q27_string_funcs",
+    "q28_null_handling",
+    "q29_window_lag_lead",
+    "q30_sessionize",
+    "q31_asof_last_click",
+    "q32_scalar_subquery",
+    "q34_array_agg_ops",
+    "q37_unpivot",
+    "q38_map_ops",
+    "q39_date_arith",
+    "q40_json_bag",
+    "q44_flagship_partition_ready",
+    "q46_range_frame",
+    "q47_range_join",
+    "q48_rank_battery",
+    "q50_feature_trend",
+    "qd2_dedup_exact_keep",
+    "qd4_minhash_signatures",
+    "qm2_image_decode_meta",
+    "qm3_payload_features",
+    "qm4_frame_sample",
+    "qp1_corpus_prep",
+    "qs12_embedding_quantize",
+    "qsp1_hash_sample",
+    "qsp2_split_assign",
+    "qsp3_stratified_sample",
+    "qsp6_exact_quota_sample",
+    "qt5_token_bpeish",
+    "qt6_repetition_filter",
+    "qt8_pii_scrub",
+    "qt9_chunk_windows",
+}
+SWEEP100 = [
+    # relational aggregates (small outputs, collect)
+    "q08_pricing_summary",
+    "q09_top_orders",
+    "q10_segment_revenue_topn",
+    "q11_window_topk",
+    "q13_union_distinct",
+    "q15_date_trunc_daily",
+    "q16_date_format_monthly",
+    "q19_distinct_count",
+    "q20_pivot_event_types",
+    "q21_rollup",
+    "q22_regional_revenue",
+    "q23_full_outer_join",
+    "q24_cross_join",
+    "q26_intersect",
+    "q33_conditional_agg",
+    "q35_exact_percentiles",
+    "q36_approx_aggregates",
+    "q41_big_orders_having",
+    "q42_above_group_avg",
+    "q43_ratio_metric",
+    "q45_cube",
+    "q49_grouping_sets",
+    "q51_genre_affinity",
+    "qk1_salted_agg",
+    # relational / pipeline data-sized (noop drain)
+    "q00_flagship_pipeline",
+    "q01_project_derived",
+    "q02_filter_isin",
+    "q03_explode_tokens",
+    "q04_bag_collect",
+    "q05_bag_join",
+    "q06_delta_anti_join",
+    "q07_distinct",
+    "q12_window_running",
+    "q14_semi_join",
+    "q17_json_extract",
+    "q18_complete_year",
+    "q25_except",
+    "q27_string_funcs",
+    "q28_null_handling",
+    "q29_window_lag_lead",
+    "q30_sessionize",
+    "q31_asof_last_click",
+    "q32_scalar_subquery",
+    "q34_array_agg_ops",
+    "q37_unpivot",
+    "q38_map_ops",
+    "q39_date_arith",
+    "q40_json_bag",
+    "q44_flagship_partition_ready",
+    "q46_range_frame",
+    "q47_range_join",
+    "q48_rank_battery",
+    "q50_feature_trend",
+    # dedup
+    "qd1_dedup_exact_groups",
+    "qd2_dedup_exact_keep",
+    "qd4_minhash_signatures",
+    "qd6_simhash",
+    "qd7b_embedding_near_dup_pruned",
+    "qd10_semantic_dedup_components",
+    "qd11_incremental_near_dup",
+    # similarity (rows not yet measured in r9)
+    "qs1_embed_norms",
+    "qs9_filtered_ann",
+    "qs12_embedding_quantize",
+    "qs15_query_corpus_topk",
+    "qs23_cosine_topk_ivf_blas_sized",
+    "qs28_cosine_topk_imi_multiprobe_blas",
+    "qs29_imi_recall_audit",
+    "qs10_ann_full_blas",
+    "qe1_label_centroids",
+    # corpus prep + sampling
+    "qp1_corpus_prep",
+    "qp3_token_budget_selection",
+    "qp4_curriculum_buckets",
+    "qp6_pack_manifest",
+    "qsp1_hash_sample",
+    "qsp2_split_assign",
+    "qsp3_stratified_sample",
+    "qsp4_domain_mixture",
+    "qsp5_temperature_resample",
+    "qsp6_exact_quota_sample",
+    # text
+    "qt1_lang_id",
+    "qt2_quality_score",
+    "qt3_token_stats",
+    "qt4_fingerprint",
+    "qt5_token_bpeish",
+    "qt6_repetition_filter",
+    "qt8_pii_scrub",
+    "qt9_chunk_windows",
+    "qt11_vocab_stats",
+    # multimodal
+    "qm1_binary_meta",
+    "qm2_image_decode_meta",
+    "qm3_payload_features",
+    "qm4_frame_sample",
+    # streaming
+    "qst1_streaming_type_rollup",
+    "qst3_streaming_static_enrich",
+    "qst4_streaming_stateful_totals",
+    "qst5_streaming_incremental_near_dup",
+    "qst6_streaming_export_gate",
+    "qst7_streaming_index_maintenance",
+    "qst8_streaming_ann_serving",
+]
+
 
 def _load() -> dict:
     if os.path.exists(OUT):
@@ -114,16 +288,23 @@ def _jvm_probe(spark) -> tuple[float, float, float]:
     return mem.getUsed() / 1048576.0, gc_ms / 1000.0, cc / 1048576.0
 
 
-def run_one(spark, fn, sf_dir: str) -> tuple[float, int]:
+def run_one(spark, fn, sf_dir: str, drain: bool = False) -> tuple[float, int]:
     t0 = time.time()
-    n = len(fn(spark, sf_dir).collect())
+    df = fn(spark, sf_dir)
+    if drain:
+        # noop DSv2 write: full materialization (nothing pruned the way
+        # count() would prune), zero bytes to the Python driver.
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        return dt, df.count()  # rows recorded untimed
+    n = len(df.collect())
     return time.time() - t0, n
 
 
-def measure(spark, fn, sf_dir: str, reps: int) -> tuple[float, int]:
-    best, rows = run_one(spark, fn, sf_dir)
+def measure(spark, fn, sf_dir: str, reps: int, drain: bool = False) -> tuple[float, int]:
+    best, rows = run_one(spark, fn, sf_dir, drain)
     for _ in range(reps - 1):
-        t, _n = run_one(spark, fn, sf_dir)
+        t, _n = run_one(spark, fn, sf_dir, drain)
         best = min(best, t)
     return best, rows
 
@@ -149,12 +330,13 @@ def ladder(spark, registry, names, scaled_dir, factor_key, factor):
     _save(doc)
     for name in names:
         fn = registry[name].fn
-        extra = {}
+        drain = name in SWEEP_DRAIN
+        extra = {"drain": "noop"} if drain else {}
         if name in WARM_BUILD:
             t0 = time.time()
             run_one(spark, fn, BASE)
             extra["base_build_sec"] = round(time.time() - t0, 3)
-        tb, nb = measure(spark, fn, BASE, reps=2)
+        tb, nb = measure(spark, fn, BASE, reps=2, drain=drain)
         if name in WARM_BUILD:
             h0, g0, _c0 = _jvm_probe(spark)
             t0 = time.time()
@@ -162,9 +344,9 @@ def ladder(spark, registry, names, scaled_dir, factor_key, factor):
             extra["scaled_build_sec"] = round(time.time() - t0, 3)
             extra["build_gc_sec"] = round(_jvm_probe(spark)[1] - g0, 1)
         h0, g0, _c0 = _jvm_probe(spark)
-        ts, ns = run_one(spark, fn, scaled_dir)
+        ts, ns = run_one(spark, fn, scaled_dir, drain)
         if ts < 120:
-            t2, _ = run_one(spark, fn, scaled_dir)
+            t2, _ = run_one(spark, fn, scaled_dir, drain)
             ts = min(ts, t2)
         h1, g1, c1 = _jvm_probe(spark)
         sec["queries"][name] = {
@@ -213,6 +395,10 @@ def main() -> int:
         ladder(
             spark, registry, names or FACTOR100, SCALED_100, "factor100", 100
         )
+    if which == "sweep":
+        done = _load().get("factor100", {}).get("queries", {})
+        todo = [n for n in (names or SWEEP100) if n not in done]
+        ladder(spark, registry, todo, SCALED_100, "factor100", 100)
     return 0
 
 
