@@ -65,3 +65,16 @@ def sql_word_ngrams(n: int, toks: str = "toks") -> str:
         f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
         f"i -> {join}) ELSE []::VARCHAR[] END"
     )
+
+
+# Index-sizing arithmetic every auto-sized sign-bucket oracle mirrors:
+# bits = least(32, greatest(1, ceil(log2(greatest(1, n // 256))))) — the
+# SQL replay of operators/similarity.py::sign_bits_for
+# (target_bucket=256, clamped to 32 so 1<<bit stays far from BIGINT
+# sign; identical integer-division + log2-on-integers arithmetic in
+# both engines). Shared by qs13/qs23 (similarity) and qd7b/qd10
+# (semantic dedup) so the sizing rule cannot drift per family.
+SIZED_BITS_SQL = (
+    "least(32, greatest(1, CAST(ceil(log2(greatest(1, count(*) // 256)))"
+    " AS BIGINT)))"
+)

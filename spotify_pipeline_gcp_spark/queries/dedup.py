@@ -22,7 +22,7 @@ from spotify_pipeline_gcp_spark.operators.dedup import (
     simhash_pairs,
 )
 from spotify_pipeline_gcp_spark.queries import register
-from spotify_pipeline_gcp_spark.queries.compat import table
+from spotify_pipeline_gcp_spark.queries.compat import SIZED_BITS_SQL, table
 
 # Shared oracle CTEs for word-3-shingles (1-based list indexing).
 SHINGLE_CTE = """
@@ -392,18 +392,57 @@ def qd9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "qd7b_embedding_near_dup_pruned",
-    oracle="""
-    WITH base AS (
+# Sign-bucket base the qd7b/qd10 oracles share: AUTO-SIZED bits
+# (compat.SIZED_BITS_SQL — the sign_bits_for replay qs13 pioneered),
+# then the same width-j coarse code qs13's oracle builds. r9's 100x
+# ladder caught the previous pinned-4-bit form quadratic: 16 buckets
+# over 200k vectors is ~1.25e9 exact cosines (the sweep stalled >14
+# min on it); auto-sized buckets hold ~256 vectors at any scale so
+# candidates stay ~256*n.
+_SIGNED_BASE_SQL = f"""
+    nb AS (
+      SELECT {SIZED_BITS_SQL} AS bits FROM embeddings
+    ),
+    base AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
-             ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-            + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::BIGINT AS bucket
+             CAST(list_sum(list_transform(range(1, (SELECT bits FROM nb) + 1),
+                  j -> CASE WHEN embedding[j] > 0 THEN 1 << (j - 1) ELSE 0 END))
+                  AS BIGINT) AS bucket
       FROM embeddings
+    )"""
+
+
+def _sign_bucket_pairs(spark: SparkSession, sf_dir: str):
+    """Shared qd7b/qd10 candidate stage: auto-sized sign buckets
+    (operators/similarity.py::sign_bits_for — avg bucket ~256 vectors
+    at any scale), equi-join within bucket, exact cosine. Returns
+    (aliased pair DataFrame pre-threshold cosine column)."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _dot_pre,
+        _double_base,
+        sign_bits_for,
+        sign_bucket,
     )
+
+    emb = table(spark, sf_dir, "embeddings")
+    n_bits = min(32, sign_bits_for(emb.count()))
+    base = _double_base(emb, "vec_id", "embedding").withColumn(
+        "bucket", sign_bucket("v", n_bits)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot_pre(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    )
+    return pairs, cos
+
+
+@register(
+    "qd7b_embedding_near_dup_pruned",
+    oracle=f"""
+    WITH {_SIGNED_BASE_SQL}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) * 1000000 + 0.5) / 1000000
              AS cosine_r
@@ -413,53 +452,29 @@ def qd9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def qd7b_embedding_near_dup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs AT SCALE: sign-bucket candidate
-    generation (qs3's coarse code — an equi-join, never all-pairs)
-    feeding qd7's cosine >= tau predicate. This is the actual 100 TB
+    generation (qs13's AUTO-SIZED coarse code — an equi-join, never
+    all-pairs, avg bucket ~256 vectors at any corpus size) feeding
+    qd7's cosine >= tau predicate. This is the actual 100 TB
     semantic-dedup operator: the pair space shrinks ~2^n_bits before
-    any dot product runs, and the exact fold kernel keeps the result
-    oracle-checkable (the oracle replays bucket + threshold). qd7 is
-    the unpruned exactness twin; recall loss vs qd7 is the standard
-    single-probe ANN trade (cross-bucket pairs are not scored)."""
-    from spotify_pipeline_gcp_spark.operators.similarity import (
-        _dot_pre,
-        _double_base,
-        sign_bucket,
-    )
+    any dot product runs, and the oracle replays sizing + bucket +
+    threshold (compat.SIZED_BITS_SQL) so the data-adaptive index is
+    hash-verified. qd7 is the unpruned exactness twin; recall loss vs
+    qd7 is the standard single-probe ANN trade (cross-bucket pairs
+    are not scored)."""
     from spotify_pipeline_gcp_spark.queries.compat import fixed
 
-    emb = table(spark, sf_dir, "embeddings")
-    base = _double_base(emb, "vec_id", "embedding").withColumn(
-        "bucket", sign_bucket("v", 4)
-    )
-    a, b = base.alias("a"), base.alias("b")
-    cos = _dot_pre(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .where(cos >= 0.45)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            fixed(cos, 6).alias("cosine_r"),
-        )
+    pairs, cos = _sign_bucket_pairs(spark, sf_dir)
+    return pairs.where(cos >= 0.45).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        fixed(cos, 6).alias("cosine_r"),
     )
 
 
 @register(
     "qd10_semantic_dedup_components",
-    oracle="""
-    WITH RECURSIVE base AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v,
-             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
-             ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-            + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::BIGINT AS bucket
-      FROM embeddings
-    ),
+    oracle=f"""
+    WITH RECURSIVE {_SIGNED_BASE_SQL},
     np AS (
       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
       FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -485,29 +500,14 @@ def qd10_semantic_dedup_components(spark: SparkSession, sf_dir: str) -> DataFram
     clusters (qd8's min-label propagation). This is the full
     embedding-dedup policy a 100 TB pipeline runs: every stage is a
     bucketed join or an iterate-materialize loop, and the oracle
-    replays pruning + threshold + closure (recursive CTE) exactly."""
-    from spotify_pipeline_gcp_spark.operators.similarity import (
-        _dot_pre,
-        _double_base,
-        sign_bucket,
+    replays sizing + pruning + threshold + closure (recursive CTE)
+    exactly — buckets are AUTO-SIZED via sign_bits_for (avg ~256
+    vectors each) so the candidate stage stays ~256*n at any scale."""
+    pairs, cos = _sign_bucket_pairs(spark, sf_dir)
+    edges = pairs.where(cos >= 0.45).select(
+        F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b")
     )
-
-    emb = table(spark, sf_dir, "embeddings")
-    base = _double_base(emb, "vec_id", "embedding").withColumn(
-        "bucket", sign_bucket("v", 4)
-    )
-    a, b = base.alias("a"), base.alias("b")
-    cos = _dot_pre(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .where(cos >= 0.45)
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-    )
-    comp = dedup_components(pairs)
+    comp = dedup_components(edges)
     return comp.select(F.col("doc_id").alias("vec_id"), "component")
 
 

@@ -20,7 +20,12 @@ from spotify_pipeline_gcp_spark.operators.similarity import (
     with_norm,
 )
 from spotify_pipeline_gcp_spark.queries import register
-from spotify_pipeline_gcp_spark.queries.compat import fixed, sql_fixed, table
+from spotify_pipeline_gcp_spark.queries.compat import (
+    SIZED_BITS_SQL,
+    fixed,
+    sql_fixed,
+    table,
+)
 
 DOT_AB = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
 NORM = "sqrt(list_dot_product({0}.embedding::DOUBLE[], {0}.embedding::DOUBLE[]))"
@@ -935,15 +940,10 @@ def qs10_ann_full_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_kmeans_blas_trained(emb, k_neighbors=5, n_clusters=16, n_iter=2)
 
 
-# Index-sizing arithmetic the oracle mirrors: bits =
-# least(32, greatest(1, ceil(log2(greatest(1, n // 256))))) — the SQL
-# replay of operators/similarity.py::sign_bits_for (target_bucket=256,
-# clamped to 32 so 1<<bit stays far from BIGINT sign; identical
-# integer-division + log2-on-integers arithmetic in both engines).
-_SIZED_BITS_SQL = (
-    "least(32, greatest(1, CAST(ceil(log2(greatest(1, count(*) // 256)))"
-    " AS BIGINT)))"
-)
+# Index-sizing arithmetic the oracle mirrors — now shared from
+# queries/compat.py (qd7b/qd10's semantic-dedup oracles replay the
+# same rule, so it cannot drift per family).
+_SIZED_BITS_SQL = SIZED_BITS_SQL
 
 
 @register(
