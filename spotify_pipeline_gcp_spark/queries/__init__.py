@@ -100,12 +100,15 @@ _WINDOW_ORDER = [
     "qst8_streaming_ann_serving",
     "qs28_cosine_topk_imi_multiprobe_blas",
     "qs29_imi_recall_audit",
-    # r7-green backfill (2 rounds stale at r9): flagship + the
-    # self-contained maintenance sibling of the changed qs22b
-    # (qs21/qd14 gave their slots to the new qs28/qs29 and lead the
-    # r10 rotation)
+    # changed late-r9: the full-registry 100x sweep caught qs9's
+    # pinned-4-bit sign bucket quadratic (same bug as qd7b/qd10, both
+    # already in the r6-stale set above); auto-sized + oracle-replayed
+    # now — the changed code must be driver-verified this round
+    "qs9_filtered_ann",
+    # r7-green backfill (2 rounds stale at r9): the flagship
+    # (qs21/qd14 gave their slots to the new qs28/qs29; with qs22's
+    # slot taken by the changed qs9, all three lead the r10 rotation)
     "q00_flagship_pipeline",
-    "qs22_ann_index_maintenance",
 ]
 
 # Pinned-size exactness baselines (r7 verdict item #5): kept

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from spotify_pipeline_gcp_spark.operators.similarity import (
     _dot_pre,
     _double_base,
+    sign_bits_for,
     sign_bucket,
     with_norm,
 )
@@ -26,6 +27,11 @@ from spotify_pipeline_gcp_spark.queries.compat import (
     sql_fixed,
     table,
 )
+
+# Index-sizing arithmetic the auto-sized oracles mirror — shared from
+# queries/compat.py (qd7b/qd10's semantic-dedup oracles replay the
+# same rule, so it cannot drift per family).
+_SIZED_BITS_SQL = SIZED_BITS_SQL
 
 DOT_AB = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
 NORM = "sqrt(list_dot_product({0}.embedding::DOUBLE[], {0}.embedding::DOUBLE[]))"
@@ -769,12 +775,14 @@ def qs8_cosine_topk_ivf_kmeans_blas(spark: SparkSession, sf_dir: str) -> DataFra
     WITH filtered AS (
       SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0
     ),
+    nb AS (
+      SELECT {_SIZED_BITS_SQL} AS bits FROM filtered
+    ),
     coded AS (
       SELECT vec_id, embedding,
-             ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-            + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::BIGINT AS bucket
+             CAST(list_sum(list_transform(range(1, (SELECT bits FROM nb) + 1),
+                  j -> CASE WHEN embedding[j] > 0 THEN 1 << (j - 1) ELSE 0 END))
+                  AS BIGINT) AS bucket
       FROM filtered
     ),
     pairs AS (
@@ -799,10 +807,14 @@ def qs9_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes — Catalyst pushes it into the parquet scan and recall
     over the filtered universe equals unfiltered single-probe recall
     by construction. The same composition applies in front of the
-    multi-probe / k-means / BLAS variants."""
+    multi-probe / k-means / BLAS variants. Buckets are AUTO-SIZED
+    over the FILTERED universe (sign_bits_for — the filter halves n,
+    so the index is one bit narrower than qs13's; the oracle replays
+    the sizing from the filtered count)."""
     emb = table(spark, sf_dir, "embeddings").where(F.col("label") % 2 == 0)
+    n_bits = min(32, sign_bits_for(emb.count()))
     base = _double_base(emb, "vec_id", "embedding").withColumn(
-        "bucket", sign_bucket("v", 4)
+        "bucket", sign_bucket("v", n_bits)
     )
     return _ranked_pairs(base, same_bucket=True, k=3)
 
@@ -940,10 +952,6 @@ def qs10_ann_full_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_kmeans_blas_trained(emb, k_neighbors=5, n_clusters=16, n_iter=2)
 
 
-# Index-sizing arithmetic the oracle mirrors — now shared from
-# queries/compat.py (qd7b/qd10's semantic-dedup oracles replay the
-# same rule, so it cannot drift per family).
-_SIZED_BITS_SQL = SIZED_BITS_SQL
 
 
 @register(
@@ -1509,20 +1517,21 @@ def qs17_cosine_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (
       SELECT vec_id, embedding FROM embeddings WHERE label % 10 <> 0
     ),
+    nb AS (
+      SELECT {_SIZED_BITS_SQL} AS bits FROM c
+    ),
     qc AS (
       SELECT vec_id, embedding,
-             ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-            + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::BIGINT AS bucket
+             CAST(list_sum(list_transform(range(1, (SELECT bits FROM nb) + 1),
+                  j -> CASE WHEN embedding[j] > 0 THEN 1 << (j - 1) ELSE 0 END))
+                  AS BIGINT) AS bucket
       FROM q
     ),
     cc AS (
       SELECT vec_id, embedding,
-             ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-            + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::BIGINT AS bucket
+             CAST(list_sum(list_transform(range(1, (SELECT bits FROM nb) + 1),
+                  j -> CASE WHEN embedding[j] > 0 THEN 1 << (j - 1) ELSE 0 END))
+                  AS BIGINT) AS bucket
       FROM c
     ),
     pairs AS (
@@ -1547,7 +1556,11 @@ def qs15_query_corpus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in qe2) and is broadcast-hinted: candidate generation is a
     broadcast hash join on the bucket code, so the CORPUS NEVER
     SHUFFLES — the plan a 100 TB index wants, since the corpus side
-    is the one that scales. Per-query top-3 by fixed-point cosine,
+    is the one that scales. The bucket code is AUTO-SIZED from the
+    CORPUS count (sign_bits_for, replayed by the oracle): per-query
+    candidates stay ~256 at any corpus size instead of n/16. Both
+    sides share the corpus-derived width — bucket equality is only
+    meaningful at one width. Per-query top-3 by fixed-point cosine,
     deterministic tie-break."""
     emb = table(spark, sf_dir, "embeddings")
     qsel = (
@@ -1560,12 +1573,14 @@ def qs15_query_corpus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(64)
         .drop("_d")
     )
+    corpus_src = emb.where(F.col("label") % 10 != 0)
+    n_bits = min(32, sign_bits_for(corpus_src.count()))
     queries = _double_base(qsel, "vec_id", "embedding").withColumn(
-        "bucket", sign_bucket("v", 4)
+        "bucket", sign_bucket("v", n_bits)
     )
-    corpus = _double_base(
-        emb.where(F.col("label") % 10 != 0), "vec_id", "embedding"
-    ).withColumn("bucket", sign_bucket("v", 4))
+    corpus = _double_base(corpus_src, "vec_id", "embedding").withColumn(
+        "bucket", sign_bucket("v", n_bits)
+    )
     cos = fixed(
         _dot_pre(F.col("q.v"), F.col("c.v")) / (F.col("q.norm") * F.col("c.norm")),
         6,
