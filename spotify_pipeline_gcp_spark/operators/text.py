@@ -125,6 +125,22 @@ def _word_ngrams(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _split_ngrams_regex(text_col: str, n: int) -> Column:
+    """Word n-grams with EXACT ``split(text, ' ')`` token semantics
+    (empty tokens from doubled/leading spaces included), extracted in
+    ONE anchored-lookahead regex pass: ``(?:^|(?<= ))`` anchors every
+    token start, the lookahead captures the next n tokens joined by
+    their single spaces, and ``[^ ]*`` (not ``\\S+``) keeps empty
+    tokens so the result is gram-identical to ``_word_ngrams`` over
+    split-by-space arrays. The regex stays inside JVM codegen where
+    ``transform``-built arrays evaluate interpreted — the same 12x
+    lesson contamination_pairs measured (see its docstring); swapping
+    this into repetition_stats took qt6 from 294.6 s to 17.3 s at the
+    100x ladder point (and 11.2 s to 0.76 s at sf0.1)."""
+    pat = rf"(?:^|(?<= ))(?=((?:[^ ]* ){{{n - 1}}}[^ ]*))"
+    return F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str,
@@ -137,13 +153,13 @@ def repetition_stats(
     ``max_dup3_ratio``. Boilerplate, scraper loops, and degenerate
     generations score high; clean prose scores near zero.
 
-    Pure array built-ins on the row (``transform``/``array_distinct``)
-    — no explode, no shuffle, linear scan; the keep flag is a plain
-    predicate Catalyst can push wherever the filter composes."""
-    toks = _tokens(text_col)
+    Row-local column expressions only — no explode, no shuffle,
+    linear scan; the keep flag is a plain predicate Catalyst can push
+    wherever the filter composes. Grams come from the codegen-friendly
+    regex pass (``_split_ngrams_regex``), not ``transform``."""
     out = [F.col(id_col)]
     for n in (2, 3):
-        grams = _word_ngrams(toks, n)
+        grams = _split_ngrams_regex(text_col, n)
         total = F.size(grams).cast("long")
         dups = (total - F.size(F.array_distinct(grams))).cast("long")
         ratio = F.when(total > 0, dups / total).otherwise(F.lit(0.0))

@@ -102,12 +102,15 @@ _WINDOW_ORDER = [
     "qs29_imi_recall_audit",
     # changed late-r9: the full-registry 100x sweep caught qs9's
     # pinned-4-bit sign bucket quadratic (same bug as qd7b/qd10, both
-    # already in the r6-stale set above); auto-sized + oracle-replayed
-    # now — the changed code must be driver-verified this round
+    # already in the r6-stale set above) and qt6's interpreted
+    # transform-built grams (294.6 s -> 17.3 s at 100x after the
+    # regex-gram swap); changed code must be driver-verified this round
     "qs9_filtered_ann",
-    # r7-green backfill (2 rounds stale at r9): the flagship
-    # (qs21/qd14 gave their slots to the new qs28/qs29; with qs22's
-    # slot taken by the changed qs9, all three lead the r10 rotation)
+    "qt6_repetition_filter",
+    # r7-green backfill: the flagship sits at #51 — OUT of the first-50
+    # window this round (the driver's entry() smoke still runs the
+    # flagship pipeline every round); with qs21/qd14/qs22 it leads the
+    # r10 rotation
     "q00_flagship_pipeline",
 ]
 

@@ -231,3 +231,44 @@ def test_ngram_lm_score_whitespace_tokens(spark):
     a = ngram_lm_score(_docs(spark, [(1, "x\ty\nz")]), "doc_id", "text")
     b = ngram_lm_score(_docs(spark, [(1, "x y z")]), "doc_id", "text")
     assert a.collect() == b.collect()
+
+
+def test_regex_ngrams_identical_to_transform_ngrams(spark):
+    # _split_ngrams_regex is the codegen fast path repetition_stats
+    # runs (294.6 s -> 17.3 s at the 100x ladder point); _word_ngrams
+    # is the retained exactness twin. They must agree token-for-token
+    # under split(' ') semantics — INCLUDING empty tokens from doubled
+    # / leading / trailing spaces, which \S+-based grams would drop.
+    from pyspark.sql import functions as F
+
+    from spotify_pipeline_gcp_spark.operators.text import (
+        _split_ngrams_regex,
+        _tokens,
+        _word_ngrams,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    adv = spark.createDataFrame(
+        [
+            ("x1", "a  b c"),
+            ("x2", " lead"),
+            ("x3", "trail "),
+            ("x4", ""),
+            ("x5", "one"),
+            ("x6", "a b"),
+            ("x7", "  "),
+            ("x8", "tab\there space"),
+        ],
+        "doc_id string, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(adv)
+    for n in (2, 3, 4):
+        mismatches = (
+            both.select(
+                _split_ngrams_regex("text", n).alias("rg"),
+                _word_ngrams(_tokens("text"), n).alias("tg"),
+            )
+            .where(F.col("rg") != F.col("tg"))
+            .count()
+        )
+        assert mismatches == 0, f"n={n}: regex grams != transform grams"
