@@ -133,6 +133,7 @@ SWEEP_DRAIN = {
     "qsp2_split_assign",
     "qsp3_stratified_sample",
     "qsp6_exact_quota_sample",
+    "qst2_streaming_sessionize",
     "qt5_token_bpeish",
     "qt6_repetition_filter",
     "qt8_pii_scrub",
