@@ -107,11 +107,10 @@ _WINDOW_ORDER = [
     # regex-gram swap); changed code must be driver-verified this round
     "qs9_filtered_ann",
     "qt6_repetition_filter",
-    # r7-green backfill: the flagship sits at #51 — OUT of the first-50
-    # window this round (the driver's entry() smoke still runs the
-    # flagship pipeline every round); with qs21/qd14/qs22 it leads the
-    # r10 rotation
-    "q00_flagship_pipeline",
+    # the r7-green backfills q00/qs22 gave their slots to the two
+    # changed queries above (the driver's entry() smoke still runs the
+    # flagship pipeline every round); with qs21/qd14 they lead the r10
+    # rotation
 ]
 
 # Pinned-size exactness baselines (r7 verdict item #5): kept
