@@ -400,6 +400,15 @@ def main() -> int:
         done = _load().get("factor100", {}).get("queries", {})
         todo = [n for n in (names or SWEEP100) if n not in done]
         ladder(spark, registry, todo, SCALED_100, "factor100", 100)
+    if which == "sweep10":
+        # the 10x mid-rung of the same full-registry sweep: with both
+        # rungs recorded, sub/super-linear scaling curves are visible
+        # (a x10->x100 ratio pair distinguishes linear from n^1.5 from
+        # n^2 empirically, not by asymptotic argument)
+        done = _load().get("factor10", {}).get("queries", {})
+        full = FACTOR100 + [n for n in SWEEP100 if n not in FACTOR100]
+        todo = [n for n in (names or full) if n not in done]
+        ladder(spark, registry, todo, SCALED_10, "factor10", 10)
     return 0
 
 
