@@ -108,10 +108,13 @@ def test_index_sizing_replays_in_sql_at_any_scale(n):
         trained_cells_for,
     )
 
-    bits_sql = (
-        "least(32, greatest(1, CAST(ceil(log2(greatest(1, n // 256)))"
-        " AS BIGINT)))"
-    )
+    # the REAL shared oracle snippet (qs13/qs23/qs9/qs15/qd7b/qd10 all
+    # embed it via compat.SIZED_BITS_SQL), rebased from the view's
+    # count(*) onto the generated n — drift in the constant itself now
+    # fails here, not only at oracle-compare time
+    from spotify_pipeline_gcp_spark.queries.compat import SIZED_BITS_SQL
+
+    bits_sql = SIZED_BITS_SQL.replace("count(*)", "n")
     k_sql = "greatest(1, CAST(floor(sqrt(n)) AS BIGINT))"
     imi_sql = "greatest(2, CAST(ceil(sqrt(n / 256.0)) AS BIGINT))"
     expected_sql = "(n + greatest(1, CAST(floor(sqrt(n)) AS BIGINT)) - 1) // greatest(1, CAST(floor(sqrt(n)) AS BIGINT))"
