@@ -941,7 +941,14 @@ def qs10_ann_full_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     model state), searching with the bucket-packed BLAS kernel.
     Training AND search vectorized end-to-end; qs7 is the
     hash-verified all-DataFrame twin, qs8 the half-step (exact
-    trainer + BLAS search)."""
+    trainer + BLAS search).
+
+    PINNED 16 cells like qs7/qs8 — a kernel demonstration, not the
+    scale shape: within-cell search grows n²/16 (the r9 ladder
+    measured ×32.8 wall for ×10 data at the 100× point — the row
+    exists to make the class visible). At scale use the SIZED BLAS
+    paths: qs23 (√n-cell IVF, same dgemm) or qs26/qs28 (linear IMI
+    grid); decision table in COVERAGE.md."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         cosine_topk_kmeans_blas_trained,
     )
