@@ -771,6 +771,19 @@ def simhash_pairs(
     fp = simhash(df, id_col, text_col, bits)
     if collapse_identical:
         fp = fp.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    # materialize the fingerprint table ONCE (localCheckpoint, the
+    # dedup_components pattern): it is consumed by both self-join
+    # sides (+ the hot-bucket count when capped), and the token-wide
+    # simhash aggregate is the operator's dominant stage — the r9
+    # stageprof showed it running twice (2×53 s of qd9b's 110 s at
+    # the 100× point; exchange reuse does not survive the differing
+    # per-side subtrees). The checkpoint itself is (doc_id, long) —
+    # ~16 B/doc, disk-backed, trivially small next to the corpus.
+    from pyspark import StorageLevel
+
+    fp = fp.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
     band_vals = F.array(
         *[
             F.struct(
