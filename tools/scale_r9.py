@@ -289,17 +289,53 @@ def _jvm_probe(spark) -> tuple[float, float, float]:
     return mem.getUsed() / 1048576.0, gc_ms / 1000.0, cc / 1048576.0
 
 
+# Per-query watchdog (late r9): both sweep stalls (qd7b, qs9 — pinned
+# sign buckets gone quadratic) sat >14 min before a human noticed.
+# An unattended ladder should fail the QUERY loudly and keep going:
+# the watchdog cancels the query's job group after MAX_QUERY_SEC and
+# the row records {"timeout": N} instead of silently blocking the
+# remaining rows. 600 s is ~4x the slowest legitimate row (qs14).
+MAX_QUERY_SEC = int(os.environ.get("SPARK_GRAFT_LADDER_TIMEOUT", "600"))
+
+
+class QueryTimeout(Exception):
+    pass
+
+
 def run_one(spark, fn, sf_dir: str, drain: bool = False) -> tuple[float, int]:
+    import threading
+
+    group = f"ladder-{time.time_ns()}"
+    spark.sparkContext.setJobGroup(group, "scale ladder query", True)
+    fired = threading.Event()
+
+    def _kill():
+        fired.set()
+        spark.sparkContext.cancelJobGroup(group)
+
+    timer = threading.Timer(MAX_QUERY_SEC, _kill)
+    timer.daemon = True
+    timer.start()
     t0 = time.time()
-    df = fn(spark, sf_dir)
-    if drain:
-        # noop DSv2 write: full materialization (nothing pruned the way
-        # count() would prune), zero bytes to the Python driver.
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        return dt, df.count()  # rows recorded untimed
-    n = len(df.collect())
-    return time.time() - t0, n
+    try:
+        df = fn(spark, sf_dir)
+        if drain:
+            # noop DSv2 write: full materialization (nothing pruned the
+            # way count() would prune), zero bytes to the Python driver.
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            return dt, df.count()  # rows recorded untimed
+        n = len(df.collect())
+        return time.time() - t0, n
+    except Exception:
+        if fired.is_set():
+            raise QueryTimeout(
+                f"query exceeded {MAX_QUERY_SEC}s and was cancelled"
+            ) from None
+        raise
+    finally:
+        timer.cancel()
+        spark.sparkContext.setJobGroup("", "")
 
 
 def measure(spark, fn, sf_dir: str, reps: int, drain: bool = False) -> tuple[float, int]:
@@ -333,11 +369,19 @@ def ladder(spark, registry, names, scaled_dir, factor_key, factor):
         fn = registry[name].fn
         drain = name in SWEEP_DRAIN
         extra = {"drain": "noop"} if drain else {}
-        if name in WARM_BUILD:
-            t0 = time.time()
-            run_one(spark, fn, BASE)
-            extra["base_build_sec"] = round(time.time() - t0, 3)
-        tb, nb = measure(spark, fn, BASE, reps=2, drain=drain)
+        try:
+            if name in WARM_BUILD:
+                t0 = time.time()
+                run_one(spark, fn, BASE)
+                extra["base_build_sec"] = round(time.time() - t0, 3)
+            tb, nb = measure(spark, fn, BASE, reps=2, drain=drain)
+        except QueryTimeout as ex:
+            sec["queries"][name] = {"timeout_sec": MAX_QUERY_SEC, "err": str(ex)}
+            print(f"[{factor_key}] {name}: TIMEOUT at base ({ex})", flush=True)
+            doc = _load()
+            doc[factor_key] = sec
+            _save(doc)
+            continue
         if name in WARM_BUILD:
             h0, g0, _c0 = _jvm_probe(spark)
             t0 = time.time()
@@ -345,10 +389,23 @@ def ladder(spark, registry, names, scaled_dir, factor_key, factor):
             extra["scaled_build_sec"] = round(time.time() - t0, 3)
             extra["build_gc_sec"] = round(_jvm_probe(spark)[1] - g0, 1)
         h0, g0, _c0 = _jvm_probe(spark)
-        ts, ns = run_one(spark, fn, scaled_dir, drain)
-        if ts < 120:
-            t2, _ = run_one(spark, fn, scaled_dir, drain)
-            ts = min(ts, t2)
+        try:
+            ts, ns = run_one(spark, fn, scaled_dir, drain)
+            if ts < 120:
+                t2, _ = run_one(spark, fn, scaled_dir, drain)
+                ts = min(ts, t2)
+        except QueryTimeout as ex:
+            sec["queries"][name] = {
+                "base_sec": round(tb, 3),
+                "base_rows": nb,
+                "timeout_sec": MAX_QUERY_SEC,
+                "err": str(ex),
+            }
+            print(f"[{factor_key}] {name}: TIMEOUT at scaled ({ex})", flush=True)
+            doc = _load()
+            doc[factor_key] = sec
+            _save(doc)
+            continue
         h1, g1, c1 = _jvm_probe(spark)
         sec["queries"][name] = {
             "base_sec": round(tb, 3),
@@ -389,7 +446,10 @@ def main() -> int:
         driver_memory=DRIVER_MEM,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    run_one(spark, registry["q08_pricing_summary"].fn, BASE)  # warm session
+    try:
+        run_one(spark, registry["q08_pricing_summary"].fn, BASE)  # warm session
+    except QueryTimeout:
+        pass  # cold-session warmup may trip a tight test timeout; harmless
     if which in ("factor10", "both"):
         ladder(spark, registry, names or FACTOR10, SCALED_10, "factor10", 10)
     if which in ("factor100", "both"):
