@@ -134,6 +134,9 @@ SWEEP_DRAIN = {
     "qsp3_stratified_sample",
     "qsp6_exact_quota_sample",
     "qst2_streaming_sessionize",
+    # near-dup PAIRS at 100x are data-sized output (7.9M rows on the
+    # noisy scaled corpus) — collect() measured py4j, not the engine
+    "qd7b_embedding_near_dup_pruned",
     "qt5_token_bpeish",
     "qt6_repetition_filter",
     "qt8_pii_scrub",
