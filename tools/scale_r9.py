@@ -46,6 +46,11 @@ from spotify_pipeline_gcp_spark.session import get_spark  # noqa: E402
 BASE = "/root/testdata/sf0.1"
 SCALED_10 = "/tmp/spark_graft_sf1"
 SCALED_100 = "/tmp/spark_graft_sf10"
+# documents + embeddings ONLY (selective 10x of the 100x dir via the
+# same structure-preserving transforms; TPC-H tables intentionally
+# absent — the third decade exists to test the auto-sizing formulas
+# where they bend: sign_bits_for(2M)=13, simhash width, IMI grid)
+SCALED_1000 = "/tmp/spark_graft_sf100"
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "SCALE_BENCH_r09.json",
@@ -72,6 +77,23 @@ FACTOR100 = [
 FACTOR10 = [
     "qs19_cosine_topk_ivfpq",
     "qs22b_ann_index_maintenance_manifest",
+]
+# The 1000x rung (2M vectors / 5M docs, 4 g): doc/embedding flagships
+# only — every query here reads documents and/or embeddings alone.
+FACTOR1000 = [
+    "qt2_quality_score",
+    "qt6_repetition_filter",
+    "qd1_dedup_exact_groups",
+    "qsp5_temperature_resample",
+    "qs15_query_corpus_topk",
+    "qs18_pq_adc_topk",
+    "qd5_minhash_lsh_pairs",
+    "qd3b_ngram_jaccard_capped",
+    "qd9b_simhash_pairs_capped",
+    "qd7b_embedding_near_dup_pruned",
+    "qs13_cosine_topk_bucketed_sized",
+    "qs26_cosine_topk_imi_blas",
+    "qp5_export_manifest",
 ]
 
 # ---------------------------------------------------------------------------
@@ -363,14 +385,27 @@ def ladder(spark, registry, names, scaled_dir, factor_key, factor):
             "queries": {},
         },
     )
+    try:
+        scaled_cal = _calibration(spark, scaled_dir)
+    except Exception:
+        # the selective 1000x dir carries only documents/embeddings —
+        # no lineitem for the scan probe; cpu drift is still captured
+        # via the base calibration in the same session
+        scaled_cal = {"note": "no lineitem in selective scaled dir"}
     sec["_calibration"] = {
         "base": _calibration(spark, BASE),
-        "scaled": _calibration(spark, scaled_dir),
+        "scaled": scaled_cal,
     }
     _save(doc)
     for name in names:
         fn = registry[name].fn
-        drain = name in SWEEP_DRAIN
+        # at the 1000x rung EVERYTHING drains: per-doc outputs are 5M+
+        # rows there, and the rung's first run showed two 5M-row
+        # collects leaving enough retained JVM state to OOM the NEXT
+        # query's aggregate (qd1 ran clean solo at 10.8s). For tiny
+        # outputs the noop write costs the same as collect, so the
+        # rung stays internally comparable.
+        drain = name in SWEEP_DRAIN or factor >= 1000
         extra = {"drain": "noop"} if drain else {}
         try:
             if name in WARM_BUILD:
@@ -463,6 +498,15 @@ def main() -> int:
         done = _load().get("factor100", {}).get("queries", {})
         todo = [n for n in (names or SWEEP100) if n not in done]
         ladder(spark, registry, todo, SCALED_100, "factor100", 100)
+    if which == "factor1000":
+        ladder(
+            spark,
+            registry,
+            names or FACTOR1000,
+            SCALED_1000,
+            "factor1000",
+            1000,
+        )
     if which == "sweep10":
         # the 10x mid-rung of the same full-registry sweep: with both
         # rungs recorded, sub/super-linear scaling curves are visible
