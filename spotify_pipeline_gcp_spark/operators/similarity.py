@@ -161,9 +161,55 @@ def index_size_for(n_vectors: int, target_cell: int = 256) -> int:
 
 def sign_bits_for(n_vectors: int, target_bucket: int = 256) -> int:
     """Sign-bucket bit count so the average bucket holds
-    ~``target_bucket`` vectors (see ``index_size_for``); clamped to
-    the vector dim elsewhere by the caller."""
-    return max(1, math.ceil(math.log2(index_size_for(n_vectors, target_bucket))))
+    ~``target_bucket`` vectors (see ``index_size_for``), clamped to
+    32 bits — ``1 << j`` must stay far from the BIGINT sign on both
+    engines, and compat.SIZED_BITS_SQL bakes the same ``least(32,…)``
+    into every oracle replay. The clamp lives HERE (not at call
+    sites) so the Python sizing and the SQL replay cannot disagree:
+    a pre-r10 caller that forgot its own ``min(32, …)`` would have
+    silently drifted from the oracle at very large n."""
+    return min(
+        32, max(1, math.ceil(math.log2(index_size_for(n_vectors, target_bucket))))
+    )
+
+
+# Hot-bucket cap for every SIGN-BUCKET self-join: buckets holding more
+# than this many vectors are DROPPED from candidate generation — the
+# embedding-side analogue of qd3b's ``max_shingle_df`` posting cap and
+# qd9b's ``max_bucket`` band cap. ``sign_bits_for`` right-sizes the
+# AVERAGE bucket (~256) but sign bits are data-correlated, not hashed:
+# a dense region keeps one bucket at a constant fraction of n no
+# matter how many bits are added (r9's 1000x rung measured a 3,264-row
+# max bucket at 13 bits — and sub-splitting to all 64 sign bits still
+# left ~1,000-row sign-TIED groups), and one such bucket contributes
+# size²/2 candidate pairs ON ONE REDUCER. The cap bounds worst-case
+# candidate volume at cap·n/2 — linear by construction — at the
+# standard LSH recall trade: pairs inside a dropped mega-bucket are
+# not scored (boilerplate-dominated regions where near-dup signal is
+# weakest). 4096 = 16x the target bucket: it binds ONLY on
+# pathological skew, never at driver scale (sf0.01/sf0.1 corpora are
+# ≤ 2,000 vectors total, so oracle-checked outputs are unchanged),
+# and every oracle replays it via compat.SIZED_BUCKET_CAP_SQL.
+MAX_SIGN_BUCKET = 4096
+
+
+def drop_hot_buckets(
+    base: DataFrame, max_bucket: int = MAX_SIGN_BUCKET, bucket_col: str = "bucket"
+) -> DataFrame:
+    """Remove rows in over-cap buckets before a bucketed self-join.
+
+    One combinable groupBy (partial map-side agg → ~n_buckets rows)
+    finds the hot bucket ids; the anti-join back is broadcast (the
+    hot set is tiny by construction — at most n/cap ids). Cost: one
+    extra scan of the (id, bucket) projection; payoff: the self-join
+    is worst-case linear instead of worst-case quadratic."""
+    hot = (
+        base.groupBy(bucket_col)
+        .count()
+        .where(F.col("count") > max_bucket)
+        .select(bucket_col)
+    )
+    return base.join(F.broadcast(hot), bucket_col, "left_anti")
 
 
 def trained_cells_for(n_vectors: int) -> int:

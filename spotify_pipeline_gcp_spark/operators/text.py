@@ -136,9 +136,16 @@ def _split_ngrams_regex(text_col: str, n: int) -> Column:
     ``transform``-built arrays evaluate interpreted — the same 12x
     lesson contamination_pairs measured (see its docstring); swapping
     this into repetition_stats took qt6 from 294.6 s to 17.3 s at the
-    100x ladder point (and 11.2 s to 0.76 s at sf0.1)."""
+    100x ladder point (and 11.2 s to 0.76 s at sf0.1). NULL text
+    yields an EMPTY array (coalesce), matching ``_word_ngrams`` over
+    ``split(NULL)`` — without it ``regexp_extract_all(NULL)`` returns
+    NULL and downstream gram counts silently become NULL instead
+    of 0 (pinned by the NULL-text row in tests/test_text.py)."""
     pat = rf"(?:^|(?<= ))(?=((?:[^ ]* ){{{n - 1}}}[^ ]*))"
-    return F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)
+    return F.coalesce(
+        F.regexp_extract_all(F.col(text_col), F.lit(pat), 1),
+        F.array().cast("array<string>"),
+    )
 
 
 def repetition_stats(

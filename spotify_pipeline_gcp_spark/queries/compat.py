@@ -70,11 +70,25 @@ def sql_word_ngrams(n: int, toks: str = "toks") -> str:
 # Index-sizing arithmetic every auto-sized sign-bucket oracle mirrors:
 # bits = least(32, greatest(1, ceil(log2(greatest(1, n // 256))))) — the
 # SQL replay of operators/similarity.py::sign_bits_for
-# (target_bucket=256, clamped to 32 so 1<<bit stays far from BIGINT
-# sign; identical integer-division + log2-on-integers arithmetic in
-# both engines). Shared by qs13/qs23 (similarity) and qd7b/qd10
-# (semantic dedup) so the sizing rule cannot drift per family.
+# (target_bucket=256, clamped to 32 — the clamp is INSIDE
+# sign_bits_for since r10, so Python and this replay cannot disagree;
+# identical integer-division + log2-on-integers arithmetic in both
+# engines). Embedded — directly or via a module-local alias — by ALL
+# auto-sized sign-bucket oracles (similarity: qs9/qs13/qs23 and the
+# serving/labeling family; semantic dedup: qd7b/qd10); editing the
+# constant changes every one of them.
 SIZED_BITS_SQL = (
     "least(32, greatest(1, CAST(ceil(log2(greatest(1, count(*) // 256)))"
     " AS BIGINT)))"
 )
+
+# Hot-bucket cap every sign-bucket SELF-JOIN oracle replays — the SQL
+# twin of operators/similarity.py::MAX_SIGN_BUCKET (see its comment
+# for the skew rationale). Buckets holding more than this many
+# vectors are dropped from candidate generation on BOTH engines:
+#   hot  AS (SELECT bucket FROM coded GROUP BY bucket
+#            HAVING count(*) > {SIZED_BUCKET_CAP}),
+#   kept AS (SELECT c.* FROM coded c ANTI JOIN hot h USING (bucket))
+# Never binds at driver scale (sf0.01/sf0.1 corpora ≤ 2,000 vectors),
+# so capped and uncapped oracles agree where the driver checks them.
+SIZED_BUCKET_CAP = 4096

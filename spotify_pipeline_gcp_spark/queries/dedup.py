@@ -22,7 +22,11 @@ from spotify_pipeline_gcp_spark.operators.dedup import (
     simhash_pairs,
 )
 from spotify_pipeline_gcp_spark.queries import register
-from spotify_pipeline_gcp_spark.queries.compat import SIZED_BITS_SQL, table
+from spotify_pipeline_gcp_spark.queries.compat import (
+    SIZED_BITS_SQL,
+    SIZED_BUCKET_CAP,
+    table,
+)
 
 # Shared oracle CTEs for word-3-shingles (1-based list indexing).
 SHINGLE_CTE = """
@@ -394,41 +398,58 @@ def qd9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Sign-bucket base the qd7b/qd10 oracles share: AUTO-SIZED bits
 # (compat.SIZED_BITS_SQL — the sign_bits_for replay qs13 pioneered),
-# then the same width-j coarse code qs13's oracle builds. r9's 100x
-# ladder caught the previous pinned-4-bit form quadratic: 16 buckets
-# over 200k vectors is ~1.25e9 exact cosines (the sweep stalled >14
-# min on it); auto-sized buckets hold ~256 vectors at any scale so
-# candidates stay ~256*n.
+# then the same width-j coarse code qs13's oracle builds, then the
+# HOT-BUCKET CAP (compat.SIZED_BUCKET_CAP — sign bits are
+# data-correlated, so a dense region can hold one bucket at a
+# constant fraction of n however many bits are added; the cap bounds
+# worst-case candidates at cap*n/2, and never binds at driver scale).
+# r9's 100x ladder caught the previous pinned-4-bit form quadratic:
+# 16 buckets over 200k vectors is ~1.25e9 exact cosines (the sweep
+# stalled >14 min on it); auto-sized buckets hold ~256 vectors at any
+# scale so TYPICAL candidates stay ~256*n, and the cap makes the
+# worst case linear too.
 _SIGNED_BASE_SQL = f"""
     nb AS (
       SELECT {SIZED_BITS_SQL} AS bits FROM embeddings
     ),
-    base AS (
+    coded AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
              CAST(list_sum(list_transform(range(1, (SELECT bits FROM nb) + 1),
                   j -> CASE WHEN embedding[j] > 0 THEN 1 << (j - 1) ELSE 0 END))
                   AS BIGINT) AS bucket
       FROM embeddings
+    ),
+    hot AS (
+      SELECT bucket FROM coded GROUP BY bucket
+      HAVING count(*) > {SIZED_BUCKET_CAP}
+    ),
+    base AS (
+      SELECT c.* FROM coded c ANTI JOIN hot h ON c.bucket = h.bucket
     )"""
 
 
 def _sign_bucket_pairs(spark: SparkSession, sf_dir: str):
     """Shared qd7b/qd10 candidate stage: auto-sized sign buckets
     (operators/similarity.py::sign_bits_for — avg bucket ~256 vectors
-    at any scale), equi-join within bucket, exact cosine. Returns
-    (aliased pair DataFrame pre-threshold cosine column)."""
+    at any scale), hot buckets dropped (MAX_SIGN_BUCKET — worst-case
+    candidate volume capped at cap*n/2), equi-join within bucket,
+    exact cosine. Returns (aliased pair DataFrame, pre-threshold
+    cosine column)."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         _dot_pre,
         _double_base,
+        drop_hot_buckets,
         sign_bits_for,
         sign_bucket,
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    n_bits = min(32, sign_bits_for(emb.count()))
-    base = _double_base(emb, "vec_id", "embedding").withColumn(
-        "bucket", sign_bucket("v", n_bits)
+    n_bits = sign_bits_for(emb.count())
+    base = drop_hot_buckets(
+        _double_base(emb, "vec_id", "embedding").withColumn(
+            "bucket", sign_bucket("v", n_bits)
+        )
     )
     a, b = base.alias("a"), base.alias("b")
     cos = _dot_pre(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))

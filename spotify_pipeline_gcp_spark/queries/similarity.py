@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from spotify_pipeline_gcp_spark.operators.similarity import (
     _dot_pre,
     _double_base,
+    drop_hot_buckets,
     sign_bits_for,
     sign_bucket,
     with_norm,
@@ -23,6 +24,7 @@ from spotify_pipeline_gcp_spark.operators.similarity import (
 from spotify_pipeline_gcp_spark.queries import register
 from spotify_pipeline_gcp_spark.queries.compat import (
     SIZED_BITS_SQL,
+    SIZED_BUCKET_CAP,
     fixed,
     sql_fixed,
     table,
@@ -785,10 +787,17 @@ def qs8_cosine_topk_ivf_kmeans_blas(spark: SparkSession, sf_dir: str) -> DataFra
                   AS BIGINT) AS bucket
       FROM filtered
     ),
+    hot AS (
+      SELECT bucket FROM coded GROUP BY bucket
+      HAVING count(*) > {SIZED_BUCKET_CAP}
+    ),
+    kept AS (
+      SELECT c.* FROM coded c ANTI JOIN hot h ON c.bucket = h.bucket
+    ),
     pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              {sql_fixed(f'{DOT_AB} / ({NORM.format("a")} * {NORM.format("b")})', 6)} AS cosine_r
-      FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      FROM kept a JOIN kept b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
     )
     SELECT query_id, neighbor_id, cosine_r,
            row_number() OVER (PARTITION BY query_id
@@ -810,11 +819,14 @@ def qs9_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe / k-means / BLAS variants. Buckets are AUTO-SIZED
     over the FILTERED universe (sign_bits_for — the filter halves n,
     so the index is one bit narrower than qs13's; the oracle replays
-    the sizing from the filtered count)."""
+    the sizing from the filtered count) and hot buckets are dropped
+    (MAX_SIGN_BUCKET, oracle-replayed — see qs13)."""
     emb = table(spark, sf_dir, "embeddings").where(F.col("label") % 2 == 0)
-    n_bits = min(32, sign_bits_for(emb.count()))
-    base = _double_base(emb, "vec_id", "embedding").withColumn(
-        "bucket", sign_bucket("v", n_bits)
+    n_bits = sign_bits_for(emb.count())
+    base = drop_hot_buckets(
+        _double_base(emb, "vec_id", "embedding").withColumn(
+            "bucket", sign_bucket("v", n_bits)
+        )
     )
     return _ranked_pairs(base, same_bucket=True, k=3)
 
@@ -974,10 +986,17 @@ def qs10_ann_full_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS bucket
       FROM embeddings
     ),
+    hot AS (
+      SELECT bucket FROM coded GROUP BY bucket
+      HAVING count(*) > {SIZED_BUCKET_CAP}
+    ),
+    kept AS (
+      SELECT c.* FROM coded c ANTI JOIN hot h ON c.bucket = h.bucket
+    ),
     pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              {sql_fixed(f'{DOT_AB} / ({NORM.format("a")} * {NORM.format("b")})', 6)} AS cosine_r
-      FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      FROM kept a JOIN kept b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
     )
     SELECT query_id, neighbor_id, cosine_r,
            row_number() OVER (PARTITION BY query_id
@@ -998,13 +1017,22 @@ def qs13_cosine_topk_bucketed_sized(spark: SparkSession, sf_dir: str) -> DataFra
     integer-input math in both engines — so the data-adaptive index
     is hash-verified, not just the search. The count() is one
     footer-stats job producing a single scalar; at 100 TB it is noise
-    next to the candidate join it right-sizes."""
+    next to the candidate join it right-sizes. Since r10 the self-join
+    also drops HOT buckets (> MAX_SIGN_BUCKET = 4096 members, replayed
+    by the oracle): sign bits are data-correlated, so auto-sizing
+    bounds the AVERAGE bucket but not a dense region's — the cap makes
+    worst-case candidates linear (cap*n/2). Never binds at driver
+    scale, so oracle rows are unchanged where the driver checks them;
+    queries inside a dropped mega-bucket return no neighbors (the
+    qd3b/qd9b posting-cap recall trade)."""
     from spotify_pipeline_gcp_spark.operators.similarity import sign_bits_for
 
     emb = table(spark, sf_dir, "embeddings")
-    n_bits = min(32, sign_bits_for(emb.count()))
-    base = _double_base(emb, "vec_id", "embedding").withColumn(
-        "bucket", sign_bucket("v", n_bits)
+    n_bits = sign_bits_for(emb.count())
+    base = drop_hot_buckets(
+        _double_base(emb, "vec_id", "embedding").withColumn(
+            "bucket", sign_bucket("v", n_bits)
+        )
     )
     return _ranked_pairs(base, same_bucket=True, k=5)
 
@@ -1581,7 +1609,7 @@ def qs15_query_corpus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_d")
     )
     corpus_src = emb.where(F.col("label") % 10 != 0)
-    n_bits = min(32, sign_bits_for(corpus_src.count()))
+    n_bits = sign_bits_for(corpus_src.count())
     queries = _double_base(qsel, "vec_id", "embedding").withColumn(
         "bucket", sign_bucket("v", n_bits)
     )
@@ -1813,7 +1841,7 @@ def qs20_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("vec_id")
     )
     corpus_emb = emb.join(F.broadcast(cids), "vec_id", "left_semi")
-    n_bits = min(32, sign_bits_for(corpus_emb.count()))
+    n_bits = sign_bits_for(corpus_emb.count())
     qb = _double_base(
         emb.join(F.broadcast(qids), "vec_id", "left_semi"),
         "vec_id", "embedding",
@@ -2303,7 +2331,7 @@ def qe2_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     labeled = emb.where(F.col("label") % 10 != 0)
-    n_bits = min(32, sign_bits_for(labeled.count()))
+    n_bits = sign_bits_for(labeled.count())
     qb = _double_base(
         emb.where(F.col("label") % 10 == 0), "vec_id", "embedding"
     ).withColumn("bucket", sign_bucket("v", n_bits))

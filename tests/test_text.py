@@ -258,6 +258,11 @@ def test_regex_ngrams_identical_to_transform_ngrams(spark):
             ("x6", "a b"),
             ("x7", "  "),
             ("x8", "tab\there space"),
+            # NULL text must yield [] on BOTH paths: regexp_extract_all
+            # propagates NULL without the coalesce guard, and a NULL
+            # gram array silently NULLs downstream dup counts where
+            # the transform path returned 0 (ADVICE r9).
+            ("x9", None),
         ],
         "doc_id string, text string",
     )
@@ -268,7 +273,9 @@ def test_regex_ngrams_identical_to_transform_ngrams(spark):
                 _split_ngrams_regex("text", n).alias("rg"),
                 _word_ngrams(_tokens("text"), n).alias("tg"),
             )
-            .where(F.col("rg") != F.col("tg"))
+            # null-SAFE compare: a NULL on either side is a mismatch
+            # the plain != would silently filter out
+            .where(~F.col("rg").eqNullSafe(F.col("tg")))
             .count()
         )
         assert mismatches == 0, f"n={n}: regex grams != transform grams"

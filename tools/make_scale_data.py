@@ -15,13 +15,21 @@ table N times with structure-preserving transformations:
   similarity drops to zero — pair counts scale linearly (replicating
   text verbatim would make every doc a near-dup of its N-1 twins:
   a quadratic blowup that measures the DATA bug, not the engine);
-- embeddings get small deterministic per-replica Gaussian noise
-  (seed = replica id), so vectors occupy N distinct neighborhoods
-  instead of N-fold exact ties collapsing into the same IVF cells;
+- embeddings get a deterministic per-replica SIGNED COORDINATE
+  PERMUTATION (seed = replica id) — an orthogonal transform, so the
+  base pair/neighbor structure is copied N times EXACTLY while
+  cross-replica cosines drop to ~0 (the pre-r10 additive-noise form
+  left cross-replica cosines at ~0.999: every vector's N replicas
+  were mutual near-dups and pair counts grew quadratically — the
+  1000x ladder was measuring that data bug, not the engine);
 - dimension tables (region/nation/supplier/part) copy unchanged.
 
-Usage: python tools/make_scale_data.py [src_dir] [dst_dir] [factor]
-Defaults: /root/testdata/sf0.1 /tmp/spark_graft_sf1 10
+Usage: python tools/make_scale_data.py [src_dir] [dst_dir] [factor] [tables]
+Defaults: /root/testdata/sf0.1 /tmp/spark_graft_sf1 10 all
+``tables`` is a comma list (e.g. ``documents,embeddings`` for the
+selective 1000x rung dir — the third decade only exercises the
+doc/embedding auto-sizing formulas, so the TPC-H fact tables are
+deliberately absent there).
 """
 
 from __future__ import annotations
@@ -74,19 +82,43 @@ def _shift_union(con, src, dst, table, n, shift_cols, exprs=None):
 
 
 def _scale_embeddings(src: str, dst: str, n: int) -> None:
+    """Replicate embeddings with a per-replica SIGNED COORDINATE
+    PERMUTATION (an orthogonal transform: v' = signs * v[perm]).
+
+    Why not additive noise (the pre-r10 form): r9's 1000x ladder
+    showed sigma = 0.05*rms leaves cross-replica cosines at ~0.999 —
+    every base vector's n replicas were MUTUAL near-dups, so near-dup
+    pair outputs grew quadratically in the factor (9.3e8 in-bucket
+    pairs at factor 1000 vs the base structure x1000 = ~2e7 the
+    docstring promised) and the watchdog-cancelled qd7b/qs13 rows
+    measured the data bug, not the engine. A signed permutation is
+    norm- and dot-product-preserving WITHIN a replica (permutation
+    matrices with +-1 signs are orthogonal), so the base ANN/near-dup
+    pair structure is copied n times EXACTLY — the embeddings
+    analogue of the per-replica token suffix on documents — while
+    cross-replica cosines concentrate near 0 (sum of +-v_a*v_b over a
+    random pairing; verified < 0.45 threshold empirically after
+    generation). Replica 0 stays identity so base rows survive
+    verbatim.
+    """
     t = pq.read_table(f"{src}/embeddings.parquet")
     vec_id = t.column("vec_id").to_numpy()
     label = t.column("label").to_numpy()
     emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
-    sigma = 0.05 * float(np.sqrt((emb**2).mean()))
+    dim = emb.shape[1]
     span = int(vec_id.max()) + 1
     ids, labels, vecs = [], [], []
     for i in range(n):
         rng = np.random.default_rng(i)
-        noise = 0.0 if i == 0 else sigma * rng.standard_normal(emb.shape)
+        if i == 0:
+            v = emb
+        else:
+            perm = rng.permutation(dim)
+            signs = rng.choice(np.array([-1.0, 1.0], dtype=np.float32), dim)
+            v = (emb[:, perm] * signs).astype(np.float32)
         ids.append(vec_id + i * span)
         labels.append(label)
-        vecs.append((emb + noise).astype(np.float32))
+        vecs.append(v)
     out = pa.table(
         {
             "vec_id": np.concatenate(ids),
@@ -105,46 +137,59 @@ def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf1"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
 
-    custkey_span = con.execute(
-        f"SELECT max(c_custkey) + 1 FROM read_parquet('{src}/customer.parquet')"
-    ).fetchone()[0]
+    def want(t: str) -> bool:
+        return only is None or t in only
 
-    _shift_union(con, src, dst, "lineitem", n, ["l_orderkey"])
-    _shift_union(
-        con, src, dst, "orders", n,
-        ["o_orderkey"],
-        exprs={"o_custkey": f"o_custkey + {{i}} * {custkey_span}"},
-    )
-    _shift_union(con, src, dst, "customer", n, ["c_custkey"])
-    _shift_union(
-        con, src, dst, "events", n,
-        ["event_id"],
-        exprs={"user_id": f"user_id + {{i}} * {custkey_span}"},
-    )
-    _shift_union(
-        con, src, dst, "documents", n,
-        ["doc_id"],
-        exprs={
-            "text": "CASE WHEN {i} = 0 THEN text ELSE "
-            "regexp_replace(text, '(\\S+)', '\\1_r{i}', 'g') END"
-        },
-    )
-    _scale_embeddings(src, dst, n)
-    for dim in ["region", "nation", "supplier", "part"]:
-        con.execute(
-            f"COPY (SELECT * FROM read_parquet('{src}/{dim}.parquet'))"
-            f" TO '{dst}/{dim}.parquet' (FORMAT PARQUET)"
+    if want("orders") or want("events"):
+        custkey_span = con.execute(
+            f"SELECT max(c_custkey) + 1 FROM read_parquet('{src}/customer.parquet')"
+        ).fetchone()[0]
+
+    if want("lineitem"):
+        _shift_union(con, src, dst, "lineitem", n, ["l_orderkey"])
+    if want("orders"):
+        _shift_union(
+            con, src, dst, "orders", n,
+            ["o_orderkey"],
+            exprs={"o_custkey": f"o_custkey + {{i}} * {custkey_span}"},
         )
+    if want("customer"):
+        _shift_union(con, src, dst, "customer", n, ["c_custkey"])
+    if want("events"):
+        _shift_union(
+            con, src, dst, "events", n,
+            ["event_id"],
+            exprs={"user_id": f"user_id + {{i}} * {custkey_span}"},
+        )
+    if want("documents"):
+        _shift_union(
+            con, src, dst, "documents", n,
+            ["doc_id"],
+            exprs={
+                "text": "CASE WHEN {i} = 0 THEN text ELSE "
+                "regexp_replace(text, '(\\S+)', '\\1_r{i}', 'g') END"
+            },
+        )
+    if want("embeddings"):
+        _scale_embeddings(src, dst, n)
+    for dim in ["region", "nation", "supplier", "part"]:
+        if want(dim):
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{src}/{dim}.parquet'))"
+                f" TO '{dst}/{dim}.parquet' (FORMAT PARQUET)"
+            )
     for t in [
         "lineitem", "orders", "customer", "events", "documents", "embeddings",
     ]:
-        c = con.execute(
-            f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')"
-        ).fetchone()[0]
-        print(f"{t}: {c} rows")
+        if want(t):
+            c = con.execute(
+                f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')"
+            ).fetchone()[0]
+            print(f"{t}: {c} rows")
     return 0
 
 
