@@ -171,6 +171,37 @@ def main() -> None:
         # keep stdout parseable: the only stdout line must be the JSON
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    # Store-build / serve split (r9 verdict item #4): the
+    # manifest/PQ-store queries (qs22b, qst7, qst8) conflate a
+    # one-time persisted-store build with recurring serving when the
+    # store root is cold — and the default root persists across
+    # rounds, so whether a round paid the build depended on disk
+    # state. The bench now pins the store root to a FRESH temp dir
+    # (no cross-round disk dependence) and times the one-time builds
+    # HERE, into the separate ``queries_build`` field; the timed reps
+    # below then measure steady-state recurring cost for every row —
+    # the qs22b ladder-row convention. (SPARK_GRAFT_MODEL_STORE is
+    # deliberately NOT set: qs18/qs19/qs25/qs27 keep their in-process
+    # memo path so their rows stay comparable to r9.)
+    import tempfile
+
+    from spotify_pipeline_gcp_spark.queries.similarity import (
+        ensure_ivfm_manifest,
+        ensure_pq_store,
+    )
+
+    os.environ["SPARK_GRAFT_MANIFEST_DIR"] = tempfile.mkdtemp(
+        prefix="spark_graft_bench_stores_"
+    )
+    builds: dict[str, float] = {}
+    for bname, ensure in (
+        ("qs22b+qst7_ivfm_manifest_build", ensure_ivfm_manifest),
+        ("qst8_pq_store_build", ensure_pq_store),
+    ):
+        t0 = time.time()
+        ensure(spark, sf_dir)
+        builds[bname] = round(time.time() - t0, 3)
+
     # Warmup pass: execute every plan once untimed. First execution pays
     # whole-stage-codegen compilation + JIT + page-cache fill (seconds of
     # fixed overhead, independent of data volume). The timed pass then
@@ -205,6 +236,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
+        "queries_build": builds,
         "_calibration": _calibration(spark, sf_dir),
         "sf": sf,
     }

@@ -615,7 +615,11 @@ def dedup_components(
 
 
 def simhash(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """SimHash fingerprint per document: (doc_id, simhash).
 
@@ -627,56 +631,120 @@ def simhash(
     LSH + Hamming verification, and exact-equal fingerprints bucket
     aggressive near-dups with a single groupBy at any scale.
 
-    Plan shape: all ``bits`` per-bit contributions are computed as
-    sibling columns of ONE token row and reduced by ``bits`` sums in
-    ONE groupBy — no bit explode (which would multiply shuffle rows
-    ``bits``×) and no second aggregation; the map-side combine
-    collapses token rows to one row per (partition, doc) before the
-    exchange. Same wide-aggregation trick as ``_minhash_wide``.
+    Plan shape: per-bit contributions are computed as sibling columns
+    of ONE token row and reduced in ONE groupBy — no bit explode
+    (which would multiply shuffle rows ``bits``×) and no second
+    aggregation; the map-side combine collapses token rows to one row
+    per (partition, doc) before the exchange. Same wide-aggregation
+    trick as ``_minhash_wide``. As of r10 the per-bit counters are
+    PACKED 3-per-long into 20-bit lanes: bit j's '1'-count over a
+    doc's tokens is non-negative and bounded by the doc's token count
+    (< 2^20, guarded by a ``raise_error`` on giant docs), so
+    ``ceil(bits/3)+1`` BIGINT sums replace ``bits`` of them —
+    fingerprint bit j is then ``2*cnt1_j > n_tok`` (identical to the
+    old ±1 sum's ``s_j > 0``). This cut the 60-bit aggregate's
+    per-task hash-map state and its codegen expression count ~3-4x:
+    the unpacked form OOM'd a 4 g heap at the 1000x rung, where a
+    32-way map wave held ~150k docs x 61 longs each (plus scan
+    batches), and the packed form fits without any extra exchange.
 
-    (Bit-extraction flavor was A/B-measured at sf0.1: per-bit
-    ``instr``+``substring``, ascii-parity CASE, and a conv(hex)-
-    then-shift word parse all land within box noise except conv,
-    which is consistently ~30% SLOWER — Spark's conv goes through a
-    decimal-string round trip. The readable instr form stays.)
+    Bit extraction: each digest is folded to a 32-char '0'/'1'
+    PARITY STRING by ONE ``translate`` pass (hex digit → its value's
+    parity), then bit j is a single-char compare. The r9 form ran
+    ``instr('0123456789abcdef', substring(h, j, 1))`` per (token,
+    bit) — a 16-char scan × 60 bits × every token occurrence; the
+    translate fold does the table lookup once per DIGEST and was
+    measured 4.7× faster on the fingerprint aggregate at the 10×
+    ladder point (2.8 s → 0.6 s; values bit-identical — same parity,
+    so qd6/qd9/qd9b oracles and stored fingerprints are unchanged).
+    A conv(hex)-then-shift word parse was also A/B'd and is ~30%
+    slower than even the instr form — Spark's conv goes through a
+    decimal-string round trip.
     """
     if not 1 <= bits <= 63:
         # the fingerprint is packed into a signed BIGINT: 2**j for
         # j >= 63 overflows a long deep inside expression construction
         # instead of failing here at the API boundary.
         raise ValueError(f"bits must be in [1, 63], got {bits}")
+    # Sized aggregation parallelism: a map task over D documents holds
+    # a ~D x (words+2) x 8 B hash map. The packed lanes keep that tiny
+    # at the 1000x rung (~150k docs/task x ~180 B ≈ 27 MB); the
+    # repartition below is the backstop for corpora another decade up
+    # (200k docs/task budget — only fires when the sized need EXCEEDS
+    # the default parallelism, so sub-threshold inputs keep relying on
+    # tokenize's _spread and never pay a doc-row shuffle).
+    if n_docs is not None:
+        parts = n_docs // 200_000
+        if parts > df.sparkSession.sparkContext.defaultParallelism:
+            df = df.repartition(parts)
+    parity = "0101010101010101"  # value parity of hex digits 0..f
     toks = tokenize(df, id_col, text_col).select(
         F.col(id_col).alias("doc_id"),
-        F.md5("token").alias("h"),
+        F.expr(
+            f"translate(md5(token), '0123456789abcdef', '{parity}')"
+        ).alias("h"),
         # bits 32..59 draw parity from a SALTED second hash — md5 has
         # only 32 hex digits, so one digest carries 32 parity bits;
         # the 'b:' prefix mirrors the minhash oracle convention and
         # keeps bits < 32 (qd6/qd9 and every stored fingerprint)
         # bit-identical to the single-hash form
         *(
-            [F.md5(F.concat(F.lit("b:"), F.col("token"))).alias("h2")]
+            [
+                F.expr(
+                    "translate(md5('b:' || token),"
+                    f" '0123456789abcdef', '{parity}')"
+                ).alias("h2")
+            ]
             if bits > 32
             else []
         ),
     )
 
-    def _contrib(j: int):
-        col, pos = ("h", j + 1) if j < 32 else ("h2", j - 31)
-        return F.expr(
-            f"CAST((((instr('0123456789abcdef', substring({col}, {pos}, 1))"
-            f" - 1) % 2) * 2 - 1) AS BIGINT)"
-        ).alias(f"c{j}")
+    LANE, PER = 20, 3  # 3 x 20-bit counters per packed BIGINT lane-word
 
-    contribs = [_contrib(j) for j in range(bits)]
-    per_doc = toks.select("doc_id", *contribs).groupBy("doc_id").agg(
-        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(bits)]
+    def _bit(j: int) -> str:
+        col, pos = ("h", j + 1) if j < 32 else ("h2", j - 31)
+        return (
+            f"CAST(CASE WHEN substring({col}, {pos}, 1) = '1'"
+            f" THEN 1 ELSE 0 END AS BIGINT)"
+        )
+
+    n_words = (bits + PER - 1) // PER
+
+    def _packed(w: int):
+        terms = [
+            f"({_bit(j)} << {LANE * (j - w * PER)})"
+            for j in range(w * PER, min((w + 1) * PER, bits))
+        ]
+        # per-token word < 2^41; summed over < 2^20 tokens → < 2^61:
+        # the packed sum cannot overflow a signed BIGINT
+        return F.expr(" + ".join(terms)).alias(f"w{w}")
+
+    per_doc = toks.select(
+        "doc_id", *[_packed(w) for w in range(n_words)]
+    ).groupBy("doc_id").agg(
+        *[F.sum(f"w{w}").alias(f"w{w}") for w in range(n_words)],
+        F.count(F.lit(1)).alias("n_tok"),
     )
+    mask = (1 << LANE) - 1
     fingerprint = F.lit(0).cast("long")
     for j in range(bits):
+        cnt1 = F.shiftright(
+            F.col(f"w{j // PER}"), LANE * (j % PER)
+        ).bitwiseAND(F.lit(mask))
+        # bit j set iff the ±1 sum is positive: 2*cnt1 - n_tok > 0
         fingerprint = fingerprint + F.when(
-            F.col(f"s{j}") > 0, F.lit(2**j).cast("long")
+            cnt1 * 2 > F.col("n_tok"), F.lit(2**j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return per_doc.select("doc_id", fingerprint.alias("simhash"))
+    guarded = F.when(
+        F.col("n_tok") >= F.lit(1 << LANE),
+        F.expr(
+            "raise_error('simhash: document exceeds 2^20 tokens — "
+            "packed counter lanes would overflow; length-truncate "
+            "upstream')"
+        ).cast("long"),
+    ).otherwise(fingerprint)
+    return per_doc.select("doc_id", guarded.alias("simhash"))
 
 
 def simhash_bits_for(
@@ -710,6 +778,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     max_bucket: int | None = None,
     collapse_identical: bool = False,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, found via bit-band
     LSH over the fingerprint: (doc_a, doc_b, hamming), doc_a < doc_b.
@@ -768,7 +837,7 @@ def simhash_pairs(
         raise ValueError(f"bits ({bits}) must be divisible by bands ({bands})")
     band_width = bits // bands
     mask = (1 << band_width) - 1
-    fp = simhash(df, id_col, text_col, bits)
+    fp = simhash(df, id_col, text_col, bits, n_docs=n_docs)
     if collapse_identical:
         fp = fp.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
     # materialize the fingerprint table ONCE (localCheckpoint, the

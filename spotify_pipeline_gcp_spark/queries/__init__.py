@@ -34,83 +34,75 @@ REGISTRY: dict[str, QuerySpec] = {}
 # now an explicit list edit: ``_WINDOW_ORDER`` below is applied after
 # module import, so module order no longer determines the window.
 #
-# Round-9 window (r8 verdict item #2 — retire the r6 staleness debt):
-# leads with ALL 39 queries whose LAST driver row is r6 (the
-# cross-round union in VERDICT r8; at r9 they'd be 3 rounds stale),
-# then the queries whose CODE changed this round — the trained-model
-# memoization path (qs18/qs19/qs25/qs27 share memoized 'pqtr:'/
-# 'ivfpq:'/'imi:' literals now), the content-sensitive manifest
-# fingerprint (qs22b/qst7), and the new streaming ANN serving
-# (qst8) — then backfills with r7-green rows led by the flagship
-# and qs22b's self-contained sibling. Out of window: the remaining
-# r7-green rows (2 rounds stale at r9 — first in line for r10) and
-# everything r8-green. Run tools/window_check.py after any
-# registration change; tools/selfcheck.py re-verifies the FULL
-# registry every round.
+# Round-10 window (r9 verdict item #2 — retire the r7 staleness
+# debt): ALL 45 queries whose LAST driver row is r7 (the cross-round
+# union in VERDICT r9; at r10 they'd be 3 rounds stale), then the 5
+# queries whose CODE changed this round — the sign-bucket hot-bucket
+# cap (qs9/qs13/qd7b/qd10: MAX_SIGN_BUCKET, oracle-replayed, never
+# binds at driver scale) and the simhash translate-parity bit
+# extraction (qd9b; bit-identical values, 4.7x on the fingerprint
+# aggregate). qd6/qt6 also touched changed code (simhash values
+# bit-identical; NULL-gram coalesce with no NULL text in the
+# datasets) but are r9-green and selfcheck-verified post-change —
+# they lead the r11 rotation with the r8-green set. The durable
+# model store added this round is env-gated (SPARK_GRAFT_MODEL_STORE
+# unset on the driver), so qs18/qs19/qs25/qs27's registered paths
+# are byte-identical to their r9-green rows. Run
+# tools/window_check.py after any registration change;
+# tools/selfcheck.py re-verifies the FULL registry every round.
 _WINDOW_ORDER = [
-    # r6-stale breadth — VERDICT r8 "What's missing" #2 (all 39)
-    "q23_full_outer_join",
-    "q29_window_lag_lead",
-    "q49_grouping_sets",
-    "qd10_semantic_dedup_components",
-    "qd11_incremental_near_dup",
-    "qd12_keep_best_per_cluster",
-    "qd13_duplicated_spans",
-    "qd1_dedup_exact_groups",
-    "qd2_dedup_exact_keep",
-    "qd3_ngram_jaccard_pairs",
-    "qd3b_ngram_jaccard_capped",
-    "qd4_minhash_signatures",
-    "qd5_minhash_lsh_pairs",
-    "qd6_simhash",
-    "qd7_embedding_near_dup",
-    "qd7b_embedding_near_dup_pruned",
-    "qd8_dedup_components",
-    "qd9b_simhash_pairs_capped",
-    "qk1_salted_agg",
-    "qm1_binary_meta",
-    "qm2_image_decode_meta",
-    "qp1_corpus_prep",
-    "qp2_token_shard_packing",
-    "qp3_token_budget_selection",
-    "qp5_export_manifest",
-    "qp6_pack_manifest",
-    "qs15_query_corpus_topk",
-    "qs20_hybrid_rrf",
-    "qs4_cosine_topk_blas",
-    "qs6_cosine_topk_ivf_blas",
-    "qsp1_hash_sample",
-    "qsp5_temperature_resample",
-    "qsp6_exact_quota_sample",
-    "qst1_streaming_type_rollup",
-    "qst3_streaming_static_enrich",
-    "qt10_ngram_lm_score",
-    "qt11_vocab_stats",
-    "qt1_lang_id",
-    "qt9_chunk_windows",
-    # changed this round: trained-model memoization (values identical,
-    # physical model-prep path changed), manifest fingerprint, and
-    # the new streaming ANN serving query
-    "qs18_pq_adc_topk",
-    "qs19_cosine_topk_ivfpq",
-    "qs25_cosine_topk_imi_adc",
-    "qs27_cosine_topk_ivfpq_gather",
-    "qs22b_ann_index_maintenance_manifest",
-    "qst7_streaming_index_maintenance",
-    "qst8_streaming_ann_serving",
-    "qs28_cosine_topk_imi_multiprobe_blas",
-    "qs29_imi_recall_audit",
-    # changed late-r9: the full-registry 100x sweep caught qs9's
-    # pinned-4-bit sign bucket quadratic (same bug as qd7b/qd10, both
-    # already in the r6-stale set above) and qt6's interpreted
-    # transform-built grams (294.6 s -> 17.3 s at 100x after the
-    # regex-gram swap); changed code must be driver-verified this round
+    # r7-stale breadth — VERDICT r9 "What's missing" #2 (all 45)
+    "q00_flagship_pipeline",
+    "q01_project_derived",
+    "q02_filter_isin",
+    "q03_explode_tokens",
+    "q04_bag_collect",
+    "q05_bag_join",
+    "q06_delta_anti_join",
+    "q07_distinct",
+    "q08_pricing_summary",
+    "q09_top_orders",
+    "q10_segment_revenue_topn",
+    "q11_window_topk",
+    "q12_window_running",
+    "q13_union_distinct",
+    "q14_semi_join",
+    "q15_date_trunc_daily",
+    "q16_date_format_monthly",
+    "q24_cross_join",
+    "q25_except",
+    "q26_intersect",
+    "q27_string_funcs",
+    "q28_null_handling",
+    "q30_sessionize",
+    "q31_asof_last_click",
+    "q32_scalar_subquery",
+    "q33_conditional_agg",
+    "q34_array_agg_ops",
+    "q35_exact_percentiles",
+    "q36_approx_aggregates",
+    "q37_unpivot",
+    "q38_map_ops",
+    "q39_date_arith",
+    "q40_json_bag",
+    "q41_big_orders_having",
+    "q42_above_group_avg",
+    "q43_ratio_metric",
+    "q44_flagship_partition_ready",
+    "q45_cube",
+    "q46_range_frame",
+    "q47_range_join",
+    "q48_rank_battery",
+    "qd14_near_dup_export",
+    "qs21_ann_recall_audit",
+    "qs22_ann_index_maintenance",
+    "qs23_cosine_topk_ivf_blas_sized",
+    # changed this round: hot-bucket cap + simhash translate parity
     "qs9_filtered_ann",
-    "qt6_repetition_filter",
-    # the r7-green backfills q00/qs22 gave their slots to the two
-    # changed queries above (the driver's entry() smoke still runs the
-    # flagship pipeline every round); with qs21/qd14 they lead the r10
-    # rotation
+    "qs13_cosine_topk_bucketed_sized",
+    "qd7b_embedding_near_dup_pruned",
+    "qd10_semantic_dedup_components",
+    "qd9b_simhash_pairs_capped",
 ]
 
 # Pinned-size exactness baselines (r7 verdict item #5): kept

@@ -792,6 +792,9 @@ def qd9b_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         max_hamming=3,
         max_bucket=32,
+        # bounds per-task fingerprint-aggregate state (the r10 1000x
+        # ladder OOM'd the unsized form in 4 g) — see simhash()
+        n_docs=n,
     )
 
 

@@ -354,14 +354,48 @@ def q35_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q36_approx_aggregates")  # rows-only: sketch internals differ
+@register(
+    "q36_approx_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           TRUE AS parts_within_10pct,
+           TRUE AS p90_within_rank_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q36_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the mergeable-sketch family that
-    replaces exact distinct/percentile at 100 TB (HLL++ and t-digest;
-    single pass, bounded memory, no expand). No SQL oracle: sketch
-    estimates are engine-specific; the driver records rows-only."""
+    replaces exact distinct/percentile at 100 TB (HLL++ and t-digest /
+    Greenwald-Khanna; single pass, bounded memory, no expand) — as a
+    HASH-VERIFIED tolerance audit (r9 verdict item #7: this was the
+    one non-BLAS rows-only record). Raw sketch estimates are
+    engine-specific and can never hash-match an oracle, but their
+    ERROR BOUNDS can: the query emits per-group booleans asserting
+    each estimate sits inside its documented bound — HLL++ default
+    rsd 5% asserted at a 2x margin (10%), percentile_approx default
+    accuracy 1e4 (rank error ~1e-4·n) asserted inside the exact
+    [p88, p92] rank band — and the oracle emits literal TRUE per
+    group, so the driver hash is green iff every bound holds. The
+    exact sides (count distinct, interpolated percentiles) are cheap
+    at audit time and only exist to check the sketches; production
+    consumes the estimates themselves (the q35 docstring's routing),
+    with tests/test_approx_tolerance.py pinning the raw-value
+    tolerances."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.9).alias("approx_p90"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.countDistinct("l_partkey").alias("xp"),
+        F.percentile_approx("l_extendedprice", 0.9).alias("p90a"),
+        F.expr("percentile(l_extendedprice, 0.88)").alias("p88"),
+        F.expr("percentile(l_extendedprice, 0.92)").alias("p92"),
+    )
+    return agg.select(
+        "l_returnflag",
+        (
+            F.abs(F.col("ap") - F.col("xp"))
+            <= F.lit(0.10) * F.col("xp")
+        ).alias("parts_within_10pct"),
+        (
+            (F.col("p90a") >= F.col("p88")) & (F.col("p90a") <= F.col("p92"))
+        ).alias("p90_within_rank_band"),
     )

@@ -108,11 +108,139 @@ def _train_frac(n: int, k: int, per_centroid: int = 32) -> float:
 _MODEL_MEMO: dict[tuple, object] = {}
 
 
-def _memo_model(spark: SparkSession, key: tuple, build):
+def _content_probe(df: DataFrame) -> dict:
+    """Content-sensitive staleness fingerprint shared by every
+    persisted model/manifest/store (qs22b's discipline): count +
+    vec_id checksum + quantized first-component sum + label sum —
+    four cheap column aggregates, no vector-width shuffle. Count and
+    id checksum alone would silently reuse a stale model after the
+    corpus is REGENERATED with the same ids but different vectors."""
+    probe = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vec_id").cast("long").alias("ck"),
+        F.sum(F.floor(F.element_at("embedding", 1).cast("double") * 1e9))
+        .cast("long")
+        .alias("cv"),
+        F.sum("label").cast("long").alias("cl"),
+    ).collect()[0]
+    return {
+        "n": int(probe["n"]),
+        "ck": int(probe["ck"] or 0),
+        "cv": int(probe["cv"] or 0),
+        "cl": int(probe["cl"] or 0),
+    }
+
+
+def _memo_model(spark: SparkSession, key: tuple, build, src: DataFrame | None = None):
+    """Model-state cache with two layers.
+
+    Default (driver/bench): the in-process memo above — byte-identical
+    behavior to r9, no extra jobs.
+
+    With ``SPARK_GRAFT_MODEL_STORE`` set (production serving / the
+    scale ladder's fresh-session rows): trained literal frames persist
+    as parquet under ``$SPARK_GRAFT_MODEL_STORE/model_<md5(key)>`` and
+    every call LOADS from the store instead of the process memo — the
+    "train once, serve many" split qs22b/qst8 already implement for
+    their manifest/PQ stores, extended to the 'ivf:'/'ivfpq:'/'pqtr:'
+    model families (r9 verdict item #3: a fresh session previously
+    paid the full trainer before its first query). Staleness is
+    content-fingerprinted via ``_content_probe`` over ``src`` (the
+    table the trainer samples from) when provided; parquet round-trips
+    the float64 centroid/codebook entries exactly (the read_pq_store
+    precedent, hash-verified by qst8), so stored-model serving is
+    bit-identical to in-line training. Writes stage into a uuid tmp
+    dir and rename in (the write_index_manifest discipline)."""
+    import os
+
+    store = os.environ.get("SPARK_GRAFT_MODEL_STORE")
+    if store:
+        return _store_model(spark, store, key, build, src)
     full = (spark.sparkContext.applicationId,) + key
     if full not in _MODEL_MEMO:
         _MODEL_MEMO[full] = build()
     return _MODEL_MEMO[full]
+
+
+def _reassemble(spark: SparkSession, path: str, meta: dict):
+    import os
+
+    frames = [
+        spark.read.parquet(os.path.join(path, f"part{i}"))
+        for i in range(int(meta["n_parts"]))
+    ]
+    kind = meta["kind"]
+    if kind == "single":
+        return frames[0]
+    return tuple(frames) if kind == "tuple" else frames
+
+
+def _store_model(
+    spark: SparkSession, store: str, key: tuple, build, src: DataFrame | None
+):
+    import hashlib
+    import json
+    import os
+    import shutil
+    import uuid
+
+    path = os.path.join(
+        store, "model_" + hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    )
+    fingerprint = _content_probe(src) if src is not None else None
+    meta = None
+    if os.path.isdir(path):
+        try:
+            with open(os.path.join(path, "meta.json")) as fh:
+                meta = json.load(fh)
+        except OSError:
+            meta = None
+    if meta and meta.get("key") == repr(key) and (
+        fingerprint is None or meta.get("fingerprint") == fingerprint
+    ):
+        return _reassemble(spark, path, meta)
+    val = build()
+    frames = list(val) if isinstance(val, (list, tuple)) else [val]
+    token = uuid.uuid4().hex[:12]
+    tmp = f"{path}.tmp.{token}"
+    for i, frame in enumerate(frames):
+        # literal model frames are O(k*d) — one file keeps the
+        # round-trip row order deterministic
+        frame.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, f"part{i}")
+        )
+    with open(os.path.join(tmp, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "key": repr(key),
+                "n_parts": len(frames),
+                "kind": (
+                    "list"
+                    if isinstance(val, list)
+                    else "tuple" if isinstance(val, tuple) else "single"
+                ),
+                "fingerprint": fingerprint,
+            },
+            fh,
+        )
+    old = None
+    if os.path.isdir(path):
+        old = f"{path}.old.{token}"
+        try:
+            os.rename(path, old)
+        except OSError:
+            old = None
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
+    # serve THIS call from the persisted frames too, so first-call and
+    # recurring-call values share one code path (and one row order)
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    return _reassemble(spark, path, meta)
 
 
 def _ivf_kmeans_oracle(
@@ -1098,6 +1226,7 @@ def qs14_cosine_topk_ivf_kmeans_sized(
         spark,
         ("ivf-cent", sf_dir, n, k, 2),
         lambda: kmeans_centroids(sample, "vec_id", "embedding", k=k, n_iter=2),
+        src=emb,
     )
     pts = _unit_vectors(emb, "vec_id", "embedding")
     probes = _topn_probes(pts, cent, 2).repartition(F.col("cid"))
@@ -1396,11 +1525,13 @@ def _ivfpq_model(spark, sf_dir: str, emb: DataFrame, n: int, k: int):
         spark,
         ("ivfpq-cent", sf_dir, n, k, 2),
         lambda: kmeans_centroids_on(tpts, k=k, n_iter=2),
+        src=emb,
     )
     books = _memo_model(
         spark,
         ("ivfpq-books", sf_dir, n, 4, 16, 16, 2),
         lambda: pq_codebooks(tpts, m=4, d_sub=16, k_pq=16, n_iter=2),
+        src=emb,
     )
     return cent, books
 
@@ -1448,6 +1579,7 @@ def qs18_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ("pq-books", sf_dir, n, 4, 16, 16, 2),
         lambda: pq_codebooks(strain, m=4, d_sub=16, k_pq=16, n_iter=2),
+        src=emb,
     )
     qsel = (
         emb.where(F.col("label") % 10 == 0)
@@ -1512,6 +1644,7 @@ def qs17_cosine_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ("imi-cent", sf_dir, n, k_each, 2),
         lambda: kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2),
+        src=emb,
     )
     asg = imi_assign(pts, cent1, cent2, 32).repartition("cid1", "cid2")
     a, b = asg.alias("a"), asg.alias("b")
@@ -1689,6 +1822,7 @@ def qs16_cosine_topk_ivf_sample_trained(
         spark,
         ("ivf-cent", sf_dir, n, k, 2),
         lambda: kmeans_centroids(sample, "vec_id", "embedding", k=k, n_iter=2),
+        src=emb,
     )
     asg = assign_clusters(emb, cent, "vec_id", "embedding").repartition(
         F.col("cid")
@@ -2057,6 +2191,7 @@ def qs29_imi_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ("imi-cent", sf_dir, n, k_each, 2),
         lambda: kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2),
+        src=emb,
     )
     asg = imi_assign(pts, cent1, cent2, 32)
     qids = (
@@ -2603,22 +2738,7 @@ def ensure_ivfm_manifest(spark: SparkSession, sf_dir: str) -> str:
     corpus = emb.where(F.col("label") % 10 != 0)
     path = _manifest_dir(sf_dir)
 
-    probe = corpus.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("vec_id").cast("long").alias("ck"),
-        F.sum(
-            F.floor(F.element_at("embedding", 1).cast("double") * 1e9)
-        )
-        .cast("long")
-        .alias("cv"),
-        F.sum("label").cast("long").alias("cl"),
-    ).collect()[0]
-    fingerprint = {
-        "n": int(probe["n"]),
-        "ck": int(probe["ck"] or 0),
-        "cv": int(probe["cv"] or 0),
-        "cl": int(probe["cl"] or 0),
-    }
+    fingerprint = _content_probe(corpus)
 
     meta = None
     if os.path.isdir(path):
@@ -2692,20 +2812,7 @@ def ensure_pq_store(spark: SparkSession, sf_dir: str) -> str:
     m, d_sub, k_pq = 4, 16, 16
     emb = table(spark, sf_dir, "embeddings")
     path = _pq_store_dir(sf_dir)
-    probe = emb.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("vec_id").cast("long").alias("ck"),
-        F.sum(F.floor(F.element_at("embedding", 1).cast("double") * 1e9))
-        .cast("long")
-        .alias("cv"),
-        F.sum("label").cast("long").alias("cl"),
-    ).collect()[0]
-    fingerprint = {
-        "n": int(probe["n"]),
-        "ck": int(probe["ck"] or 0),
-        "cv": int(probe["cv"] or 0),
-        "cl": int(probe["cl"] or 0),
-    }
+    fingerprint = _content_probe(emb)
     meta = None
     if os.path.isdir(path):
         try:
@@ -2724,6 +2831,7 @@ def ensure_pq_store(spark: SparkSession, sf_dir: str) -> str:
             spark,
             ("pq-books", sf_dir, n, m, d_sub, k_pq, 2),
             lambda: pq_codebooks(strain, m=m, d_sub=d_sub, k_pq=k_pq, n_iter=2),
+            src=emb,
         )
         cpts = _unit_vectors(
             emb.where(F.col("label") % 10 != 0), "vec_id", "embedding"
@@ -2818,6 +2926,7 @@ def qs23_cosine_topk_ivf_blas_sized(
         spark,
         ("ivf-cent", sf_dir, n, k, 2),
         lambda: kmeans_centroids(sample, "vec_id", "embedding", k=k, n_iter=2),
+        src=emb,
     )
     return cosine_topk_kmeans_blas(
         emb,
@@ -2872,6 +2981,7 @@ def qs24_cosine_topk_imi_multiprobe(
         spark,
         ("imi-cent", sf_dir, n, k_each, 2),
         lambda: kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2),
+        src=emb,
     )
     h = 32
     p1 = _topn_probes(
@@ -3071,6 +3181,7 @@ def qs25_cosine_topk_imi_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ("imi-cent", sf_dir, n, k_each, 2),
         lambda: kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2),
+        src=emb,
     )
     asg = imi_assign(pts, cent1, cent2, 32)
 
@@ -3083,6 +3194,7 @@ def qs25_cosine_topk_imi_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ("pq-books", sf_dir, n, m, d_sub, k_pq, 2),
         lambda: pq_codebooks(strain, m=m, d_sub=d_sub, k_pq=k_pq, n_iter=2),
+        src=emb,
     )
     codes = pq_encode(pts, books, m=m, d_sub=d_sub)
 
@@ -3174,6 +3286,7 @@ def qs26_cosine_topk_imi_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ("imi-cent", sf_dir, n, k_each, 2),
         lambda: kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2),
+        src=emb,
     )
     return cosine_topk_imi_blas(
         emb,
@@ -3222,6 +3335,7 @@ def qs28_cosine_topk_imi_multiprobe_blas(
         spark,
         ("imi-cent", sf_dir, n, k_each, 2),
         lambda: kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2),
+        src=emb,
     )
     return cosine_topk_imi_multiprobe_blas(
         emb,

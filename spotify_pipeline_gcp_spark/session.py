@@ -85,10 +85,21 @@ def get_spark(
         )
         # 512m code cache: whole-stage codegen emits a distinct class per
         # plan; the JVM default (240m) fills over a many-query session,
-        # silently disabling JIT (~10-30x slowdowns on later queries)
+        # silently disabling JIT (~10-30x slowdowns on later queries).
+        # GCLockerRetryAllocationCount=64: under a tight heap with many
+        # concurrent tasks in JNI critical sections (parquet page /
+        # shuffle-block decompression), Java 17 G1 fails allocations
+        # after only 2 GCLocker retries — the r10 1000x ladder OOM'd
+        # qd9b "allocating 6 words" with GC-locker starvation warnings
+        # while the heap had room; the raised retry count converts that
+        # liveness artifact into a short stall (the documented JDK
+        # mitigation; removed upstream in JDK 22 where GCLocker was
+        # reworked away).
         .config(
             "spark.driver.extraJavaOptions",
-            "-Dlog4j2.level=error -XX:ReservedCodeCacheSize=512m",
+            "-Dlog4j2.level=error -XX:ReservedCodeCacheSize=512m"
+            " -XX:+UnlockDiagnosticVMOptions"
+            " -XX:GCLockerRetryAllocationCount=64",
         )
     )
     if driver_memory or "SPARK_GRAFT_DRIVER_MEM" in os.environ:

@@ -1,9 +1,11 @@
-"""Value-level tolerance checks for q36's approximate aggregates.
+"""Value-level tolerance checks for the q36 sketches' RAW estimates.
 
-The driver records q36 rows-only (sketch estimates are engine-specific,
-so no hash oracle) — these tests are the value verification: every
-estimate must sit within its sketch's documented error bound of the
-exact answer DuckDB computes on the same parquet.
+Since r10 the registered q36 is itself a HASH-VERIFIED tolerance
+audit (it emits per-group booleans asserting each estimate inside its
+bound; the oracle emits literal TRUEs). These tests pin the RAW
+estimates — computed here with the same sketch expressions — at a
+TIGHTER bound than the audit asserts, against the exact answer DuckDB
+computes on the same parquet.
 
 - ``approx_count_distinct`` (HLL++): default rsd = 0.05. The check
   asserts |est - exact| <= 5% of exact. Deterministic: the sketch
@@ -27,12 +29,24 @@ SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 @pytest.fixture(scope="module", params=SF_DIRS)
 def q36_vs_exact(request, spark):
-    from spotify_pipeline_gcp_spark.queries import load_all
+    from pyspark.sql import functions as F
+
+    from spotify_pipeline_gcp_spark.queries.compat import table
 
     sf_dir = request.param
+    # the raw sketch estimates the registered q36 audits (same
+    # expressions, same defaults)
+    raw = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.9).alias("approx_p90"),
+        )
+    )
     approx = {
         r.l_returnflag: (r.approx_parts, r.approx_p90)
-        for r in load_all()["q36_approx_aggregates"].fn(spark, sf_dir).collect()
+        for r in raw.collect()
     }
     con = duckdb.connect()
     con.execute(
