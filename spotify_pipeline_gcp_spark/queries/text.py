@@ -373,25 +373,44 @@ def qt11_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: the 50 most frequent tokens with
     occurrence counts, document frequency, and corpus share — the
     Zipf-head profile tokenizer design and stopword/boilerplate
-    screens start from. One explode, one combinable (count,
-    distinct-doc) aggregate pair, and a TakeOrdered 50 — no global
-    sort; the corpus total RE-AGGREGATES the Zipf-compressed freq
-    table (sum of n_occurrences), never a second corpus pass, and the
-    deterministic tie-break on the token string keeps the cut
-    engine-exact."""
+    screens start from.
+
+    Scale shape (r10 rewrite — the previous ``countDistinct(doc_id)``
+    form OOM'd a 4 g heap at the 1000x rung): document frequency is a
+    ROW-LOCAL dedup (``array_distinct`` inside the doc's token array)
+    followed by a plain combinable count — the per-task map holds one
+    entry per LOCALLY-distinct token (the Zipf-compressed local
+    vocabulary), where the countDistinct rewrite's partial-distinct
+    layer held one entry per (token, doc_id) PAIR (~15 M per task at
+    5 M docs: the whole exploded stream before any compression).
+    Occurrence counts aggregate the raw stream the same way; the two
+    count tables join on token with NO extra exchange (both sides
+    emerge hash-partitioned by token from their own aggregates), and
+    the corpus total is a row-local ``sum(size(tokens))`` — never a
+    second pass, never a vocab-wide re-aggregation. TakeOrdered 50
+    with a deterministic token tie-break keeps the cut engine-exact;
+    values are identical to the countDistinct form (exact counts
+    either way), so the oracle is unchanged."""
     docs = table(spark, sf_dir, "documents")
     toks = F.array_remove(
         F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "),
         "",
     )
-    tok = docs.select(
-        "doc_id", F.explode(toks).alias("token")
+    base = docs.select("doc_id", toks.alias("t"))
+    occ = (
+        base.select(F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
     )
-    freq = tok.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-        F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+    dfq = (
+        base.select(F.explode(F.array_distinct("t")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
     )
-    total = freq.agg(F.sum("n_occurrences").cast("long").alias("n_total"))
+    freq = occ.join(dfq, "token")
+    total = base.agg(
+        F.sum(F.size("t")).cast("long").alias("n_total")
+    )
     share = F.floor(
         F.col("n_occurrences") / F.col("n_total") * 1000000 + F.lit(0.5)
     ) / 1000000

@@ -162,6 +162,24 @@ def ladder(spark, registry, names, scaled_dir, factor_key, factor):
         "scaled": scaled_cal,
     }
     _save(doc)
+    def _revive(spark):
+        """A query OOM can take the whole local JVM down (executor ==
+        driver); without this, one bad row aborts the remaining rung
+        (the r10 qt11 crash lost 17 queued rows). Record the error,
+        restart a fresh 4 g session, keep going."""
+        try:
+            alive = not spark.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            alive = False
+        if alive:
+            return spark
+        print("[ladder] session died — restarting a fresh 4g JVM", flush=True)
+        return get_spark(
+            "scale_r10_revived",
+            driver_memory=DRIVER_MEM,
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+
     for name in names:
         fn = registry[name].fn
         drain = name in scale_r9.SWEEP_DRAIN or factor >= 1000
@@ -180,23 +198,37 @@ def ladder(spark, registry, names, scaled_dir, factor_key, factor):
             doc[factor_key] = sec
             _save(doc)
             continue
+        except Exception as ex:  # noqa: BLE001 — one bad row must not abort the rung
+            sec["queries"][name] = {"err": f"base: {type(ex).__name__}: {ex}"[:400]}
+            print(f"[{factor_key}] {name}: ERROR at base ({type(ex).__name__})", flush=True)
+            doc = _load()
+            doc[factor_key] = sec
+            _save(doc)
+            spark = _revive(spark)
+            continue
         if name in WARM_BUILD:
             _fresh_manifest_dir(f"{name}_f{factor}")
             h0, g0, _c0 = _jvm_probe(spark)
             t0 = time.time()
             try:
                 run_one(spark, fn, scaled_dir)
-            except QueryTimeout as ex:
+            except (QueryTimeout, Exception) as ex:  # noqa: B014
                 sec["queries"][name] = {
                     "base_sec": round(tb, 3),
                     "base_rows": nb,
-                    "timeout_sec": scale_r9.MAX_QUERY_SEC,
-                    "err": f"build: {ex}",
+                    "err": f"build: {type(ex).__name__}: {ex}"[:400],
+                    **(
+                        {"timeout_sec": scale_r9.MAX_QUERY_SEC}
+                        if isinstance(ex, QueryTimeout)
+                        else {}
+                    ),
                 }
-                print(f"[{factor_key}] {name}: TIMEOUT in build ({ex})", flush=True)
+                print(f"[{factor_key}] {name}: FAILED in build ({type(ex).__name__})", flush=True)
                 doc = _load()
                 doc[factor_key] = sec
                 _save(doc)
+                if not isinstance(ex, QueryTimeout):
+                    spark = _revive(spark)
                 continue
             extra["scaled_build_sec"] = round(time.time() - t0, 3)
             extra["build_gc_sec"] = round(_jvm_probe(spark)[1] - g0, 1)
@@ -217,6 +249,18 @@ def ladder(spark, registry, names, scaled_dir, factor_key, factor):
             doc = _load()
             doc[factor_key] = sec
             _save(doc)
+            continue
+        except Exception as ex:  # noqa: BLE001 — record, revive, continue
+            sec["queries"][name] = {
+                "base_sec": round(tb, 3),
+                "base_rows": nb,
+                "err": f"scaled: {type(ex).__name__}: {ex}"[:400],
+            }
+            print(f"[{factor_key}] {name}: ERROR at scaled ({type(ex).__name__})", flush=True)
+            doc = _load()
+            doc[factor_key] = sec
+            _save(doc)
+            spark = _revive(spark)
             continue
         h1, g1, c1 = _jvm_probe(spark)
         sec["queries"][name] = {
