@@ -181,6 +181,25 @@ def ladder(spark, registry, names, scaled_dir, factor_key, factor):
         )
 
     for name in names:
+        if factor >= 1000:
+            # PER-QUERY JVM ISOLATION at the 1000x rung: three drained
+            # 5M-row queries left ~4 GB of used heap in one session and
+            # the next four queries OOM'd back-to-back within seconds
+            # (qd1 cascade, r10) — retained/uncollected state from one
+            # row was degrading the next, which is exactly the
+            # cross-contamination the serialized methodology exists to
+            # prevent. ~15 s startup per row buys rows that are
+            # independent and comparable; base (sf0.1) reps share the
+            # fresh JVM with their scaled run.
+            try:
+                spark.stop()
+            except Exception:  # noqa: BLE001
+                pass
+            spark = get_spark(
+                "scale_r10_q",
+                driver_memory=DRIVER_MEM,
+                extra_conf={"spark.ui.showConsoleProgress": "false"},
+            )
         fn = registry[name].fn
         drain = name in scale_r9.SWEEP_DRAIN or factor >= 1000
         extra = {"drain": "noop"} if drain else {}
