@@ -368,8 +368,27 @@ def export_gate(
         F.col(id_col),
         F.explode(F.array_distinct(grams(contamination_n))).alias("gram"),
     )
+    # Broadcast FINGERPRINTS, verify EXACTLY (r10): the bench-gram
+    # table grows with the held-out set, and broadcasting raw gram
+    # STRINGS OOM'd the 1000x rung (~32 M grams ≈ GBs as a hash
+    # relation in a 4 g heap). Production decontamination broadcasts a
+    # compact fingerprint set instead: survivor grams prefilter
+    # against xxhash64 fingerprints (8 B per bench gram; NO false
+    # negatives, ~n_bench/2^64 false-candidate rate), and only the
+    # surviving sliver joins the full gram table for exact string
+    # verification — so the output is identical to the plain string
+    # join the oracle replays, while broadcast memory is bounded and
+    # the corpus-sized gram stream still never shuffles (the
+    # prefilter is a broadcast join; only candidates reach the
+    # exact-verify exchange).
+    bench_fp = bench_grams.select(F.xxhash64("gram").alias("_gh")).distinct()
+    cand = (
+        survivor_grams.withColumn("_gh", F.xxhash64("gram"))
+        .join(F.broadcast(bench_fp), "_gh")
+        .drop("_gh")
+    )
     contaminated = (
-        survivor_grams.join(F.broadcast(bench_grams), "gram")
+        cand.join(bench_grams, "gram", "left_semi")
         .select(id_col)
         .distinct()
     )
