@@ -250,12 +250,46 @@ def ngram_jaccard_pairs(
         return common.select(
             "doc_a", "doc_b", jac.alias("jaccard")
         ).where(F.col("jaccard") >= threshold)
-    sh = _shingles if _shingles is not None else shingles(df, id_col, text_col, n)
+    # Capped / injected-postings shape (r10 rewrite — the previous
+    # form OOM'd the 1000x rung): per-doc distinct shingles come
+    # ROW-LOCALLY from shingle_sets (the corpus-wide dropDuplicates
+    # shuffle of 500M string rows is gone), and ONE explicit
+    # hash-repartition on the shingle feeds every consumer — the
+    # hot-shingle count, the anti-join, and both self-join sides — so
+    # the document-frequency aggregate runs POST-exchange with
+    # partition-local maps (~vocab/partitions entries) instead of a
+    # map-side partial over each task's ~all-distinct shingle stream
+    # fighting the shuffle sorter for the same execution memory (the
+    # measured UNABLE_TO_ACQUIRE_MEMORY failure shape). The hot set is
+    # tiny by construction (only over-cap shingles) and broadcast, so
+    # the anti-join preserves the shared partitioning and the pair
+    # join re-reads the one exchange.
+    if _shingles is not None:
+        ex = _shingles.repartition(F.col("shingle"))
+    else:
+        ex = (
+            shingle_sets(df, id_col, text_col, n)
+            .select("doc_id", F.explode_outer("sh").alias("shingle"))
+            .repartition(F.col("shingle"))
+        )
     if max_shingle_df is not None:
-        sh = drop_stop_shingles(sh, max_shingle_df)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        # NO broadcast hint: on low-entropy corpora the hot set is
+        # itself corpus-sized (r10 measured millions of over-cap
+        # shingles at the 1000x point — a driver-side broadcast build
+        # failed in 4 g). Both sides already share ex's shingle
+        # partitioning (groupBy preserves it), so the anti-join is
+        # co-partitioned with no extra exchange; AQE still broadcasts
+        # when the hot set is genuinely small.
+        ex = ex.join(hot, "shingle", "left_anti")
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
     common = (
         a.join(
             b,
@@ -436,7 +470,17 @@ def minhash_lsh_pairs(
     else:
         # min-agg is duplicate-insensitive → skip the distinct shuffle
         sh = shingles(df, id_col, text_col, n, distinct=False)
-    band = _band_table(sh, num_hashes, rows_per_band)
+    # Hash-repartition on the FULL band join key (r10): the candidate
+    # self-join otherwise computes the shingle→signature→band subplan
+    # on BOTH sides in one stage wave — two concurrent copies of the
+    # wide signature aggregate's per-task maps OOM'd the 1000x rung in
+    # 4 g. With the explicit exchange both sides demand the same
+    # partitioning, ReuseExchange runs the subplan ONCE, and the join
+    # reads the one shuffle twice — the ngram_jaccard_pairs
+    # discipline, free at any scale where a self-join can't broadcast.
+    band = _band_table(sh, num_hashes, rows_per_band).repartition(
+        F.col("band"), *[F.col(f"mh{r}") for r in range(rows_per_band)]
+    )
     a, b = band.alias("a"), band.alias("b")
     key_eq = (F.col("a.band") == F.col("b.band"))
     for r in range(rows_per_band):

@@ -39,9 +39,17 @@ def get_spark(
       without manual salting for the common cases.
     - ``spark.sql.shuffle.partitions``: cores-sized locally; on a
       cluster AQE coalescing makes a high initial value safe.
-    - ``spark.sql.files.maxPartitionBytes`` 128m: bounds scan-task
-      memory so a 100 TB input splits into ~800k tasks, not fewer
-      gigantic ones.
+    - ``spark.sql.files.maxPartitionBytes`` 32m (was 128m until r10):
+      bounds scan-task memory. Split sizing counts COMPRESSED file
+      bytes but task memory scales with the ~4x larger uncompressed
+      batches PLUS whatever map-side aggregate state the same stage
+      carries — at the 1000x ladder point a 128m split of the 5M-doc
+      corpus put ~150k docs in each of 32 concurrent tasks and
+      wide-aggregate stages (minhash signatures) OOM'd a 4 g heap at
+      the margin. 32m keeps per-task working sets ~4x smaller; small
+      inputs are unaffected (single split either way, _spread handles
+      fan-out) and on a real cluster this is the standard small-heap
+      executor sizing.
     - ``spark.sql.parquet.filterPushdown`` / nested schema pruning:
       scans read only the columns/row-groups a query needs.
     """
@@ -69,7 +77,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.ui.enabled", "false")
         # RocksDB state store: streaming state lives on local disk
         # instead of the executor heap. The default HDFSBacked store

@@ -44,18 +44,73 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from spotify_pipeline_gcp_spark.session import get_spark  # noqa: E402
 
-import scale_r9  # noqa: E402  (shared probes/run_one/measure/watchdog)
+import scale_r9  # noqa: E402  (shared probes/watchdog)
 from scale_r9 import (  # noqa: E402
     BASE,
     DRIVER_MEM,
     SCALED_10,
     SCALED_100,
     SCALED_1000,
+    MAX_QUERY_SEC,
     QueryTimeout,
     _jvm_probe,
-    measure,
-    run_one,
 )
+
+
+def run_one(spark, fn, sf_dir: str, drain: bool = False) -> tuple[float, int]:
+    """r10 variant of scale_r9.run_one: the drained row count comes
+    from an ``Observation`` attached to the SAME noop execution —
+    scale_r9 re-ran the full query with count() (untimed) to get
+    rows, and at the 1000x rung that second back-to-back execution
+    inherited enough first-run JVM state (broadcast/AQE leftovers
+    awaiting the context cleaner) to OOM queries that pass cleanly
+    solo (qd5: two solo passes, two in-ladder count-rerun OOMs).
+    One execution now produces both the timing and the row count."""
+    import threading
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    group = f"ladder-{time.time_ns()}"
+    spark.sparkContext.setJobGroup(group, "scale ladder query", True)
+    fired = threading.Event()
+
+    def _kill():
+        fired.set()
+        spark.sparkContext.cancelJobGroup(group)
+
+    timer = threading.Timer(MAX_QUERY_SEC, _kill)
+    timer.daemon = True
+    timer.start()
+    t0 = time.time()
+    try:
+        df = fn(spark, sf_dir)
+        if drain:
+            obs = Observation()
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt = time.time() - t0
+            return dt, int(obs.get["n"])
+        n = len(df.collect())
+        return time.time() - t0, n
+    except Exception:
+        if fired.is_set():
+            raise QueryTimeout(
+                f"query exceeded {MAX_QUERY_SEC}s and was cancelled"
+            ) from None
+        raise
+    finally:
+        timer.cancel()
+        spark.sparkContext.setJobGroup("", "")
+
+
+def measure(spark, fn, sf_dir: str, reps: int, drain: bool = False) -> tuple[float, int]:
+    best, rows = run_one(spark, fn, sf_dir, drain)
+    for _ in range(reps - 1):
+        t, _n = run_one(spark, fn, sf_dir, drain)
+        best = min(best, t)
+    return best, rows
 
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
