@@ -109,6 +109,13 @@ HEADLINE_EXT = [
     "qst8_streaming_ann_serving",
     "qs28_cosine_topk_imi_multiprobe_blas",
     "qs29_imi_recall_audit",
+    # r10: the production near-dup defaults (capped/banded forms), the
+    # now-hash-verified sketch audit, and the fused export DAG
+    "qd3b_ngram_jaccard_capped",
+    "qd9b_simhash_pairs_capped",
+    "qd7b_embedding_near_dup_pruned",
+    "q36_approx_aggregates",
+    "qp5_export_manifest",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

@@ -236,6 +236,11 @@ def ladder(spark, registry, names, scaled_dir, factor_key, factor):
         )
 
     for name in names:
+        # store envs are per-query state: WARM_BUILD queries point them
+        # at a fresh dir below; everything else must run the default
+        # (memo) path or its row silently measures store-read serving
+        os.environ.pop("SPARK_GRAFT_MANIFEST_DIR", None)
+        os.environ.pop("SPARK_GRAFT_MODEL_STORE", None)
         if factor >= 1000:
             # PER-QUERY JVM ISOLATION at the 1000x rung: three drained
             # 5M-row queries left ~4 GB of used heap in one session and
