@@ -463,3 +463,37 @@ def test_duplicated_spans_disjoint_islands(spark):
         for r in duplicated_spans(df, "doc_id", "text", w=3).collect()
     )
     assert out == [(1, 1, 3), (1, 9, 11), (2, 1, 3), (2, 9, 11)]
+
+
+def test_components_converge_on_long_chain(spark):
+    """Pointer doubling's reason to exist (r10): a 120-link chain has
+    diameter 120 >> max_iter=20, so plain min-label propagation fails
+    loudly — with the label←label[label] shortcut each round doubles
+    label reach and the chain closes in ~ceil(log2(120))+1 rounds.
+    (The 1000x rung hit exactly this: same-base replicas daisy-chained
+    by near-threshold cross-replica pairs.)"""
+    from spotify_pipeline_gcp_spark.operators.dedup import dedup_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
+    )
+    comp = dedup_components(edges)  # default max_iter=20
+    rows = comp.collect()
+    assert len(rows) == 121
+    assert {r["component"] for r in rows} == {0}, (
+        "one chain must collapse to its minimum label"
+    )
+
+
+def test_simhash_rejects_giant_documents(spark):
+    """The packed counter lanes hold 20-bit '1'-counts, bounded by the
+    per-doc token count; a document past 2^20 tokens must fail LOUDLY
+    (raise_error) instead of silently overflowing a lane."""
+    import pytest as _pytest
+
+    from spotify_pipeline_gcp_spark.operators.dedup import simhash
+
+    giant = " ".join(["tok"] * ((1 << 20) + 8))
+    df = spark.createDataFrame([(1, giant)], "doc_id long, text string")
+    with _pytest.raises(Exception, match="exceeds 2\\^20 tokens"):
+        simhash(df, "doc_id", "text", bits=16).collect()

@@ -983,3 +983,51 @@ def test_pq_store_staleness_rebuild(spark, tmp_path, monkeypatch):
     with open(os.path.join(path, "meta.json")) as fh:
         meta2 = json.load(fh)
     assert meta2["fingerprint"]["cv"] == meta1["fingerprint"]["cv"] - 1
+
+
+def test_hot_bucket_cap_binds_on_skewed_corpus(spark):
+    """The MAX_SIGN_BUCKET cap's BINDING path (r10): driver-scale
+    corpora never trigger it (oracles prove the no-op side), and the
+    1000x ladder rows that exercise it have no oracle — so the drop
+    semantics are pinned here on a synthetic skewed corpus. A dense
+    region bigger than the cap must contribute NO candidate pairs
+    (its members vanish from the self-join), while a small bucket
+    still pairs normally; with the cap raised above the dense
+    region's size, the same corpus pairs inside it again."""
+    import pyspark.sql.functions as F
+
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _double_base,
+        drop_hot_buckets,
+        sign_bucket,
+    )
+
+    # bucket at 1 bit on dim0's sign: hot = 20 vectors with dim0 > 0,
+    # cold = 4 vectors with dim0 < 0 (distinct tails keep rows unique)
+    rows = [(i, [1.0] + [float(i % 7 + 1)] * 3) for i in range(20)] + [
+        (100 + i, [-1.0] + [float(i + 1)] * 3) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = _double_base(df, "vec_id", "embedding").withColumn(
+        "bucket", sign_bucket("v", 1)
+    )
+
+    capped = drop_hot_buckets(base, max_bucket=10)
+    kept_ids = {r["id"] for r in capped.select("id").collect()}
+    assert kept_ids == {100, 101, 102, 103}, (
+        "the 20-member bucket exceeds the cap and must be dropped "
+        "whole; the 4-member bucket survives"
+    )
+
+    uncapped = drop_hot_buckets(base, max_bucket=20)
+    assert uncapped.count() == 24, "cap >= bucket size must be a no-op"
+
+    # end-to-end through the pair generator shape: capped self-join
+    # emits only cold-bucket pairs
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).count()
+    assert pairs == 6  # C(4,2) within the surviving bucket
