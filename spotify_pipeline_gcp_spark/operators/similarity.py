@@ -1234,6 +1234,45 @@ def cosine_topk_kmeans_blas(
     return _blas_topk_from_combos(combos, k_neighbors)
 
 
+def assign_clusters_blas(
+    pts: DataFrame, cent: DataFrame, id_col: str = "id", u_col: str = "u"
+) -> DataFrame:
+    """Coarse-cell assignment at dgemm throughput: (id, cid) via one
+    ``mapInPandas`` pass scoring each batch against the collected
+    centroid matrix (U @ C.T, argmax ties to lowest cid — the fold
+    argmax's tie-break). THE build-time answer to the n·k assignment
+    wall: the fold form is an interpreted HOF per (point, centroid)
+    and times out a 600 s watchdog at 2 M x sqrt(n) cells, where the
+    matmul is ~1.8e11 flops of BLAS (the qs23 lesson applied to index
+    BUILDS). Like every BLAS kernel here the accumulation order
+    differs from the SQL fold at ulp level, so near-tie assignments
+    can flip — consumers are rows-only with fold-agreement pytest
+    twins (the qs23/qs26/qs28 convention), never hash-verified
+    oracles. Callers must ``ensure_package_on_workers`` first."""
+    import numpy as np
+
+    rows = sorted((int(r["cid"]), list(r["c"])) for r in cent.collect())
+    C = np.asarray([c for _, c in rows], dtype="float64")
+    cids = np.asarray([cid for cid, _ in rows], dtype="int64")
+
+    def _assign(batches):
+        import numpy as _np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            U = _np.stack(
+                [_np.asarray(u, dtype="float64") for u in pdf[u_col]]
+            )
+            best = cids[_np.argmax(U @ C.T, axis=1)]
+            yield pd.DataFrame({"id": pdf[id_col], "cid": best})
+
+    return pts.select(
+        F.col(id_col).alias(id_col), F.col(u_col).alias(u_col)
+    ).mapInPandas(_assign, schema="id long, cid long")
+
+
 def kmeans_centroids_blas(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1946,6 +1985,8 @@ def cosine_topk_ivfpq(
     gather_kernel: bool = False,
     cent: DataFrame | None = None,
     books: list[DataFrame] | None = None,
+    asg: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF+PQ — the composed index (FAISS ``IVFx,PQy``, Jégou et al.
     2011): a TRAINED coarse quantizer bounds candidates to same-cell
@@ -2016,10 +2057,19 @@ def cosine_topk_ivfpq(
     # 'ivfpq:' model this way); when absent, train here on ``tpts``.
     if cent is None:
         cent = kmeans_centroids_on(tpts, k=n_clusters, n_iter=n_iter)
-    asg = _argmax_assign(pts, cent)
+    # ``asg``/``codes`` accept PRE-COMPUTED corpus state (id, cid) /
+    # (id, codes) — the store-served split (qs19b): assignment and
+    # encoding happen ONCE at store build; serving injects them here
+    # and pays only the cell join + ADC + top-k.
+    if asg is None:
+        asg = _argmax_assign(pts, cent)
+    else:
+        asg = pts.join(asg.withColumnRenamed("id", "_aid"),
+                       F.col("id") == F.col("_aid")).select("id", "u", "cid")
     if books is None:
         books = pq_codebooks(tpts, m=m, d_sub=d_sub, k_pq=k_pq, n_iter=n_iter)
-    codes = pq_encode(pts, books, m=m, d_sub=d_sub)
+    if codes is None:
+        codes = pq_encode(pts, books, m=m, d_sub=d_sub)
     # per-point quantized lookup table as ONE projection over the
     # LITERAL codebooks (qt_all[s][code], 1-based inner index) — see
     # _qt_all_literal for the measured reason there is no crossJoin

@@ -1536,6 +1536,163 @@ def _ivfpq_model(spark, sf_dir: str, emb: DataFrame, n: int, k: int):
     return cent, books
 
 
+def _ivfpq_store_dir(sf_dir: str) -> str:
+    """Deterministic per-sf_dir IVFPQ serving-store location
+    (env-overridable via SPARK_GRAFT_MANIFEST_DIR): coarse centroids +
+    PQ codebooks + the ASSIGNED-AND-ENCODED corpus (id, cell, codes),
+    persisted once at build — the full FAISS IVFADC index on disk."""
+    import hashlib
+    import os
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_MANIFEST_DIR") or os.path.join(
+        tempfile.gettempdir(), "spark_graft_manifests"
+    )
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    return os.path.join(root, f"ivfpqstore_v1_{key}")
+
+
+def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-stale guard for the composed IVF+PQ SERVING store
+    (qs19b): the 'ivfpq:' model qs19/qs27 train (same memoized
+    literals), the corpus assignment, and the PQ codes all persist —
+    so serving pays only the cell join + ADC + top-k, and the n·k
+    assignment runs ONCE, at build, at dgemm throughput
+    (``assign_clusters_blas``). The BLAS assignment is why this store
+    is the 1000x-capable build: the fold form's interpreted n·k dots
+    are the exact wall that times out the qs19/qst7 builds at 2 M
+    vectors (SCALE_BENCH_r10's two named timeouts). BLAS accumulation
+    differs from the SQL fold at ulp level, so near-tie assignments
+    can flip cells: qs19b is ROWS-ONLY with a fold-agreement pytest
+    twin (the qs23/qs26/qs28 convention). Staleness fingerprint,
+    staged write, and atomic rename follow ensure_pq_store."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _tagged_books,
+        _unit_vectors,
+        assign_clusters_blas,
+        pq_encode,
+        trained_cells_for,
+    )
+    from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
+
+    m, d_sub = 4, 16
+    emb = table(spark, sf_dir, "embeddings")
+    path = _ivfpq_store_dir(sf_dir)
+    fingerprint = _content_probe(emb)
+    meta = None
+    if os.path.isdir(path):
+        try:
+            with open(os.path.join(path, "meta.json")) as fh:
+                meta = json.load(fh)
+        except OSError:
+            meta = None
+    if not meta or meta.get("fingerprint") != fingerprint:
+        ensure_package_on_workers(spark)
+        n = fingerprint["n"]
+        k = trained_cells_for(n)
+        cent, books = _ivfpq_model(spark, sf_dir, emb, n, k)
+        pts = _unit_vectors(emb, "vec_id", "embedding")
+        asg = assign_clusters_blas(pts, cent)
+        codes = pq_encode(pts, books, m=m, d_sub=d_sub)
+        assigned = asg.join(codes, "id").select("id", "cid", "codes")
+        token = uuid.uuid4().hex[:12]
+        tmp = f"{path}.tmp.{token}"
+        cent.write.mode("overwrite").parquet(os.path.join(tmp, "cents"))
+        _tagged_books(books).select(
+            F.col("q").alias("s"), "cid", "c"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "books"))
+        assigned.write.mode("overwrite").parquet(
+            os.path.join(tmp, "assigned")
+        )
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "m": m,
+                    "d_sub": d_sub,
+                    "k": k,
+                    "fingerprint": fingerprint,
+                },
+                fh,
+            )
+        old = None
+        if os.path.isdir(path):
+            old = f"{path}.old.{token}"
+            try:
+                os.rename(path, old)
+            except OSError:
+                old = None
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+    return path
+
+
+def read_ivfpq_store(spark: SparkSession, path: str):
+    """(books: list[DataFrame], assigned: DataFrame, meta) from an
+    ``ensure_ivfpq_store`` directory. Parquet round-trips the float64
+    codebook entries and int64 cells/codes exactly, so ADC scores
+    from the store are bit-identical to the build-time values."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    tagged = spark.read.parquet(os.path.join(path, "books"))
+    books = [
+        tagged.where(F.col("s") == s).select("cid", "c").orderBy("cid")
+        for s in range(int(meta["m"]))
+    ]
+    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    return books, assigned, meta
+
+
+@register("qs19b_cosine_topk_ivfpq_store")  # rows-only: BLAS-assigned
+def qs19b_cosine_topk_ivfpq_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF+PQ served from the PERSISTED composed index — the
+    1000x-capable form of qs19 (whose per-session build pays the
+    interpreted n·k fold assignment: one of SCALE_BENCH_r10's two
+    named >600 s timeouts at 2 M vectors). ``ensure_ivfpq_store``
+    builds ONCE — sample-trained 'ivfpq:' model (the same memoized
+    literals qs19/qs27 train), corpus assignment at dgemm throughput,
+    PQ encode — and persists (id, cell, codes); serving injects the
+    stored state into ``cosine_topk_ivfpq``'s tail and pays only the
+    cell equi-join + inline ADC + cell-local top-k. Rows-only by the
+    BLAS convention (near-tie assignments can flip cells at ulp
+    level); full-row agreement with qs19 is pytest-pinned at driver
+    scale, and stored-code ADC is exact int64 so serving values are
+    bit-identical to build-time values."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+        trained_cells_for,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    path = ensure_ivfpq_store(spark, sf_dir)
+    books, assigned, meta = read_ivfpq_store(spark, path)
+    return cosine_topk_ivfpq(
+        emb,
+        k_neighbors=5,
+        n_clusters=int(meta["k"]),
+        # cent is unused when asg is injected, but None would EAGERLY
+        # train one (the Lloyd loop collects at call time) — pass the
+        # stored centroids through
+        cent=spark.read.parquet(f"{path}/cents"),
+        books=books,
+        asg=assigned.select("id", "cid"),
+        codes=assigned.select("id", "codes"),
+    )
+
+
 @register("qs18_pq_adc_topk", oracle=_pq_oracle(64, 4, 16, 2, 3))
 def qs18_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC search (Jégou et al., TPAMI 2011 —

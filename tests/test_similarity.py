@@ -1031,3 +1031,34 @@ def test_hot_bucket_cap_binds_on_skewed_corpus(spark):
         & (F.col("a.id") < F.col("b.id")),
     ).count()
     assert pairs == 6  # C(4,2) within the surviving bucket
+
+
+def test_ivfpq_store_serving_matches_per_session_build(spark, tmp_path, monkeypatch):
+    """qs19b (store-served IVFPQ) must reproduce qs19's rows exactly
+    at driver scale: same memoized 'ivfpq:' model, assignment at dgemm
+    throughput (fold-agreement is the rows-only convention — ulp
+    near-ties could flip a cell, which this corpus doesn't exercise),
+    stored int64 codes → bit-identical ADC. Second call must serve
+    from the store without rebuilding (meta mtime unchanged)."""
+    import os
+
+    from spotify_pipeline_gcp_spark.queries import load_all
+
+    monkeypatch.setenv("SPARK_GRAFT_MANIFEST_DIR", str(tmp_path))
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    base = sorted(map(str, reg["qs19_cosine_topk_ivfpq"].fn(spark, sf).collect()))
+    stored = sorted(
+        map(str, reg["qs19b_cosine_topk_ivfpq_store"].fn(spark, sf).collect())
+    )
+    assert stored == base
+
+    from spotify_pipeline_gcp_spark.queries.similarity import _ivfpq_store_dir
+
+    meta = os.path.join(_ivfpq_store_dir(sf), "meta.json")
+    m0 = os.path.getmtime(meta)
+    again = sorted(
+        map(str, reg["qs19b_cosine_topk_ivfpq_store"].fn(spark, sf).collect())
+    )
+    assert again == base
+    assert os.path.getmtime(meta) == m0, "recurring call must not rebuild"

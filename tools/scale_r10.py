@@ -128,6 +128,7 @@ WARM_BUILD = {
     "qs25_cosine_topk_imi_adc",
     "qs27_cosine_topk_ivfpq_gather",
     "qs18_pq_adc_topk",
+    "qs19b_cosine_topk_ivfpq_store",
 }
 
 # The r10 1000x rung (2 M vectors / 5 M docs, 4 g): every family's
@@ -153,6 +154,8 @@ FACTOR1000 = [
     "qs18_pq_adc_topk",
     "qs26_cosine_topk_imi_blas",
     "qs19_cosine_topk_ivfpq",
+    "qs19b_cosine_topk_ivfpq_store",
+    "qs25_cosine_topk_imi_adc",
     # sampling + corpus prep
     "qsp5_temperature_resample",
     "qsp6_exact_quota_sample",
