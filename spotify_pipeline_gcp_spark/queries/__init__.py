@@ -34,75 +34,76 @@ REGISTRY: dict[str, QuerySpec] = {}
 # now an explicit list edit: ``_WINDOW_ORDER`` below is applied after
 # module import, so module order no longer determines the window.
 #
-# Round-10 window (r9 verdict item #2 — retire the r7 staleness
-# debt): ALL 45 queries whose LAST driver row is r7 (the cross-round
-# union in VERDICT r9; at r10 they'd be 3 rounds stale), then the 5
-# queries whose CODE changed this round — the sign-bucket hot-bucket
-# cap (qs9/qs13/qd7b/qd10: MAX_SIGN_BUCKET, oracle-replayed, never
-# binds at driver scale) and the simhash translate-parity bit
-# extraction (qd9b; bit-identical values, 4.7x on the fingerprint
-# aggregate). qd6/qt6 also touched changed code (simhash values
-# bit-identical; NULL-gram coalesce with no NULL text in the
-# datasets) but are r9-green and selfcheck-verified post-change —
-# they lead the r11 rotation with the r8-green set. The durable
-# model store added this round is env-gated (SPARK_GRAFT_MODEL_STORE
-# unset on the driver), so qs18/qs19/qs25/qs27's registered paths
-# are byte-identical to their r9-green rows. Run
+# Round-11 window (r10 verdict item #3 — retire the r8 staleness
+# debt): qd6/qt6 lead (their CODE changed in r10 — simhash translate
+# parity / NULL-gram coalesce — but their last driver row is r9;
+# selfcheck-verified post-change, now recorded), then ALL 41 queries
+# whose LAST driver row is r8 (the cross-round union in VERDICT r10;
+# at r11 they'd be 3 rounds stale), then the queries THIS round's
+# work touches: qs19b (first-ever driver row — the BLAS-assigned
+# persisted IVFPQ store, rows-only by the BLAS-twin convention with
+# the qs19 full-row agreement pytest as the value pin), qs25 (the
+# factor1000 crash re-run, r10 verdict item #2), qst7 + qs22b (their
+# shared ensure_ivfm_manifest build routes assignment through
+# assign_clusters_blas this round, item #4; oracles drain the SAME
+# manifest state), qst8 (serves the same store family), and
+# qs20/qs29 (1000x rung extension heads, item #7). Run
 # tools/window_check.py after any registration change;
 # tools/selfcheck.py re-verifies the FULL registry every round.
 _WINDOW_ORDER = [
-    # r7-stale breadth — VERDICT r9 "What's missing" #2 (all 45)
-    "q00_flagship_pipeline",
-    "q01_project_derived",
-    "q02_filter_isin",
-    "q03_explode_tokens",
-    "q04_bag_collect",
-    "q05_bag_join",
-    "q06_delta_anti_join",
-    "q07_distinct",
-    "q08_pricing_summary",
-    "q09_top_orders",
-    "q10_segment_revenue_topn",
-    "q11_window_topk",
-    "q12_window_running",
-    "q13_union_distinct",
-    "q14_semi_join",
-    "q15_date_trunc_daily",
-    "q16_date_format_monthly",
-    "q24_cross_join",
-    "q25_except",
-    "q26_intersect",
-    "q27_string_funcs",
-    "q28_null_handling",
-    "q30_sessionize",
-    "q31_asof_last_click",
-    "q32_scalar_subquery",
-    "q33_conditional_agg",
-    "q34_array_agg_ops",
-    "q35_exact_percentiles",
-    "q36_approx_aggregates",
-    "q37_unpivot",
-    "q38_map_ops",
-    "q39_date_arith",
-    "q40_json_bag",
-    "q41_big_orders_having",
-    "q42_above_group_avg",
-    "q43_ratio_metric",
-    "q44_flagship_partition_ready",
-    "q45_cube",
-    "q46_range_frame",
-    "q47_range_join",
-    "q48_rank_battery",
-    "qd14_near_dup_export",
-    "qs21_ann_recall_audit",
-    "qs22_ann_index_maintenance",
-    "qs23_cosine_topk_ivf_blas_sized",
-    # changed this round: hot-bucket cap + simhash translate parity
-    "qs9_filtered_ann",
-    "qs13_cosine_topk_bucketed_sized",
-    "qd7b_embedding_near_dup_pruned",
-    "qd10_semantic_dedup_components",
-    "qd9b_simhash_pairs_capped",
+    # changed-code leads (r10 NOTES rotation plan)
+    "qd6_simhash",
+    "qt6_repetition_filter",
+    # r8-stale breadth — VERDICT r10 "What's missing" #3 (all 41)
+    "q17_json_extract",
+    "q18_complete_year",
+    "q19_distinct_count",
+    "q20_pivot_event_types",
+    "q21_rollup",
+    "q22_regional_revenue",
+    "q50_feature_trend",
+    "q51_genre_affinity",
+    "qst2_streaming_sessionize",
+    "qst4_streaming_stateful_totals",
+    "qst5_streaming_incremental_near_dup",
+    "qst6_streaming_export_gate",
+    "qs1_embed_norms",
+    "qs2_cosine_topk",
+    "qs3_cosine_topk_bucketed",
+    "qs5_cosine_topk_multiprobe",
+    "qs7_cosine_topk_ivf_kmeans",
+    "qs8_cosine_topk_ivf_kmeans_blas",
+    "qs10_ann_full_blas",
+    "qs11_cosine_topk_ivf_kmeans_multiprobe",
+    "qs12_embedding_quantize",
+    "qs14_cosine_topk_ivf_kmeans_sized",
+    "qs16_cosine_topk_ivf_sample_trained",
+    "qs17_cosine_topk_imi",
+    "qs24_cosine_topk_imi_multiprobe",
+    "qs26_cosine_topk_imi_blas",
+    "qe1_label_centroids",
+    "qe2_knn_label_vote",
+    "qd9_simhash_pairs",
+    "qt2_quality_score",
+    "qt3_token_stats",
+    "qt4_fingerprint",
+    "qt5_token_bpeish",
+    "qt7_contamination",
+    "qt8_pii_scrub",
+    "qsp2_split_assign",
+    "qsp3_stratified_sample",
+    "qsp4_domain_mixture",
+    "qp4_curriculum_buckets",
+    "qm3_payload_features",
+    "qm4_frame_sample",
+    # touched by this round's verdict items (#1/#2/#4/#7)
+    "qs19b_cosine_topk_ivfpq_store",
+    "qs25_cosine_topk_imi_adc",
+    "qst7_streaming_index_maintenance",
+    "qs22b_ann_index_maintenance_manifest",
+    "qst8_streaming_ann_serving",
+    "qs20_hybrid_rrf",
+    "qs29_imi_recall_audit",
 ]
 
 # Pinned-size exactness baselines (r7 verdict item #5): kept

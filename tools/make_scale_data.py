@@ -140,6 +140,9 @@ def main() -> int:
     only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # a 1000-replica UNION ALL parses deeper than duckdb's default
+    # 1000-expression depth guard (hit on duckdb >= 1.1 containers)
+    con.execute("SET max_expression_depth TO 25000")
 
     def want(t: str) -> bool:
         return only is None or t in only
