@@ -842,6 +842,127 @@ def assign_clusters(
     return _argmax_assign(pts, centroids)
 
 
+# Fixed-point scale for QUANTIZED-EXACT cell assignment. 2^20 keeps
+# every quantized component |q| <= 2^20 (unit vectors), every product
+# <= 2^40, and a d=64 dot <= 2^46 — below 2^53, so the dot is EXACT in
+# int64 AND in float64 regardless of accumulation order. That is the
+# property the maintenance family's builds need: a float64 dgemm over
+# the quantized matrices computes bit-identical scores to the SQL fold
+# (unlike raw float dots, where BLAS reordering shifts near-ties at
+# ulp level and forces the rows-only convention), so an n·k corpus
+# assignment can run at BLAS throughput and STAY hash-verified by a
+# DuckDB oracle replaying the same quantized dots. The ~1e-6
+# quantization only moves points that sit within 2^-20 of a cell
+# boundary — and moves them identically in every engine.
+_ASSIGN_QSCALE = 1 << 20
+
+
+def _quantize_vec(col: Column) -> Column:
+    """array<double> → array<long> via round-half-up at 2^20 — the
+    floor(x*Q + 0.5) form every engine (Spark, DuckDB, NumPy)
+    evaluates identically for all x."""
+    return F.transform(
+        col,
+        lambda x: F.floor(
+            x * F.lit(float(_ASSIGN_QSCALE)) + F.lit(0.5)
+        ).cast("long"),
+    )
+
+
+def _qdot_exact(a: Column, b: Column) -> Column:
+    """Integer dot product over quantized vectors — exact, order-free."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _argmax_assign_quant(pts: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(id, u, cid): nearest centroid by QUANTIZED integer dot (ties →
+    lowest cid) — ``_argmax_assign`` with ``_qdot_exact`` scores. Same
+    u-free scored stream + struct-max + join-back shape (see that
+    docstring for the shuffle accounting); the only change is that the
+    score is an exact int64, so this fold form and the dgemm form
+    (``assign_clusters_quant_blas``) are bit-identical by construction."""
+    qc = centroids.select("cid", _quantize_vec(F.col("c")).alias("qc"))
+    best = (
+        pts.select("id", _quantize_vec(F.col("u")).alias("qu"))
+        .crossJoin(F.broadcast(qc))
+        .select("id", _qdot_exact(F.col("qu"), F.col("qc")).alias("qdot"), "cid")
+        .groupBy("id")
+        .agg(
+            F.max(
+                F.struct(F.col("qdot"), (-F.col("cid")).alias("ncid"))
+            ).alias("best")
+        )
+        .select("id", (-F.col("best.ncid")).cast("long").alias("cid"))
+    )
+    return pts.join(best, "id").select("id", "u", "cid")
+
+
+def assign_clusters_quant(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, u, cid): quantized-exact nearest-centroid assignment — the
+    native-expression form, used where the input is delta/batch-sized
+    (maintenance deltas, streaming micro-batches) so the JVM fold is
+    cheap and no Python worker round-trip is warranted. Corpus-sized
+    assignments route through ``assign_clusters_quant_blas`` — same
+    scores bit-for-bit (see ``_ASSIGN_QSCALE``)."""
+    pts = _unit_vectors(df, id_col, vec_col)
+    return _argmax_assign_quant(pts, centroids)
+
+
+def assign_clusters_quant_blas(
+    pts: DataFrame, cent: DataFrame, id_col: str = "id", u_col: str = "u"
+) -> DataFrame:
+    """(id, cid): quantized-exact assignment at dgemm throughput — the
+    BUILD-time kernel for n·k corpus routing that stays HASH-VERIFIED.
+    Quantizes both sides at 2^20 and scores each Arrow batch as one
+    float64 matmul; every score is an integer below 2^46, so the BLAS
+    accumulation order cannot shift it (see ``_ASSIGN_QSCALE``) and
+    the result is bit-identical to ``assign_clusters_quant``'s fold —
+    unlike a raw-float dgemm (the r10 form this superseded), whose
+    reordered accumulation flips near-ties at ulp level and forced
+    consumers to rows-only. Ties break to the
+    lowest cid (argmax-first over ascending-cid rows — the fold's
+    ``max(struct(dot, -cid))`` order). Callers must
+    ``ensure_package_on_workers`` first."""
+    import numpy as np
+
+    q = float(_ASSIGN_QSCALE)
+    rows = sorted((int(r["cid"]), list(r["c"])) for r in cent.collect())
+    C = np.floor(
+        np.asarray([c for _, c in rows], dtype="float64") * q + 0.5
+    )
+    cids = np.asarray([cid for cid, _ in rows], dtype="int64")
+
+    def _assign(batches):
+        import numpy as _np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            U = _np.floor(
+                _np.stack(
+                    [_np.asarray(u, dtype="float64") for u in pdf[u_col]]
+                )
+                * q
+                + 0.5
+            )
+            best = cids[_np.argmax(U @ C.T, axis=1)]
+            yield pd.DataFrame({"id": pdf[id_col], "cid": best})
+
+    return pts.select(
+        F.col(id_col).alias(id_col), F.col(u_col).alias(u_col)
+    ).mapInPandas(_assign, schema="id long, cid long")
+
+
 def cosine_topk_kmeans(
     df: DataFrame,
     k_neighbors: int = 5,
@@ -965,7 +1086,17 @@ def write_index_manifest(
     import shutil
     import uuid
 
-    asg = assign_clusters(corpus, centroids, id_col, vec_col)
+    from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
+
+    # the ONE n·k pass in the manifest lifecycle — at 2 M × √n cells
+    # the interpreted fold form is the >600 s build wall
+    # (SCALE_BENCH_r10's qst7 timeout); quantized-exact dgemm scores
+    # are bit-identical to the fold, so routing the build through
+    # BLAS keeps the drained report hash-verified (_ASSIGN_QSCALE)
+    ensure_package_on_workers(corpus.sparkSession)
+    asg = assign_clusters_quant_blas(
+        _unit_vectors(corpus, id_col, vec_col), centroids
+    )
     cells = asg.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_indexed")
     )
@@ -1036,7 +1167,7 @@ def maintain_index(
     state instead of recounted."""
     cent, cells, meta = read_index_manifest(spark, manifest_path)
     n_new = (
-        assign_clusters(delta, cent, id_col, vec_col)
+        assign_clusters_quant(delta, cent, id_col, vec_col)
         .groupBy("cid")
         .agg(F.count(F.lit(1)).cast("long").alias("n_delta"))
     )
@@ -1233,44 +1364,6 @@ def cosine_topk_kmeans_blas(
         )
     return _blas_topk_from_combos(combos, k_neighbors)
 
-
-def assign_clusters_blas(
-    pts: DataFrame, cent: DataFrame, id_col: str = "id", u_col: str = "u"
-) -> DataFrame:
-    """Coarse-cell assignment at dgemm throughput: (id, cid) via one
-    ``mapInPandas`` pass scoring each batch against the collected
-    centroid matrix (U @ C.T, argmax ties to lowest cid — the fold
-    argmax's tie-break). THE build-time answer to the n·k assignment
-    wall: the fold form is an interpreted HOF per (point, centroid)
-    and times out a 600 s watchdog at 2 M x sqrt(n) cells, where the
-    matmul is ~1.8e11 flops of BLAS (the qs23 lesson applied to index
-    BUILDS). Like every BLAS kernel here the accumulation order
-    differs from the SQL fold at ulp level, so near-tie assignments
-    can flip — consumers are rows-only with fold-agreement pytest
-    twins (the qs23/qs26/qs28 convention), never hash-verified
-    oracles. Callers must ``ensure_package_on_workers`` first."""
-    import numpy as np
-
-    rows = sorted((int(r["cid"]), list(r["c"])) for r in cent.collect())
-    C = np.asarray([c for _, c in rows], dtype="float64")
-    cids = np.asarray([cid for cid, _ in rows], dtype="int64")
-
-    def _assign(batches):
-        import numpy as _np
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            U = _np.stack(
-                [_np.asarray(u, dtype="float64") for u in pdf[u_col]]
-            )
-            best = cids[_np.argmax(U @ C.T, axis=1)]
-            yield pd.DataFrame({"id": pdf[id_col], "cid": best})
-
-    return pts.select(
-        F.col(id_col).alias(id_col), F.col(u_col).alias(u_col)
-    ).mapInPandas(_assign, schema="id long, cid long")
 
 
 def kmeans_centroids_blas(

@@ -40,13 +40,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 # selfcheck-verified post-change, now recorded), then ALL 41 queries
 # whose LAST driver row is r8 (the cross-round union in VERDICT r10;
 # at r11 they'd be 3 rounds stale), then the queries THIS round's
-# work touches: qs19b (first-ever driver row — the BLAS-assigned
-# persisted IVFPQ store, rows-only by the BLAS-twin convention with
-# the qs19 full-row agreement pytest as the value pin), qs25 (the
+# work touches: qs19b (first-ever driver row — the persisted IVFPQ
+# store, HASH-VERIFIED as of r11: its dgemm assignment is
+# quantized-exact, so the oracle replays it), qs25 (the
 # factor1000 crash re-run, r10 verdict item #2), qst7 + qs22b (their
-# shared ensure_ivfm_manifest build routes assignment through
-# assign_clusters_blas this round, item #4; oracles drain the SAME
-# manifest state), qst8 (serves the same store family), and
+# shared ensure_ivfm_manifest build routes assignment through the
+# quantized-exact dgemm kernel this round, item #4; oracles drain the
+# SAME manifest state), qst8 (serves the same store family), and
 # qs20/qs29 (1000x rung extension heads, item #7). Run
 # tools/window_check.py after any registration change;
 # tools/selfcheck.py re-verifies the FULL registry every round.

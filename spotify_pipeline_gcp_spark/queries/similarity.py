@@ -371,6 +371,7 @@ def _ivf_kmeans_oracle(
 def _imi_half_chain(
     sfx: str, src: str, k: str, n_iter: int, d: int,
     assign_src: str | None = None,
+    quant_final: bool = False,
 ) -> list[str]:
     """CTE chain for ONE of the IMI sub-quantizers (suffix ``sfx``):
     seeded init → ``n_iter`` Lloyd rounds → final assignment
@@ -379,9 +380,21 @@ def _imi_half_chain(
     twice over the half-vector views. ``src`` is the TRAINING view
     (a digest sample for the sample-trained shapes); ``assign_src``
     (default: ``src``) is the view the final assignment runs over —
-    the FULL corpus when training is sampled."""
+    the FULL corpus when training is sampled. ``quant_final`` scores
+    the FINAL assignment with quantized integer dots (round-half-up
+    at 2^20 on both operands — exact in float64, see
+    ``operators/similarity.py::_ASSIGN_QSCALE``), replaying the
+    maintenance family's BLAS-routed builds; Lloyd iterations are
+    sample-sized and stay on the float fold."""
     if assign_src is None:
         assign_src = src
+    qa = float(1 << 20)  # _ASSIGN_QSCALE — keep in sync
+    final_dot = (
+        f"list_dot_product(list_transform(p.u, x -> floor(x * {qa} + 0.5)),"
+        f" list_transform(c.c, x -> floor(x * {qa} + 0.5)))"
+        if quant_final
+        else "list_dot_product(p.u, c.c)"
+    )
     ctes = [
         f"""cent0{sfx} AS (
       SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::BIGINT AS cid,
@@ -432,7 +445,7 @@ def _imi_half_chain(
       SELECT vec_id, cid FROM (
         SELECT p.vec_id, c.cid,
                row_number() OVER (PARTITION BY p.vec_id
-                                  ORDER BY list_dot_product(p.u, c.c) DESC, c.cid) AS rnk
+                                  ORDER BY {final_dot} DESC, c.cid) AS rnk
         FROM {assign_src} p CROSS JOIN cent{n_iter}{sfx} c) t
       WHERE rnk = 1
     )"""
@@ -1404,12 +1417,17 @@ def _pq_oracle(d: int, m: int, k_pq: int, n_iter: int, topk: int) -> str:
     )
 
 
-def _ivfpq_oracle(d: int, m: int, k_pq: int, n_iter: int, topk: int) -> str:
+def _ivfpq_oracle(
+    d: int, m: int, k_pq: int, n_iter: int, topk: int,
+    quant_assign: bool = False,
+) -> str:
     """DuckDB replay of IVF+PQ: the sized spherical coarse chain
     trained on the ~32·√n digest sample (via ``_imi_half_chain`` over
     the full vector, full-corpus final assignment), the m L2 PQ
     sub-chains trained on the SAME sample, and the same-cell ADC
-    ranking with exact-integer partial sums."""
+    ranking with exact-integer partial sums. ``quant_assign`` replays
+    the QUANTIZED final coarse assignment (the store build's dgemm
+    routing — bit-exact, see ``_ASSIGN_QSCALE``): qs19b's form."""
     d_sub = d // m
     ctes = [
         "sizen AS (SELECT count(*)::BIGINT AS n FROM embeddings)",
@@ -1433,7 +1451,8 @@ def _ivfpq_oracle(d: int, m: int, k_pq: int, n_iter: int, topk: int) -> str:
         "cview AS (SELECT vec_id, u FROM u)",
     ]
     ctes += _imi_half_chain(
-        "_c", "utrain", "(SELECT k FROM sizek)", n_iter, d, assign_src="u"
+        "_c", "utrain", "(SELECT k FROM sizek)", n_iter, d,
+        assign_src="u", quant_final=quant_assign,
     )
     for s in range(m):
         lo, hi = s * d_sub + 1, (s + 1) * d_sub
@@ -1549,7 +1568,7 @@ def _ivfpq_store_dir(sf_dir: str) -> str:
         tempfile.gettempdir(), "spark_graft_manifests"
     )
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    return os.path.join(root, f"ivfpqstore_v1_{key}")
+    return os.path.join(root, f"ivfpqstore_v2_{key}")
 
 
 def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
@@ -1558,14 +1577,15 @@ def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
     literals), the corpus assignment, and the PQ codes all persist —
     so serving pays only the cell join + ADC + top-k, and the n·k
     assignment runs ONCE, at build, at dgemm throughput
-    (``assign_clusters_blas``). The BLAS assignment is why this store
-    is the 1000x-capable build: the fold form's interpreted n·k dots
-    are the exact wall that times out the qs19/qst7 builds at 2 M
-    vectors (SCALE_BENCH_r10's two named timeouts). BLAS accumulation
-    differs from the SQL fold at ulp level, so near-tie assignments
-    can flip cells: qs19b is ROWS-ONLY with a fold-agreement pytest
-    twin (the qs23/qs26/qs28 convention). Staleness fingerprint,
-    staged write, and atomic rename follow ensure_pq_store."""
+    (``assign_clusters_quant_blas``). The BLAS assignment is why this
+    store is the 1000x-capable build: the fold form's interpreted n·k
+    dots are the exact wall that times out the qs19/qst7 builds at
+    2 M vectors (SCALE_BENCH_r10's two named timeouts). The routing
+    is QUANTIZED-EXACT (integer dots below 2^53 — dgemm order cannot
+    shift them, see ``_ASSIGN_QSCALE``), so unlike the raw-float BLAS
+    twins this build is HASH-VERIFIED: qs19b's oracle replays the
+    quantized assignment. Staleness fingerprint, staged write, and
+    atomic rename follow ensure_pq_store."""
     import json
     import os
     import shutil
@@ -1574,7 +1594,7 @@ def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
     from spotify_pipeline_gcp_spark.operators.similarity import (
         _tagged_books,
         _unit_vectors,
-        assign_clusters_blas,
+        assign_clusters_quant_blas,
         pq_encode,
         trained_cells_for,
     )
@@ -1597,7 +1617,7 @@ def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
         k = trained_cells_for(n)
         cent, books = _ivfpq_model(spark, sf_dir, emb, n, k)
         pts = _unit_vectors(emb, "vec_id", "embedding")
-        asg = assign_clusters_blas(pts, cent)
+        asg = assign_clusters_quant_blas(pts, cent)
         codes = pq_encode(pts, books, m=m, d_sub=d_sub)
         assigned = asg.join(codes, "id").select("id", "cid", "codes")
         token = uuid.uuid4().hex[:12]
@@ -1654,7 +1674,10 @@ def read_ivfpq_store(spark: SparkSession, path: str):
     return books, assigned, meta
 
 
-@register("qs19b_cosine_topk_ivfpq_store")  # rows-only: BLAS-assigned
+@register(
+    "qs19b_cosine_topk_ivfpq_store",
+    oracle=_ivfpq_oracle(64, 4, 16, 2, 5, quant_assign=True),
+)
 def qs19b_cosine_topk_ivfpq_store(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1666,11 +1689,15 @@ def qs19b_cosine_topk_ivfpq_store(
     literals qs19/qs27 train), corpus assignment at dgemm throughput,
     PQ encode — and persists (id, cell, codes); serving injects the
     stored state into ``cosine_topk_ivfpq``'s tail and pays only the
-    cell equi-join + inline ADC + cell-local top-k. Rows-only by the
-    BLAS convention (near-tie assignments can flip cells at ulp
-    level); full-row agreement with qs19 is pytest-pinned at driver
-    scale, and stored-code ADC is exact int64 so serving values are
-    bit-identical to build-time values."""
+    cell equi-join + inline ADC + cell-local top-k. The assignment is
+    QUANTIZED-EXACT (``assign_clusters_quant_blas``: integer dots a
+    dgemm computes bit-identically to the SQL fold), so unlike the
+    raw-float BLAS twins this query is HASH-VERIFIED end to end — the
+    oracle replays the trainings, the quantized routing, the PQ
+    encode, and the ADC ranking; stored-code ADC is exact int64, so
+    serving values are bit-identical to build-time values. The qs19
+    agreement pytest remains as the cross-form sanity pin (float vs
+    quantized routing agree everywhere off cell boundaries)."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         cosine_topk_ivfpq,
         trained_cells_for,
@@ -2719,13 +2746,22 @@ def _maint_oracle() -> str:
             " / (SELECT n FROM sizen))",
         ),
     ]
-    ctes += _imi_half_chain("_c", "utrain", ksql, 2, 64, assign_src="uc")
+    # final corpus + delta assignments replay the QUANTIZED integer
+    # dots the engine's BLAS-routed builds compute (bit-exact in
+    # float64 — see operators/similarity.py::_ASSIGN_QSCALE)
+    ctes += _imi_half_chain(
+        "_c", "utrain", ksql, 2, 64, assign_src="uc", quant_final=True
+    )
+    qa = float(1 << 20)
     ctes.append(
-        """asgd AS (
+        f"""asgd AS (
       SELECT vec_id, cid FROM (
         SELECT p.vec_id, c.cid,
                row_number() OVER (PARTITION BY p.vec_id
-                                  ORDER BY list_dot_product(p.u, c.c) DESC, c.cid) AS rnk
+                                  ORDER BY list_dot_product(
+                                    list_transform(p.u, x -> floor(x * {qa} + 0.5)),
+                                    list_transform(c.c, x -> floor(x * {qa} + 0.5))) DESC,
+                                  c.cid) AS rnk
         FROM ud p CROSS JOIN cent2_c c) t
       WHERE rnk = 1
     )"""
@@ -2784,7 +2820,7 @@ def qs22_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     build time (the qd11 stored-store pattern) and pays only the
     delta side."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
-        assign_clusters,
+        assign_clusters_quant,
         cell_fill_report,
         kmeans_centroids,
         trained_cells_for,
@@ -2798,13 +2834,17 @@ def qs22_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected = (n + k - 1) // k
     sample = _digest_sample(corpus, "ivfm:", _train_frac(n, k))
     cent = kmeans_centroids(sample, "vec_id", "embedding", k=k, n_iter=2)
+    # cell routing is QUANTIZED-EXACT across the whole maintenance
+    # family (here, the manifest build, the delta/batch paths): the
+    # same integer dots a dgemm computes bit-identically, so the
+    # shared _maint_oracle replays every variant with one chain
     n_old = (
-        assign_clusters(corpus, cent, "vec_id", "embedding")
+        assign_clusters_quant(corpus, cent, "vec_id", "embedding")
         .groupBy("cid")
         .agg(F.count(F.lit(1)).cast("long").alias("n_indexed"))
     )
     n_new = (
-        assign_clusters(delta, cent, "vec_id", "embedding")
+        assign_clusters_quant(delta, cent, "vec_id", "embedding")
         .groupBy("cid")
         .agg(F.count(F.lit(1)).cast("long").alias("n_delta"))
     )
@@ -2827,7 +2867,7 @@ def _manifest_dir(sf_dir: str) -> str:
     key = hashlib.md5(
         os.path.abspath(sf_dir).encode()
     ).hexdigest()[:16]
-    return os.path.join(root, f"ivfm_v1_{key}")
+    return os.path.join(root, f"ivfm_v2_{key}")
 
 
 @register("qs22b_ann_index_maintenance_manifest", oracle=_maint_oracle())

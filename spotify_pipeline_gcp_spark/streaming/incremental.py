@@ -587,7 +587,7 @@ def streaming_index_maintenance(
     import tempfile
 
     from spotify_pipeline_gcp_spark.operators.similarity import (
-        assign_clusters,
+        assign_clusters_quant,
         cell_fill_report,
         read_index_manifest,
     )
@@ -651,7 +651,10 @@ def streaming_index_maintenance(
                 )
             )
         nd = (
-            assign_clusters(batch_df, cent, "vec_id", "embedding")
+            # quantized-exact routing — bit-identical to the manifest
+            # build's dgemm assignment (_ASSIGN_QSCALE), so the drained
+            # state stays hash-verified by the shared _maint_oracle
+            assign_clusters_quant(batch_df, cent, "vec_id", "embedding")
             .groupBy("cid")
             .agg(F.count(F.lit(1)).cast("long").alias("n_delta"))
         )

@@ -1062,3 +1062,55 @@ def test_ivfpq_store_serving_matches_per_session_build(spark, tmp_path, monkeypa
     )
     assert again == base
     assert os.path.getmtime(meta) == m0, "recurring call must not rebuild"
+
+
+def test_assign_quant_fold_equals_quant_blas(spark):
+    """The quantized-exact assignment's two physical forms — the
+    native SQL fold (``assign_clusters_quant``) and the float64 dgemm
+    (``assign_clusters_quant_blas``) — must agree row for row on real
+    data AND on an adversarial near-tie: quantized integer dots below
+    2^53 are exact in both engines, so this is an equality of
+    semantics, not a tolerance (the property that lets the
+    maintenance/IVFPQ-store builds run at BLAS throughput while
+    staying hash-verified; _ASSIGN_QSCALE docstring)."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _unit_vectors,
+        assign_clusters_quant,
+        assign_clusters_quant_blas,
+        kmeans_centroids,
+    )
+    from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = kmeans_centroids(df, k=7, n_iter=2)
+    fold = {
+        r.id: r.cid for r in assign_clusters_quant(df, cent).collect()
+    }
+    blas = {
+        r.id: r.cid
+        for r in assign_clusters_quant_blas(
+            _unit_vectors(df, "vec_id", "embedding"), cent
+        ).collect()
+    }
+    assert fold == blas and len(fold) == df.count()
+
+    # adversarial near-tie: centroids differ by 1e-9 per component —
+    # far below the 2^-20 quantization step, so BOTH forms must see
+    # EQUAL integer dots and break the tie to the LOWEST cid
+    import math
+
+    inv = 1.0 / math.sqrt(4.0)
+    c_rows = [
+        (1, [inv + 1e-9] * 4),
+        (0, [inv] * 4),
+    ]
+    tie_cent = spark.createDataFrame(c_rows, "cid long, c array<double>")
+    pts = spark.createDataFrame(
+        [(7, [0.5, 0.5, 0.5, 0.5])], "vec_id long, embedding array<double>"
+    )
+    f = assign_clusters_quant(pts, tie_cent).collect()[0]
+    b = assign_clusters_quant_blas(
+        _unit_vectors(pts, "vec_id", "embedding"), tie_cent
+    ).collect()[0]
+    assert f.cid == 0 and b.cid == 0
