@@ -1617,11 +1617,26 @@ def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
         k = trained_cells_for(n)
         cent, books = _ivfpq_model(spark, sf_dir, emb, n, k)
         pts = _unit_vectors(emb, "vec_id", "embedding")
-        asg = assign_clusters_quant_blas(pts, cent)
-        codes = pq_encode(pts, books, m=m, d_sub=d_sub)
-        assigned = asg.join(codes, "id").select("id", "cid", "codes")
         token = uuid.uuid4().hex[:12]
         tmp = f"{path}.tmp.{token}"
+        # the two corpus-wide passes run as SEPARATE JOBS, each
+        # spooling its skinny result to the staging dir: at 2 M
+        # vectors in 4 g, fusing the Arrow-backed dgemm assignment
+        # with the encode aggregate and the id join in one lineage
+        # put Arrow's JNI-critical allocations and the join sort in
+        # the same heap peak — GCLocker retry storm, executor death
+        # (the r10 failure catalog, reproduced by this build in the
+        # r11 ladder). Staged, each job's working set is one pass;
+        # the final join reads two ~16-byte-row spools.
+        asg = assign_clusters_quant_blas(pts, cent)
+        asg.write.mode("overwrite").parquet(os.path.join(tmp, "_asg"))
+        codes = pq_encode(pts, books, m=m, d_sub=d_sub)
+        codes.write.mode("overwrite").parquet(os.path.join(tmp, "_codes"))
+        assigned = (
+            spark.read.parquet(os.path.join(tmp, "_asg"))
+            .join(spark.read.parquet(os.path.join(tmp, "_codes")), "id")
+            .select("id", "cid", "codes")
+        )
         cent.write.mode("overwrite").parquet(os.path.join(tmp, "cents"))
         _tagged_books(books).select(
             F.col("q").alias("s"), "cid", "c"
@@ -1629,6 +1644,8 @@ def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
         assigned.write.mode("overwrite").parquet(
             os.path.join(tmp, "assigned")
         )
+        shutil.rmtree(os.path.join(tmp, "_asg"), ignore_errors=True)
+        shutil.rmtree(os.path.join(tmp, "_codes"), ignore_errors=True)
         with open(os.path.join(tmp, "meta.json"), "w") as fh:
             json.dump(
                 {
