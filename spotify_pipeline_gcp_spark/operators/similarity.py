@@ -917,6 +917,59 @@ def assign_clusters_quant(
     return _argmax_assign_quant(pts, centroids)
 
 
+def kmeans_centroids_quant_on(
+    pts: DataFrame, k: int, n_iter: int = 2
+) -> DataFrame:
+    """``kmeans_centroids_on`` with every per-iteration assignment on
+    the QUANTIZED dgemm kernel — the throughput trainer that stays
+    hash-verified (the oracle chain replays quantized dots at every
+    iteration, not just the final assignment). Init, the
+    quantized-integer cell means, and the spherical renormalize are
+    byte-identical to the fold trainer's steps; ONLY the argmax score
+    changes, and it changes identically in every engine (see
+    ``_ASSIGN_QSCALE``). Used by the maintenance/IVFPQ-store builds,
+    where the sample×k assignment (45k × 1414 cells at the 2 M rung)
+    is the dominant build cost the fold evaluator cannot afford; the
+    generic fold trainer remains the form the qs7/qs14/qs16 oracle
+    family replays. Callers must ``ensure_package_on_workers``."""
+    from pyspark import StorageLevel
+
+    spark = pts.sparkSession
+    pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cent = _seeded_init(pts, k)
+        for _ in range(n_iter):
+            asg = assign_clusters_quant_blas(pts, cent)
+            assigned = pts.join(asg, "id").select("id", "u", "cid")
+            means = _cell_means(assigned, "cid")
+            new_cent = means.select(
+                "cid",
+                F.transform(
+                    "mv",
+                    lambda x: x / F.sqrt(_dot_pre(F.col("mv"), F.col("mv"))),
+                ).alias("c"),
+            )
+            rows = [(r["cid"], list(r["c"])) for r in new_cent.collect()]
+            cent = spark.createDataFrame(rows, "cid long, c array<double>")
+    finally:
+        pts.unpersist(blocking=False)
+    return cent
+
+
+def kmeans_centroids_quant(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+) -> DataFrame:
+    """``kmeans_centroids`` on the quantized-throughput Lloyd loop
+    (``kmeans_centroids_quant_on``)."""
+    return kmeans_centroids_quant_on(
+        _unit_vectors(df, id_col, vec_col), k=k, n_iter=n_iter
+    )
+
+
 def assign_clusters_quant_blas(
     pts: DataFrame, cent: DataFrame, id_col: str = "id", u_col: str = "u"
 ) -> DataFrame:

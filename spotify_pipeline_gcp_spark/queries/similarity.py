@@ -372,6 +372,7 @@ def _imi_half_chain(
     sfx: str, src: str, k: str, n_iter: int, d: int,
     assign_src: str | None = None,
     quant_final: bool = False,
+    quant_iters: bool = False,
 ) -> list[str]:
     """CTE chain for ONE of the IMI sub-quantizers (suffix ``sfx``):
     seeded init → ``n_iter`` Lloyd rounds → final assignment
@@ -384,16 +385,27 @@ def _imi_half_chain(
     the FINAL assignment with quantized integer dots (round-half-up
     at 2^20 on both operands — exact in float64, see
     ``operators/similarity.py::_ASSIGN_QSCALE``), replaying the
-    maintenance family's BLAS-routed builds; Lloyd iterations are
-    sample-sized and stay on the float fold."""
+    maintenance family's BLAS-routed builds. ``quant_iters`` extends
+    the same quantized scoring to the per-ITERATION Lloyd
+    assignments — the quantized-throughput trainer
+    (``kmeans_centroids_quant_on``), whose sample×k assignment runs
+    in dgemm at every round; means/renormalize steps are unchanged
+    (already engine-exact)."""
     if assign_src is None:
         assign_src = src
     qa = float(1 << 20)  # _ASSIGN_QSCALE — keep in sync
+
+    def _qd(u_expr: str, c_expr: str) -> str:
+        return (
+            f"list_dot_product(list_transform({u_expr}, x -> floor(x * {qa} + 0.5)),"
+            f" list_transform({c_expr}, x -> floor(x * {qa} + 0.5)))"
+        )
+
     final_dot = (
-        f"list_dot_product(list_transform(p.u, x -> floor(x * {qa} + 0.5)),"
-        f" list_transform(c.c, x -> floor(x * {qa} + 0.5)))"
-        if quant_final
-        else "list_dot_product(p.u, c.c)"
+        _qd("p.u", "c.c") if quant_final else "list_dot_product(p.u, c.c)"
+    )
+    iter_dot = (
+        _qd("p.u", "c.c") if quant_iters else "list_dot_product(p.u, c.c)"
     )
     ctes = [
         f"""cent0{sfx} AS (
@@ -409,7 +421,7 @@ def _imi_half_chain(
       SELECT vec_id, u, cid FROM (
         SELECT p.vec_id, p.u, c.cid,
                row_number() OVER (PARTITION BY p.vec_id
-                                  ORDER BY list_dot_product(p.u, c.c) DESC, c.cid) AS rnk
+                                  ORDER BY {iter_dot} DESC, c.cid) AS rnk
         FROM {src} p CROSS JOIN cent{i}{sfx} c) t
       WHERE rnk = 1
     )"""
@@ -1450,9 +1462,13 @@ def _ivfpq_oracle(
         "qview AS (SELECT vec_id, u FROM u)",
         "cview AS (SELECT vec_id, u FROM u)",
     ]
+    # the shared 'ivfpq:' coarse model trains on the QUANTIZED
+    # throughput trainer (qs19/qs27/qs19b replay the same iteration
+    # dots); the FINAL corpus assignment stays per-query — float fold
+    # for the in-session qs19/qs27, quantized for qs19b's store
     ctes += _imi_half_chain(
         "_c", "utrain", "(SELECT k FROM sizek)", n_iter, d,
-        assign_src="u", quant_final=quant_assign,
+        assign_src="u", quant_final=quant_assign, quant_iters=True,
     )
     for s in range(m):
         lo, hi = s * d_sub + 1, (s + 1) * d_sub
@@ -1531,10 +1547,12 @@ def _ivfpq_model(spark, sf_dir: str, emb: DataFrame, n: int, k: int):
     hash-verified oracles replay unchanged."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         _unit_vectors,
-        kmeans_centroids_on,
+        kmeans_centroids_quant_on,
         pq_codebooks,
     )
+    from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
 
+    ensure_package_on_workers(spark)
     tpts = _unit_vectors(
         _digest_sample(emb, "ivfpq:", _train_frac(n, k)),
         "vec_id",
@@ -1542,8 +1560,12 @@ def _ivfpq_model(spark, sf_dir: str, emb: DataFrame, n: int, k: int):
     )
     cent = _memo_model(
         spark,
-        ("ivfpq-cent", sf_dir, n, k, 2),
-        lambda: kmeans_centroids_on(tpts, k=k, n_iter=2),
+        # r11: the coarse trainer moved to the quantized-throughput
+        # Lloyd loop (dgemm iteration assigns, oracle-replayed via
+        # quant_iters) — new memo key so a pre-change in-session memo
+        # can never serve the post-change model
+        ("ivfpq-cent-q", sf_dir, n, k, 2),
+        lambda: kmeans_centroids_quant_on(tpts, k=k, n_iter=2),
         src=emb,
     )
     books = _memo_model(
@@ -1568,7 +1590,7 @@ def _ivfpq_store_dir(sf_dir: str) -> str:
         tempfile.gettempdir(), "spark_graft_manifests"
     )
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    return os.path.join(root, f"ivfpqstore_v2_{key}")
+    return os.path.join(root, f"ivfpqstore_v3_{key}")
 
 
 def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
@@ -2763,11 +2785,14 @@ def _maint_oracle() -> str:
             " / (SELECT n FROM sizen))",
         ),
     ]
-    # final corpus + delta assignments replay the QUANTIZED integer
+    # EVERY assignment — the Lloyd iterations, the final corpus
+    # routing, and the delta routing — replays the QUANTIZED integer
     # dots the engine's BLAS-routed builds compute (bit-exact in
-    # float64 — see operators/similarity.py::_ASSIGN_QSCALE)
+    # float64 — see operators/similarity.py::_ASSIGN_QSCALE): the
+    # maintenance family trains with kmeans_centroids_quant
     ctes += _imi_half_chain(
-        "_c", "utrain", ksql, 2, 64, assign_src="uc", quant_final=True
+        "_c", "utrain", ksql, 2, 64, assign_src="uc",
+        quant_final=True, quant_iters=True,
     )
     qa = float(1 << 20)
     ctes.append(
@@ -2839,10 +2864,12 @@ def qs22_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_pipeline_gcp_spark.operators.similarity import (
         assign_clusters_quant,
         cell_fill_report,
-        kmeans_centroids,
+        kmeans_centroids_quant,
         trained_cells_for,
     )
+    from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
 
+    ensure_package_on_workers(spark)
     emb = table(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("label") % 10 != 0)
     delta = emb.where(F.col("label") % 10 == 0)
@@ -2850,7 +2877,7 @@ def qs22_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = trained_cells_for(n)
     expected = (n + k - 1) // k
     sample = _digest_sample(corpus, "ivfm:", _train_frac(n, k))
-    cent = kmeans_centroids(sample, "vec_id", "embedding", k=k, n_iter=2)
+    cent = kmeans_centroids_quant(sample, "vec_id", "embedding", k=k, n_iter=2)
     # cell routing is QUANTIZED-EXACT across the whole maintenance
     # family (here, the manifest build, the delta/batch paths): the
     # same integer dots a dgemm computes bit-identically, so the
@@ -2884,7 +2911,7 @@ def _manifest_dir(sf_dir: str) -> str:
     key = hashlib.md5(
         os.path.abspath(sf_dir).encode()
     ).hexdigest()[:16]
-    return os.path.join(root, f"ivfm_v2_{key}")
+    return os.path.join(root, f"ivfm_v3_{key}")
 
 
 @register("qs22b_ann_index_maintenance_manifest", oracle=_maint_oracle())
@@ -2943,10 +2970,11 @@ def ensure_ivfm_manifest(spark: SparkSession, sf_dir: str) -> str:
     import os
 
     from spotify_pipeline_gcp_spark.operators.similarity import (
-        kmeans_centroids,
+        kmeans_centroids_quant,
         trained_cells_for,
         write_index_manifest,
     )
+    from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
 
     emb = table(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("label") % 10 != 0)
@@ -2962,10 +2990,11 @@ def ensure_ivfm_manifest(spark: SparkSession, sf_dir: str) -> str:
         except OSError:
             meta = None
     if not meta or meta.get("fingerprint") != fingerprint:
+        ensure_package_on_workers(spark)
         n = fingerprint["n"]
         k = trained_cells_for(n)
         sample = _digest_sample(corpus, "ivfm:", _train_frac(n, k))
-        cent = kmeans_centroids(
+        cent = kmeans_centroids_quant(
             sample, "vec_id", "embedding", k=k, n_iter=2
         )
         write_index_manifest(
