@@ -1652,7 +1652,7 @@ def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
         # the final join reads two ~16-byte-row spools.
         asg = assign_clusters_quant_blas(pts, cent)
         asg.write.mode("overwrite").parquet(os.path.join(tmp, "_asg"))
-        codes = pq_encode(pts, books, m=m, d_sub=d_sub)
+        codes = pq_encode(pts, books, m=m, d_sub=d_sub, n_rows=n)
         codes.write.mode("overwrite").parquet(os.path.join(tmp, "_codes"))
         assigned = (
             spark.read.parquet(os.path.join(tmp, "_asg"))
@@ -1818,7 +1818,7 @@ def qs18_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cpts = _unit_vectors(
         emb.where(F.col("label") % 10 != 0), "vec_id", "embedding"
     )
-    codes = pq_encode(cpts, books, m=4, d_sub=16)
+    codes = pq_encode(cpts, books, m=4, d_sub=16, n_rows=n)
     return pq_adc_topk(
         qpts, codes, books, m=4, d_sub=16, k_neighbors=3
     )
@@ -1869,7 +1869,7 @@ def qs17_cosine_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2),
         src=emb,
     )
-    asg = imi_assign(pts, cent1, cent2, 32).repartition("cid1", "cid2")
+    asg = imi_assign(pts, cent1, cent2, 32, n_rows=n).repartition("cid1", "cid2")
     a, b = asg.alias("a"), asg.alias("b")
     cos = fixed(_dot_pre(F.col("a.u"), F.col("b.u")), 6)
     pairs = a.join(
@@ -2090,9 +2090,13 @@ _RRF_COS = sql_fixed(
 @register(
     "qs20_hybrid_rrf",
     oracle=f"""
-    WITH qe AS (
+    WITH qsel AS (
+      SELECT doc_id FROM documents WHERE source = 'src0'
+      ORDER BY md5('rrf:' || doc_id::VARCHAR) LIMIT 64
+    ),
+    qe AS (
       SELECT e.vec_id, e.embedding FROM embeddings e
-      JOIN documents d ON e.vec_id = d.doc_id WHERE d.source = 'src0'
+      JOIN qsel d ON e.vec_id = d.doc_id
     ),
     ce AS (
       SELECT e.vec_id, e.embedding FROM embeddings e
@@ -2133,7 +2137,8 @@ _RRF_COS = sql_fixed(
     ),
     g AS (SELECT doc_id, source, list_distinct({_RRF_GRAMS}) AS grams FROM t),
     bg AS (SELECT doc_id AS query_id, unnest(grams) AS gram FROM g
-           WHERE source = 'src0'),
+           WHERE source = 'src0'
+             AND doc_id IN (SELECT doc_id FROM qsel)),
     cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE source <> 'src0'),
     lex AS (SELECT cg.doc_id, bg.query_id, count(*)::BIGINT AS n_shared
             FROM cg JOIN bg USING (gram) GROUP BY 1, 2),
@@ -2168,36 +2173,59 @@ def qs20_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs13 index, ~256 corpus vectors per bucket at any scale) and a
     lexical ranker (shared word-4-gram counts, qt7's kernel) fused by
     ``sum 1/(60 + rank)`` — the standard RRF rule (Cormack et al.)
-    behind every dense+sparse retrieval stack. Queries are the
-    ``src0`` document slice (embeddings joined on doc_id); ranks are
+    behind every dense+sparse retrieval stack. Queries are a FIXED
+    64-document digest batch from the ``src0`` slice (salt 'rrf:',
+    the qs15/qs18/qs21 serving convention — r11: the whole src0
+    slice grew with the corpus, and at the 2 M rung the explicit
+    broadcast of it plus the corpus-id filter killed the 4 g driver;
+    a serving batch must not scale with the corpus). Ranks are
     integers and the RRF sum is two exact-rounded divisions added in
     a fixed order, so fusion and final ordering are engine-exact; the
-    oracle replays the index SIZING arithmetic from the same corpus
-    count (the qs13 rule), so the data-adaptive candidate rule is
-    hash-verified too.
+    oracle replays the batch membership AND the index SIZING
+    arithmetic from the same corpus count (the qs13 rule), so the
+    data-adaptive candidate rule is hash-verified too.
 
     Scale shape: BOTH rankers are candidate-bounded — semantic
-    candidates are |Q| x ~256 via the sized bucket equi-join (a
+    candidates are 64 x ~256 via the sized bucket equi-join (a
     pinned bucket count would quietly go |Q|·n/2^bits: the qs3
     lesson), lexical candidates are gram collisions against the
-    BROADCAST query-gram table — and the corpus never shuffles for
-    either. The only exchanges are the per-(doc, query) count and
-    the per-query row_number windows, both bounded by candidate
-    volume, not corpus size. Ranking inside index candidates (not
-    exact top-k) is what production hybrid search does; qs21 is the
-    audit that measures what that candidate rule costs in recall."""
+    BROADCAST 64-query gram table — and the corpus never broadcasts
+    and never self-joins for either (the corpus-id semi-join filter
+    is hint-free: the optimizer broadcasts it at small scale and
+    shuffles at 2 M, where a forced broadcast is a driver OOM). The
+    only exchanges are the per-(doc, query) count and the per-query
+    row_number windows, both bounded by candidate volume, not corpus
+    size. Ranking inside index candidates (not exact top-k) is what
+    production hybrid search does; qs21 is the audit that measures
+    what that candidate rule costs in recall."""
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
     from spotify_pipeline_gcp_spark.operators.similarity import sign_bits_for
     from spotify_pipeline_gcp_spark.operators.text import contamination_pairs
 
-    qids = docs.where(F.col("source") == "src0").select(
-        F.col("doc_id").alias("vec_id")
+    # FIXED 64-query digest batch (the qs15/qs18/qs21 serving
+    # convention; salt 'rrf:') — r11: the query side was the WHOLE
+    # src0 slice, which grows with the corpus, and both it and the
+    # corpus-id filter carried explicit broadcast hints: at the 2 M
+    # rung the driver died building a corpus-sized broadcast. Serving
+    # means |Q| does not grow with the corpus; the corpus-side filter
+    # hint is gone so the optimizer picks the join strategy by size.
+    qsel = (
+        docs.where(F.col("source") == "src0")
+        .select("doc_id")
+        .withColumn(
+            "_d",
+            F.md5(F.concat(F.lit("rrf:"), F.col("doc_id").cast("string"))),
+        )
+        .orderBy("_d")
+        .limit(64)
+        .drop("_d")
     )
+    qids = qsel.select(F.col("doc_id").alias("vec_id"))
     cids = docs.where(F.col("source") != "src0").select(
         F.col("doc_id").alias("vec_id")
     )
-    corpus_emb = emb.join(F.broadcast(cids), "vec_id", "left_semi")
+    corpus_emb = emb.join(cids, "vec_id", "left_semi")
     n_bits = sign_bits_for(corpus_emb.count())
     qb = _double_base(
         emb.join(F.broadcast(qids), "vec_id", "left_semi"),
@@ -2228,7 +2256,9 @@ def qs20_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lex = contamination_pairs(
         docs.where(F.col("source") != "src0"),
-        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") == "src0").join(
+            F.broadcast(qsel), "doc_id"
+        ),
         "doc_id", "text", n=4,
     )
     wlex = W.partitionBy("bench_id").orderBy(
@@ -2416,7 +2446,7 @@ def qs29_imi_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2),
         src=emb,
     )
-    asg = imi_assign(pts, cent1, cent2, 32)
+    asg = imi_assign(pts, cent1, cent2, 32, n_rows=n)
     qids = (
         emb.where(F.col("label") % 10 == 0)
         .withColumn(
@@ -3079,7 +3109,7 @@ def ensure_pq_store(spark: SparkSession, sf_dir: str) -> str:
         cpts = _unit_vectors(
             emb.where(F.col("label") % 10 != 0), "vec_id", "embedding"
         )
-        codes = pq_encode(cpts, books, m=m, d_sub=d_sub)
+        codes = pq_encode(cpts, books, m=m, d_sub=d_sub, n_rows=n)
         token = uuid.uuid4().hex[:12]
         tmp = f"{path}.tmp.{token}"
         _tagged_books(books).select(
@@ -3426,7 +3456,7 @@ def qs25_cosine_topk_imi_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2),
         src=emb,
     )
-    asg = imi_assign(pts, cent1, cent2, 32)
+    asg = imi_assign(pts, cent1, cent2, 32, n_rows=n)
 
     strain = _unit_vectors(
         _digest_sample(emb, "pqtr:", _train_frac(n, k_pq)),
@@ -3439,7 +3469,7 @@ def qs25_cosine_topk_imi_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: pq_codebooks(strain, m=m, d_sub=d_sub, k_pq=k_pq, n_iter=2),
         src=emb,
     )
-    codes = pq_encode(pts, books, m=m, d_sub=d_sub)
+    codes = pq_encode(pts, books, m=m, d_sub=d_sub, n_rows=n)
 
     # per-point lookup table as ONE projection over the LITERAL
     # codebooks — no crossJoin/groupBy assembly (the r8-late fix:
