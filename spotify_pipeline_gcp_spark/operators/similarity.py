@@ -917,6 +917,84 @@ def assign_clusters_quant(
     return _argmax_assign_quant(pts, centroids)
 
 
+def ivfpq_assign_encode_quant_blas(
+    pts: DataFrame,
+    cent: DataFrame,
+    books: "list[DataFrame]",
+    m: int,
+    d_sub: int,
+    id_col: str = "id",
+    u_col: str = "u",
+) -> DataFrame:
+    """(id, cid, codes): the ENTIRE IVFPQ corpus-side build in ONE
+    Arrow pass — coarse-cell assignment AND all m PQ code selections
+    per batch, every score a quantized integer a dgemm computes
+    bit-identically to the SQL replay (``_ASSIGN_QSCALE``). This is
+    FAISS's ``index.add()`` shape: one pass over the vectors produces
+    the full inverted-list entry. The previous staged build ran the
+    assignment and a separate JVM-side encode aggregate as two more
+    corpus passes plus an id join; at the 2 M / 4 g rung the encode's
+    128 M-row struct-max SortAggregate and the join stacked enough
+    retained heap on the trainer's to kill the executor — one fused
+    kernel pass has no aggregate, no join, and no second scan.
+
+    Code selection replays the L2 rule ``argmax(dot − ‖c‖²/2)`` in
+    quantized form, ``argmax(2·qdot(u_s, c) − qdot(c, c))`` — a
+    positive-scaled shift of the float rule, exact in int64/float64
+    (|score| ≤ 2^45), ties → lowest code id (argmax-first over
+    ascending ids = the SQL ``ORDER BY score DESC, cid``). The ADC
+    serving tables stay float-trained and 1e9-quantized exactly as
+    before — only WHICH code represents each subvector moves (by at
+    most one quantization-boundary neighbor), and the oracle replays
+    the same quantized selection. Callers must
+    ``ensure_package_on_workers`` first."""
+    import numpy as np
+
+    q = float(_ASSIGN_QSCALE)
+    crows = sorted((int(r["cid"]), list(r["c"])) for r in cent.collect())
+    C = np.floor(np.asarray([c for _, c in crows], dtype="float64") * q + 0.5)
+    cids = np.asarray([cid for cid, _ in crows], dtype="int64")
+    subs = []
+    for s in range(m):
+        brows = sorted(
+            (int(r["cid"]), list(r["c"])) for r in books[s].collect()
+        )
+        Bq = np.floor(
+            np.asarray([c for _, c in brows], dtype="float64") * q + 0.5
+        )
+        bids = np.asarray([cid for cid, _ in brows], dtype="int64")
+        subs.append((bids, Bq, (Bq * Bq).sum(axis=1)))
+
+    def _run(batches):
+        import numpy as _np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            U = _np.floor(
+                _np.stack(
+                    [_np.asarray(u, dtype="float64") for u in pdf[u_col]]
+                )
+                * q
+                + 0.5
+            )
+            cells = cids[_np.argmax(U @ C.T, axis=1)]
+            codes = _np.empty((len(pdf), m), dtype="int64")
+            for s, (bids, Bq, qcc) in enumerate(subs):
+                Us = U[:, s * d_sub : (s + 1) * d_sub]
+                codes[:, s] = bids[
+                    _np.argmax(2.0 * (Us @ Bq.T) - qcc[None, :], axis=1)
+                ]
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "cid": cells, "codes": codes.tolist()}
+            )
+
+    return pts.select(
+        F.col(id_col).alias(id_col), F.col(u_col).alias(u_col)
+    ).mapInPandas(_run, schema="id long, cid long, codes array<long>")
+
+
 def kmeans_centroids_quant_on(
     pts: DataFrame, k: int, n_iter: int = 2
 ) -> DataFrame:

@@ -1299,13 +1299,19 @@ def qs14_cosine_topk_ivf_kmeans_sized(
 def _pq_sub_chain(
     s: int, k: int, n_iter: int, d_sub: int, lo: int, hi: int,
     train_src: str = "u",
+    quant_enc: bool = False,
 ) -> list[str]:
     """CTE chain for ONE PQ sub-quantizer: slice view → seeded init →
     L2 Lloyd rounds (argmax ``dot − ‖c‖²/2``, plain quantized mean —
     no renormalize) → corpus encoding ``enc_{s}``. ``train_src`` is
     the (vec_id, u) view the init + Lloyd rounds slice from — a
     digest sample for the sample-trained shapes; encoding (enc) and
-    query tables (tq) always use the full cview/qview."""
+    query tables (tq) always use the full cview/qview. ``quant_enc``
+    scores the CORPUS ENCODING with the quantized integer form
+    ``2·qdot(u_s, c) − qdot(c, c)`` (exact in float64, a
+    positive-scaled shift of the float rule — the fused dgemm build
+    kernel's selection; see ``_ASSIGN_QSCALE``); training and the
+    float ADC query tables are unchanged."""
     sfx = f"_{s}"
     ctes = [
         f"sub{sfx} AS (SELECT vec_id, u[{lo}:{hi}] AS u FROM {train_src})",
@@ -1343,12 +1349,21 @@ def _pq_sub_chain(
       FROM qsum{i}{sfx} GROUP BY cid
     )"""
         )
+    qa = float(1 << 20)  # _ASSIGN_QSCALE — keep in sync
+    enc_score = (
+        f"(2 * list_dot_product(list_transform(p.u, x -> floor(x * {qa} + 0.5)),"
+        f" list_transform(c.c, x -> floor(x * {qa} + 0.5)))"
+        f" - list_dot_product(list_transform(c.c, x -> floor(x * {qa} + 0.5)),"
+        f" list_transform(c.c, x -> floor(x * {qa} + 0.5))))"
+        if quant_enc
+        else score
+    )
     ctes.append(
         f"""enc{sfx} AS (
       SELECT vec_id, {s} AS s, cid AS code FROM (
         SELECT p.vec_id, c.cid,
                row_number() OVER (PARTITION BY p.vec_id
-                                  ORDER BY {score} DESC, c.cid) AS rnk
+                                  ORDER BY {enc_score} DESC, c.cid) AS rnk
         FROM (SELECT vec_id, u[{lo}:{hi}] AS u FROM cview) p
         CROSS JOIN cent{n_iter}{sfx} c) t
       WHERE rnk = 1
@@ -1473,7 +1488,8 @@ def _ivfpq_oracle(
     for s in range(m):
         lo, hi = s * d_sub + 1, (s + 1) * d_sub
         ctes += _pq_sub_chain(
-            s, k_pq, n_iter, d_sub, lo, hi, train_src="utrain"
+            s, k_pq, n_iter, d_sub, lo, hi, train_src="utrain",
+            quant_enc=quant_assign,
         )
     enc_union = " UNION ALL ".join(f"SELECT * FROM enc_{s}" for s in range(m))
     tq_union = " UNION ALL ".join(f"SELECT * FROM tq_{s}" for s in range(m))
@@ -1590,7 +1606,7 @@ def _ivfpq_store_dir(sf_dir: str) -> str:
         tempfile.gettempdir(), "spark_graft_manifests"
     )
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    return os.path.join(root, f"ivfpqstore_v3_{key}")
+    return os.path.join(root, f"ivfpqstore_v4_{key}")
 
 
 def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
@@ -1598,8 +1614,9 @@ def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
     (qs19b): the 'ivfpq:' model qs19/qs27 train (same memoized
     literals), the corpus assignment, and the PQ codes all persist —
     so serving pays only the cell join + ADC + top-k, and the n·k
-    assignment runs ONCE, at build, at dgemm throughput
-    (``assign_clusters_quant_blas``). The BLAS assignment is why this
+    assignment runs ONCE, at build, at dgemm throughput — fused with
+    the PQ encode into a single corpus pass
+    (``ivfpq_assign_encode_quant_blas``). The BLAS build is why this
     store is the 1000x-capable build: the fold form's interpreted n·k
     dots are the exact wall that times out the qs19/qst7 builds at
     2 M vectors (SCALE_BENCH_r10's two named timeouts). The routing
@@ -1616,8 +1633,7 @@ def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
     from spotify_pipeline_gcp_spark.operators.similarity import (
         _tagged_books,
         _unit_vectors,
-        assign_clusters_quant_blas,
-        pq_encode,
+        ivfpq_assign_encode_quant_blas,
         trained_cells_for,
     )
     from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
@@ -1650,14 +1666,17 @@ def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
         # (the r10 failure catalog, reproduced by this build in the
         # r11 ladder). Staged, each job's working set is one pass;
         # the final join reads two ~16-byte-row spools.
-        asg = assign_clusters_quant_blas(pts, cent)
-        asg.write.mode("overwrite").parquet(os.path.join(tmp, "_asg"))
-        codes = pq_encode(pts, books, m=m, d_sub=d_sub, n_rows=n)
-        codes.write.mode("overwrite").parquet(os.path.join(tmp, "_codes"))
-        assigned = (
-            spark.read.parquet(os.path.join(tmp, "_asg"))
-            .join(spark.read.parquet(os.path.join(tmp, "_codes")), "id")
-            .select("id", "cid", "codes")
+        # the entire corpus side — cell assignment AND all m code
+        # selections — is ONE fused dgemm pass writing (id, cid,
+        # codes) straight to the staging dir (FAISS's index.add()
+        # shape). The r11 ladder killed both prior forms at 2 M / 4 g:
+        # the fused-lineage build (Arrow assign + encode aggregate +
+        # join sort in one heap peak -> GCLocker storm) and the staged
+        # three-job build (the encode's 128 M-row struct-max
+        # SortAggregate stacked on the trainer's retained heap ->
+        # >600 s). One pass has no aggregate, no join, no second scan.
+        assigned = ivfpq_assign_encode_quant_blas(
+            pts, cent, books, m=m, d_sub=d_sub
         )
         cent.write.mode("overwrite").parquet(os.path.join(tmp, "cents"))
         _tagged_books(books).select(
@@ -1666,8 +1685,6 @@ def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
         assigned.write.mode("overwrite").parquet(
             os.path.join(tmp, "assigned")
         )
-        shutil.rmtree(os.path.join(tmp, "_asg"), ignore_errors=True)
-        shutil.rmtree(os.path.join(tmp, "_codes"), ignore_errors=True)
         with open(os.path.join(tmp, "meta.json"), "w") as fh:
             json.dump(
                 {
@@ -1729,7 +1746,8 @@ def qs19b_cosine_topk_ivfpq_store(
     PQ encode — and persists (id, cell, codes); serving injects the
     stored state into ``cosine_topk_ivfpq``'s tail and pays only the
     cell equi-join + inline ADC + cell-local top-k. The assignment is
-    QUANTIZED-EXACT (``assign_clusters_quant_blas``: integer dots a
+    QUANTIZED-EXACT (``ivfpq_assign_encode_quant_blas``: one fused
+    corpus pass selecting the cell AND all m PQ codes, integer dots a
     dgemm computes bit-identically to the SQL fold), so unlike the
     raw-float BLAS twins this query is HASH-VERIFIED end to end — the
     oracle replays the trainings, the quantized routing, the PQ
@@ -3475,14 +3493,26 @@ def qs25_cosine_topk_imi_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codebooks — no crossJoin/groupBy assembly (the r8-late fix:
     # that aggregate alone was ~600 s of qs19's 100× wall; see
     # operators/similarity.py::_qt_all_literal)
-    qtab = asg.select(
+    # corpus-scaled product-cell partitioning (r11): the top-5 window
+    # sorts the FULL ~256·n candidate pair stream inside the join's
+    # own partitions (no re-exchange — that is the point), so the
+    # partition COUNT must scale with n: at 2 M vectors the default
+    # 32 put ~16 M pair rows (~800 MB of sorter pressure) in each
+    # task — the measured UNABLE_TO_ACQUIRE_MEMORY in the r11 rung.
+    # ~8000 corpus rows per partition keeps each task's pair slice
+    # ~2 M rows; at sf0.1-and-below this equals the default shuffle
+    # width, so small-scale plans are unchanged.
+    nparts = max(spark.sparkContext.defaultParallelism, int(n) // 8000)
+    qtab = asg.repartition(nparts, "cid1", "cid2").select(
         F.col("id").alias("query_id"),
         "cid1",
         "cid2",
         _qt_all_literal(books, m, d_sub).alias("qt_all"),
     )
-    cand = codes.join(asg.select("id", "cid1", "cid2"), "id").select(
-        F.col("id").alias("neighbor_id"), "cid1", "cid2", "codes"
+    cand = (
+        codes.join(asg.select("id", "cid1", "cid2"), "id")
+        .repartition(nparts, "cid1", "cid2")
+        .select(F.col("id").alias("neighbor_id"), "cid1", "cid2", "codes")
     )
     # unrolled over the m literal sub-quantizers: plain scalar
     # codegen, no zip_with intermediate array per pair row
