@@ -175,7 +175,12 @@ def ladder(spark, registry, names, scaled_dir, factor_key, factor):
             if name in WARM_BUILD:
                 _fresh_manifest_dir(f"{name}_base")
                 t0 = time.time()
-                run_one(spark, fn, BASE)
+                # drain=True: the build pre-run exists to BUILD the
+                # store — collect()ing the serve result here pushed a
+                # 10M-row py4j fetch into the 4g build phase at the
+                # 1000x rung (qs19b's reproduced build OOM; qs25's
+                # 334s build row included the same hidden fetch)
+                run_one(spark, fn, BASE, drain=True)
                 extra["base_build_sec"] = round(time.time() - t0, 3)
             tb, nb = run_one(spark, fn, BASE, drain)
             t2, _ = run_one(spark, fn, BASE, drain)
@@ -194,7 +199,7 @@ def ladder(spark, registry, names, scaled_dir, factor_key, factor):
             h0, g0, _c0 = _jvm_probe(spark)
             t0 = time.time()
             try:
-                run_one(spark, fn, scaled_dir)
+                run_one(spark, fn, scaled_dir, drain=True)
             except (QueryTimeout, Exception) as ex:  # noqa: B014
                 _record(
                     {
