@@ -1763,6 +1763,9 @@ def qs19b_cosine_topk_ivfpq_store(
     emb = table(spark, sf_dir, "embeddings")
     path = ensure_ivfpq_store(spark, sf_dir)
     books, assigned, meta = read_ivfpq_store(spark, path)
+    from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
     return cosine_topk_ivfpq(
         emb,
         k_neighbors=5,
@@ -1774,6 +1777,14 @@ def qs19b_cosine_topk_ivfpq_store(
         books=books,
         asg=assigned.select("id", "cid"),
         codes=assigned.select("id", "codes"),
+        # serve through the per-cell GATHER kernel (qs27's, hash-exact
+        # against the same oracle — int64 ADC): the declarative tail
+        # materializes the n²/k pair stream through a window sort,
+        # which at 2 M vectors is 2.8e9 pair rows of sorter pressure
+        # (~3.5 GB per task at cluster width — the measured 4 g
+        # executor death in the r11 rung, surviving the build fix).
+        # Stored lists + vectorized list scan is FAISS's serve shape.
+        gather_kernel=True,
     )
 
 
