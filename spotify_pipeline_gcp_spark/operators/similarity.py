@@ -1596,7 +1596,7 @@ def _widen_for_scoring(
 
 def imi_assign(
     pts: DataFrame, cent1: DataFrame, cent2: DataFrame, d_half: int,
-    n_rows: int | None = None,
+    work_rows: int | None = None,
 ) -> DataFrame:
     """(id, u, cid1, cid2): two-level IMI cell assignment in ONE pass.
 
@@ -1610,14 +1610,13 @@ def imi_assign(
     would compute (and then re-join, two corpus shuffles) fall out of
     one O(n·2k) scored stream that collapses map-side to one row per
     point. At 100 TB this is the difference between zero corpus
-    exchanges and two. ``n_rows`` (when the caller already knows the
-    corpus count) lets the scored stream pre-widen so the struct-max
-    SortAggregate's per-task slice stays bounded — see
-    ``_widen_for_scoring``."""
+    exchanges and two. ``work_rows`` (= corpus rows × 2·k_each, which
+    callers already know — no counting job) lets the scored stream
+    pre-widen so the struct-max SortAggregate's per-task slice stays
+    bounded — see ``_widen_for_scoring``."""
     c1 = cent1.select(F.lit(1).alias("q"), "cid", "c")
     c2 = cent2.select(F.lit(2).alias("q"), "cid", "c")
     cents = c1.unionByName(c2)
-    work = None if n_rows is None else n_rows * (cent1.count() + cent2.count())
     # the scored stream carries ONLY (id, q, cid, dot) — the full
     # vector and both half-slices are dropped before the aggregate
     # and u is joined back by id afterwards (the _argmax_assign r8
@@ -1629,7 +1628,7 @@ def imi_assign(
             F.slice("u", 1, d_half).alias("u1"),
             F.slice("u", d_half + 1, d_half).alias("u2"),
         ),
-        work,
+        work_rows,
     )
     scored = halved.crossJoin(F.broadcast(cents)).select(
         "id",
@@ -1959,7 +1958,7 @@ def _tagged_books(books: list[DataFrame]) -> DataFrame:
 
 def pq_encode(
     pts: DataFrame, books: list[DataFrame], m: int, d_sub: int,
-    n_rows: int | None = None,
+    work_rows: int | None = None,
 ) -> DataFrame:
     """(id, codes: array<long>): PQ encoding — each subvector mapped
     to its nearest (L2) codebook entry, ALL ``m`` assignments in one
@@ -1983,7 +1982,7 @@ def pq_encode(
                 for s in range(m)
             ],
         ),
-        None if n_rows is None else n_rows * tagged.count(),
+        work_rows,
     )
     score = None
     for s in range(m):

@@ -1847,7 +1847,7 @@ def qs18_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cpts = _unit_vectors(
         emb.where(F.col("label") % 10 != 0), "vec_id", "embedding"
     )
-    codes = pq_encode(cpts, books, m=4, d_sub=16, n_rows=n)
+    codes = pq_encode(cpts, books, m=4, d_sub=16, work_rows=n * 64)
     return pq_adc_topk(
         qpts, codes, books, m=4, d_sub=16, k_neighbors=3
     )
@@ -1898,7 +1898,9 @@ def qs17_cosine_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2),
         src=emb,
     )
-    asg = imi_assign(pts, cent1, cent2, 32, n_rows=n).repartition("cid1", "cid2")
+    asg = imi_assign(
+        pts, cent1, cent2, 32, work_rows=n * 2 * k_each
+    ).repartition("cid1", "cid2")
     a, b = asg.alias("a"), asg.alias("b")
     cos = fixed(_dot_pre(F.col("a.u"), F.col("b.u")), 6)
     pairs = a.join(
@@ -2475,7 +2477,7 @@ def qs29_imi_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2),
         src=emb,
     )
-    asg = imi_assign(pts, cent1, cent2, 32, n_rows=n)
+    asg = imi_assign(pts, cent1, cent2, 32, work_rows=n * 2 * k_each)
     qids = (
         emb.where(F.col("label") % 10 == 0)
         .withColumn(
@@ -3138,7 +3140,7 @@ def ensure_pq_store(spark: SparkSession, sf_dir: str) -> str:
         cpts = _unit_vectors(
             emb.where(F.col("label") % 10 != 0), "vec_id", "embedding"
         )
-        codes = pq_encode(cpts, books, m=m, d_sub=d_sub, n_rows=n)
+        codes = pq_encode(cpts, books, m=m, d_sub=d_sub, work_rows=n * m * k_pq)
         token = uuid.uuid4().hex[:12]
         tmp = f"{path}.tmp.{token}"
         _tagged_books(books).select(
@@ -3485,7 +3487,7 @@ def qs25_cosine_topk_imi_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: kmeans_centroids_on_halves(spts, 32, k=k_each, n_iter=2),
         src=emb,
     )
-    asg = imi_assign(pts, cent1, cent2, 32, n_rows=n)
+    asg = imi_assign(pts, cent1, cent2, 32, work_rows=n * 2 * k_each)
 
     strain = _unit_vectors(
         _digest_sample(emb, "pqtr:", _train_frac(n, k_pq)),
@@ -3498,7 +3500,7 @@ def qs25_cosine_topk_imi_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: pq_codebooks(strain, m=m, d_sub=d_sub, k_pq=k_pq, n_iter=2),
         src=emb,
     )
-    codes = pq_encode(pts, books, m=m, d_sub=d_sub, n_rows=n)
+    codes = pq_encode(pts, books, m=m, d_sub=d_sub, work_rows=n * m * k_pq)
 
     # per-point lookup table as ONE projection over the LITERAL
     # codebooks — no crossJoin/groupBy assembly (the r8-late fix:
