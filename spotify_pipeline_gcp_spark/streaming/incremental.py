@@ -497,16 +497,25 @@ def streaming_export_gate(
             for d in sorted(os.listdir(digests_path))
             if d == "base" or (d.startswith("b") and d[1:].isdigit() and int(d[1:]) < batch_id)
         ]
-        accepted = export_gate(
-            batch_df.select("doc_id", "source", "text"),
-            bench_grams,
-            "doc_id",
-            "text",
-            stored_digests=spark.read.parquet(*prior),
-            min_tokens=min_tokens,
-            max_dup3_ratio=max_dup3_ratio,
-            contamination_n=contamination_n,
-        ).persist()
+        accepted = (
+            export_gate(
+                batch_df.select("doc_id", "source", "text"),
+                bench_grams,
+                "doc_id",
+                "text",
+                stored_digests=spark.read.parquet(*prior),
+                min_tokens=min_tokens,
+                max_dup3_ratio=max_dup3_ratio,
+                contamination_n=contamination_n,
+            )
+            # project BEFORE persist: export_gate returns every input
+            # column plus _norm — caching two text-width columns of a
+            # 2.5 M-doc micro-batch is what killed the 4 g executor
+            # at the 1000x rung (r11); the two per-batch writes and
+            # the drained contract need only these four
+            .select("doc_id", "source", "n_tokens", "_digest")
+            .persist()
+        )
         accepted.select("doc_id", "source", "n_tokens").write.mode(
             "overwrite"
         ).parquet(os.path.join(accepted_path, f"b{batch_id}"))
