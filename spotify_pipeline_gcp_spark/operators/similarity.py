@@ -1211,7 +1211,15 @@ def write_index_manifest(
     moment (never partial); ``read_index_manifest`` absorbs that
     transient with one retry. The aside-dir is deleted only AFTER
     the new manifest is live, so mid-read file handles on the old
-    generation stay valid through the swap on POSIX semantics."""
+    generation stay valid through the swap on POSIX semantics.
+
+    Worker-side dependency: the corpus assignment routes through
+    ``assign_clusters_quant_blas`` (``mapInPandas`` dgemm — bit-exact
+    vs the SQL fold, see ``_ASSIGN_QSCALE``), so Python workers need
+    NumPy/pandas/Arrow at build time; ``ensure_package_on_workers``
+    ships this package. Callers with delta-sized corpora that must
+    stay pure-JVM can assign via ``assign_clusters_quant`` and write
+    the same layout."""
     import json
     import os
     import shutil

@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from spotify_pipeline_gcp_spark.operators.similarity import (
+    _ASSIGN_QSCALE,
     _dot_pre,
     _double_base,
     drop_hot_buckets,
@@ -393,7 +394,7 @@ def _imi_half_chain(
     (already engine-exact)."""
     if assign_src is None:
         assign_src = src
-    qa = float(1 << 20)  # _ASSIGN_QSCALE — keep in sync
+    qa = float(_ASSIGN_QSCALE)  # one source of truth for the fixed-point scale
 
     def _qd(u_expr: str, c_expr: str) -> str:
         return (
@@ -1349,7 +1350,7 @@ def _pq_sub_chain(
       FROM qsum{i}{sfx} GROUP BY cid
     )"""
         )
-    qa = float(1 << 20)  # _ASSIGN_QSCALE — keep in sync
+    qa = float(_ASSIGN_QSCALE)  # one source of truth for the fixed-point scale
     enc_score = (
         f"(2 * list_dot_product(list_transform(p.u, x -> floor(x * {qa} + 0.5)),"
         f" list_transform(c.c, x -> floor(x * {qa} + 0.5)))"
@@ -1657,15 +1658,6 @@ def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
         pts = _unit_vectors(emb, "vec_id", "embedding")
         token = uuid.uuid4().hex[:12]
         tmp = f"{path}.tmp.{token}"
-        # the two corpus-wide passes run as SEPARATE JOBS, each
-        # spooling its skinny result to the staging dir: at 2 M
-        # vectors in 4 g, fusing the Arrow-backed dgemm assignment
-        # with the encode aggregate and the id join in one lineage
-        # put Arrow's JNI-critical allocations and the join sort in
-        # the same heap peak — GCLocker retry storm, executor death
-        # (the r10 failure catalog, reproduced by this build in the
-        # r11 ladder). Staged, each job's working set is one pass;
-        # the final join reads two ~16-byte-row spools.
         # the entire corpus side — cell assignment AND all m code
         # selections — is ONE fused dgemm pass writing (id, cid,
         # codes) straight to the staging dir (FAISS's index.add()
@@ -2855,7 +2847,7 @@ def _maint_oracle() -> str:
         "_c", "utrain", ksql, 2, 64, assign_src="uc",
         quant_final=True, quant_iters=True,
     )
-    qa = float(1 << 20)
+    qa = float(_ASSIGN_QSCALE)
     ctes.append(
         f"""asgd AS (
       SELECT vec_id, cid FROM (
