@@ -375,6 +375,7 @@ def cosine_topk_blas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int | None = None,
+    quant: bool = False,
 ) -> DataFrame:
     """Exact brute-force top-k with a distributed block-matmul BLAS
     kernel — no driver collect, no whole-collection broadcast.
@@ -397,9 +398,21 @@ def cosine_topk_blas(
     is acceptable.
 
     Tie-break matches ``cosine_topk``: (cosine desc, neighbor_id).
-    BLAS accumulation order differs from a sequential fold at ulp
-    level, so this is the rows-only (no SQL oracle) throughput path;
-    ``cosine_topk`` is the exact-fold twin.
+    Scoring has two modes:
+
+    - ``quant=False`` (default): raw float64 dgemm over NumPy-
+      normalized rows. BLAS accumulation order differs from a
+      sequential fold at ulp level, so this mode is rows-only (no
+      SQL oracle); ``cosine_topk`` is the exact-fold twin.
+    - ``quant=True``: QUANTIZED-EXACT scoring — unit vectors come
+      from the JVM fold (``_unit_vectors``, bit-identical to the SQL
+      replay), are rounded at ``_ASSIGN_QSCALE`` inside the kernel,
+      and the dgemm computes integer dots that are exact in float64
+      under ANY accumulation order (d=64 dot ≤ 2^46 < 2^53). The
+      emitted ``cosine`` is the fixed-point value qdot / 2^40 — a
+      dyadic rational both engines represent exactly — so the query
+      is HASH-VERIFIABLE by a DuckDB oracle replaying the same
+      quantized dots (the qs19b build discipline applied to search).
     """
     import numpy as np
     import pandas as pd
@@ -414,10 +427,15 @@ def cosine_topk_blas(
         # B ≈ n·d·8 / (128 MB) so one block stays ~task-sized.
         cores = df.sparkSession.sparkContext.defaultParallelism
         n_blocks = max(4, math.ceil(math.sqrt(2 * cores)))
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
+    if quant:
+        base = _unit_vectors(df, id_col, vec_col).select(
+            "id", F.col("u").alias("v")
+        )
+    else:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
     packed = (
         base.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks)))
         .groupBy("blk")
@@ -426,21 +444,34 @@ def cosine_topk_blas(
     combos = packed.select(
         F.col("items").alias("q_items")
     ).crossJoin(packed.select(F.col("items").alias("d_items")))
-    return _blas_topk_from_combos(combos, k)
+    return _blas_topk_from_combos(combos, k, quant=quant)
 
 
-def _blas_topk_from_combos(combos: DataFrame, k: int) -> DataFrame:
+def _blas_topk_from_combos(
+    combos: DataFrame, k: int, quant: bool = False
+) -> DataFrame:
     """Shared BLAS tail: score each (q_items, d_items) block pair with one
     NumPy matmul emitting per-(query, block) partial top-k, then merge
     partials with a ranking window — correct because every global
-    neighbor appears in some block's partial top-k."""
+    neighbor appears in some block's partial top-k.
+
+    ``quant=False``: rows are raw vectors, normalized HERE (NumPy
+    pairwise-summed norm — float throughput mode, rows-only).
+    ``quant=True``: rows are PRE-NORMALIZED unit vectors from the JVM
+    fold; the kernel only rounds at ``_ASSIGN_QSCALE`` and divides the
+    exact integer dot by QSCALE² — every emitted value is bit-exact
+    against the SQL replay (see ``cosine_topk_blas``)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window as W
 
+    qscale = float(_ASSIGN_QSCALE)
+
     def _unpack(items):
         ids = np.fromiter((r["id"] for r in items), dtype="int64", count=len(items))
         mat = np.stack([np.asarray(r["v"], dtype="float64") for r in items])
+        if quant:
+            return ids, np.floor(mat * qscale + 0.5)
         return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
     def kernel(batches):
@@ -461,7 +492,10 @@ def _blas_topk_from_combos(combos: DataFrame, k: int) -> DataFrame:
                     top = top[np.lexsort((d_ids[top], -s[top]))]
                     for j in top:
                         if np.isfinite(s[j]):
-                            rows.append((int(q_ids[r]), int(d_ids[j]), float(s[j])))
+                            # quant: qdot / 2^40 — exact (power-of-two
+                            # scaling of an integer-valued float64)
+                            val = s[j] / (qscale * qscale) if quant else s[j]
+                            rows.append((int(q_ids[r]), int(d_ids[j]), float(val)))
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
     partials = combos.mapInPandas(
@@ -480,6 +514,7 @@ def cosine_topk_bucketed_blas(
     vec_col: str = "embedding",
     n_bits: int = 4,
     n_sub: int = 1,
+    quant: bool = False,
 ) -> DataFrame:
     """IVF-with-BLAS: the production ANN shape. Candidate pruning from
     ``cosine_topk_bucketed`` (sign-bucket code ≈ IVF cluster id) +
@@ -495,14 +530,24 @@ def cosine_topk_bucketed_blas(
     skewed clusters are exactly the salting problem — n_sub is the
     salt). Recall == single-probe bucketing (qs3) by construction;
     compose with the multi-probe trick (qs5) for boundary recall.
-    Float accumulation order differs from the SQL fold at ulp level,
-    so like qs4 this is a rows-only path; the fold twin (qs3) is the
-    oracle-checked exactness baseline.
+
+    ``quant=False``: raw float64 dgemm — accumulation order differs
+    from the SQL fold at ulp level, rows-only; the fold twin (qs3)
+    is the oracle-checked exactness baseline. ``quant=True``:
+    quantized-exact scoring over JVM-fold unit vectors (sign buckets
+    are unchanged — sign(u_i) == sign(v_i)), hash-verifiable; see
+    ``cosine_topk_blas``.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("bucket", sign_bucket("v", n_bits))
+    if quant:
+        base = _unit_vectors(df, id_col, vec_col).select(
+            "id", F.col("u").alias("v")
+        )
+    else:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+    base = base.withColumn("bucket", sign_bucket("v", n_bits))
     if n_sub > 1:
         base = base.withColumn("sub", F.pmod(F.xxhash64("id"), F.lit(n_sub)))
         packed = base.groupBy("bucket", "sub").agg(
@@ -523,7 +568,7 @@ def cosine_topk_bucketed_blas(
         combos = packed.select(
             F.col("items").alias("q_items"), F.col("items").alias("d_items")
         )
-    return _blas_topk_from_combos(combos, k)
+    return _blas_topk_from_combos(combos, k, quant=quant)
 
 
 # Backwards-compatible name; the driver-collect implementation it

@@ -870,39 +870,121 @@ def qs5_cosine_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("qs4_cosine_topk_blas")  # rows-only: BLAS sum order != SQL fold
+_QA = float(_ASSIGN_QSCALE)
+
+
+@register(
+    "qs4_cosine_topk_blas",
+    # HASH-VERIFIED (r12): scoring is quantized-exact (the qs19b
+    # build discipline applied to SEARCH) — the dgemm computes
+    # integer dots of 2^20-rounded unit vectors, exact in float64
+    # under any accumulation order, and the oracle replays the same
+    # quantized dots. cosine_q = qdot / 2^40, a dyadic rational both
+    # engines represent bit-identically.
+    oracle=f"""
+    WITH unitv AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS u
+      FROM embeddings
+    ),
+    qv AS (
+      SELECT vec_id,
+             list_transform(u, x -> floor(x * {_QA} + 0.5)) AS qu
+      FROM unitv
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.qu, b.qu) / {_QA * _QA} AS cosine_q
+      FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_q,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_q DESC, neighbor_id)::BIGINT AS rank
+    FROM pairs
+    QUALIFY rank <= 5
+    """,
+)
 def qs4_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput ANN path: distributed block-matmul with an Arrow-
     batched NumPy kernel (operators/similarity.py::cosine_topk_blas).
     Fully distributed — packed block table cross-joined with itself,
     one BLAS slab per combo, window merge of partial top-k; the
-    driver never holds vector data. Same top-k as qs2 up to
-    floating-point tie order. No SQL oracle: BLAS accumulation order
-    differs at ulp level from a left fold, so the driver records the
-    rows-only check; qs2 is the exact twin."""
+    driver never holds vector data.
+
+    Graduated from rows-only to HASH-VERIFIED in r12 via
+    quantized-exact scoring (``quant=True``): unit vectors from the
+    JVM fold, rounded at 2^20 in the kernel, scored by a dgemm whose
+    integer dots are exact in float64 (d=64 dot ≤ 2^46 < 2^53) — so
+    the DuckDB oracle replays every score bit-for-bit and the rank
+    order is deterministic. The 2^-20 quantization moves only pairs
+    within ~1e-6 of a rank boundary, identically in every engine;
+    qs2 remains the raw-float exact-fold baseline (agreement pinned
+    in tests/test_similarity.py)."""
     from spotify_pipeline_gcp_spark.operators.similarity import cosine_topk_blas
 
     emb = table(spark, sf_dir, "embeddings")
-    return cosine_topk_blas(emb, k=5)
+    return cosine_topk_blas(emb, k=5, quant=True).withColumnRenamed(
+        "cosine", "cosine_q"
+    )
 
 
-@register("qs6_cosine_topk_ivf_blas")  # rows-only: BLAS sum order != SQL fold
+@register(
+    "qs6_cosine_topk_ivf_blas",
+    # HASH-VERIFIED (r12): same quantized-exact graduation as qs4 —
+    # sign buckets are engine-exact (sign(u_i) == sign(v_i)), and
+    # within-bucket dgemm scores are integer dots the oracle replays.
+    oracle=f"""
+    WITH unitv AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS u
+      FROM embeddings
+    ),
+    qv AS (
+      SELECT vec_id,
+             ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END))::BIGINT AS bucket,
+             list_transform(u, x -> floor(x * {_QA} + 0.5)) AS qu
+      FROM unitv
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.qu, b.qu) / {_QA * _QA} AS cosine_q
+      FROM qv a JOIN qv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_q,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_q DESC, neighbor_id)::BIGINT AS rank
+    FROM pairs
+    QUALIFY rank <= 5
+    """,
+)
 def qs6_cosine_topk_ivf_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production ANN shape: IVF-style candidate pruning (qs3's
     sign-bucket code) fused with the Arrow/NumPy block kernel (qs4's
     throughput) — operators/similarity.py::cosine_topk_bucketed_blas.
     Each bucket packs to one block and scores against itself, so
     candidate generation needs no join at all; FLOPs drop ~2^n_bits
-    vs brute force AND each FLOP runs at BLAS speed. Same pairs as
-    qs3 up to floating-point tie order (asserted in
-    tests/test_similarity.py); rows-only for the same ulp reason as
-    qs4 — qs3 is the oracle-checked fold twin."""
+    vs brute force AND each FLOP runs at BLAS speed.
+
+    Graduated from rows-only to HASH-VERIFIED in r12 (with qs4):
+    quantized-exact within-bucket scoring — the oracle replays the
+    sign buckets (raw-sign, engine-exact) and the integer dots
+    bit-for-bit. qs3 remains the raw-float fold baseline over the
+    same buckets (agreement pinned in tests/test_similarity.py)."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         cosine_topk_bucketed_blas,
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    return cosine_topk_bucketed_blas(emb, k=5, n_bits=4)
+    return cosine_topk_bucketed_blas(
+        emb, k=5, n_bits=4, quant=True
+    ).withColumnRenamed("cosine", "cosine_q")
 
 
 @register("qs8_cosine_topk_ivf_kmeans_blas")  # rows-only: BLAS sum order != SQL fold

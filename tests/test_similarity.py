@@ -93,6 +93,57 @@ def test_blas_partial_topk_merge_exact(spark):
     assert all(n != q for (q, _), n in got.items())
 
 
+def test_blas_quant_scores_are_exact_fixed_point(spark):
+    # The r12 graduation contract (qs4/qs6): every quant-mode score is
+    # qdot / 2^40 with qdot an INTEGER — the property that makes the
+    # dgemm bit-replayable by the DuckDB oracle regardless of
+    # accumulation order. Also: quantized ranking agrees with the
+    # raw-float fold everywhere the cosine gap exceeds the 2^-20
+    # quantization radius (identical pairs here — d=64 random data
+    # has no near-ties at this sample size).
+    from spotify_pipeline_gcp_spark.operators.similarity import _ASSIGN_QSCALE
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(80)
+    q2 = float(_ASSIGN_QSCALE) ** 2
+    quant = cosine_topk_blas(emb, k=3, quant=True).collect()
+    assert len(quant) > 0
+    for r in quant:
+        scaled = r.cosine * q2
+        assert scaled == int(scaled)  # exactly representable integer dot
+    raw = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk(emb, k=3).collect()
+    }
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in quant}
+    assert set(raw) == set(got)
+    for key, (nid, cq) in got.items():
+        assert nid == raw[key][0]
+        assert abs(cq - raw[key][1]) < 5e-5  # 2^-20-scale quantization only
+
+
+def test_bucketed_blas_quant_agrees_with_fold_buckets(spark):
+    # quant=True must not move the sign buckets (sign(u) == sign(v)):
+    # same candidate pairs as the oracle-checked fold twin qs3.
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        cosine_topk_bucketed_blas,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+    fold = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_bucketed(emb, k=3, n_bits=4).collect()
+    }
+    quant = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_bucketed_blas(
+            emb, k=3, n_bits=4, quant=True
+        ).collect()
+    }
+    assert fold == quant
+
+
 def test_multiprobe_recall_at_least_single_probe(spark):
     from spotify_pipeline_gcp_spark.operators.similarity import (
         cosine_topk_multiprobe,
