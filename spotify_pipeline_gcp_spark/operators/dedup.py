@@ -33,8 +33,16 @@ filtered shingle space).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Fat-row slice bound for pair-verify sorts: shingle-set rows average
+# ~1.5 KB (array of ~50 shingles), so 40k rows ≈ 60 MB per sort slice
+# — in-memory for a task's share of executor memory even under full
+# concurrency. See minhash_lsh_pairs.
+_FAT_ROWS_PER_TASK = 40_000
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -518,6 +526,23 @@ def minhash_lsh_pairs(
         sets = sh.groupBy("doc_id").agg(
             F.collect_set("shingle").alias("sh_set")
         )
+    # Slice-bound the pair-scale sort (r12, the qd14 1000x fix class):
+    # sets rows carry whole-document shingle ARRAYS (~1.5 KB each), and
+    # the verify SMJ sorts them per task. At cluster-width partitioning
+    # a 5 M-doc corpus is ~235 MB of fat rows per task — under unified-
+    # memory contention (both join sides + 32 concurrent tasks) each
+    # sorter gets a few MB, spills dozens of files, and the merge
+    # readers' ReadAhead buffers alone can exhaust a 4 g heap (the r11
+    # rung death). Hash-repartitioning the sets by doc_id at a
+    # corpus-scaled count REPLACES the join's own exchange (same key,
+    # so the SMJ reuses it and ReuseExchange still serves both the
+    # doc_a and doc_b sides from ONE shuffle) — no extra pass, every
+    # sort slice bounded at ~60 MB. The count() is metadata-fast on
+    # parquet scans (the same auto-sizing probe the ANN family uses).
+    base_par = df.sparkSession.sparkContext.defaultParallelism
+    want = math.ceil(df.count() / _FAT_ROWS_PER_TASK)
+    if want > base_par:
+        sets = sets.repartition(want, "doc_id")
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"))
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -1044,12 +1069,26 @@ def near_dup_vs_band_store(
         )
         .dropDuplicates()
     )
-    so = stored_sets.select(
+    # Candidate-BOUNDED verification (r12 — the qst5 1000x fix): the
+    # shingle-set tables carry whole-document arrays, and joining the
+    # full corpus-sized store into the pair table shuffled ~10 GB of
+    # fat rows per batch — the measured 4 g executor death at 5 M
+    # docs (r11 rung). Candidates here are O(|micro-batch|) by the
+    # LSH bound, so their DISTINCT IDS broadcast (ids only, 8 B
+    # each), semi-joins prune BOTH set tables scan-side (no fat row
+    # ever shuffles except the ≤|candidates| survivors), and the
+    # three references to `candidates` all read the ONE reused
+    # band-join exchange. Same convention as the ANN serving batch
+    # (qs20): the DELTA is the bounded unit — a corpus-sized batch
+    # must be split upstream.
+    old_ids = candidates.select(F.col("doc_old").alias("doc_id")).dropDuplicates()
+    new_ids = candidates.select(F.col("doc_new").alias("doc_id")).dropDuplicates()
+    so = stored_sets.join(F.broadcast(old_ids), "doc_id", "left_semi").select(
         F.col("doc_id").alias("doc_old"), F.col("sh").alias("sh_o")
     )
-    sn = shingle_sets(df_new, id_col, text_col, n).select(
-        F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_n")
-    )
+    sn = shingle_sets(df_new, id_col, text_col, n).join(
+        F.broadcast(new_ids), "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_n"))
     n_common = F.size(F.array_intersect(F.col("sh_o"), F.col("sh_n")))
     jac = n_common / (F.size("sh_o") + F.size("sh_n") - n_common)
     return (

@@ -34,76 +34,73 @@ REGISTRY: dict[str, QuerySpec] = {}
 # now an explicit list edit: ``_WINDOW_ORDER`` below is applied after
 # module import, so module order no longer determines the window.
 #
-# Round-11 window (r10 verdict item #3 — retire the r8 staleness
-# debt): qd6/qt6 lead (their CODE changed in r10 — simhash translate
-# parity / NULL-gram coalesce — but their last driver row is r9;
-# selfcheck-verified post-change, now recorded), then ALL 41 queries
-# whose LAST driver row is r8 (the cross-round union in VERDICT r10;
-# at r11 they'd be 3 rounds stale), then the queries THIS round's
-# work touches: qs19b (first-ever driver row — the persisted IVFPQ
-# store, HASH-VERIFIED as of r11: its dgemm assignment is
-# quantized-exact, so the oracle replays it), qs25 (the
-# factor1000 crash re-run, r10 verdict item #2), qst7 + qs22b (their
-# shared ensure_ivfm_manifest build routes assignment through the
-# quantized-exact dgemm kernel this round, item #4; oracles drain the
-# SAME manifest state), qst8 (serves the same store family), and
-# qs20/qs29 (1000x rung extension heads, item #7). Run
+# Round-12 window (r11 verdict item #3 — retire the r9 staleness
+# debt): changed-code leads first — qs4/qs6 (graduated this round
+# from rows-only to hash-verified via quantized-exact BLAS scoring;
+# both also sit in the r9-stale tranche) and qst5/qst6/qd14 (the
+# three named r11 1000x failures, re-run after their payload-drop /
+# slice-bound fixes) — then the REMAINING 36 queries whose last
+# driver row is r9 (the cross-round union in VERDICT r11; at r12
+# they'd be 3 rounds stale), then 9 fillers drawn from the r10
+# tranche: ALL of its heavy non-relational members (qd7b/qd9b/qd10,
+# qs9/qs13/qs21/qs22/qs23) plus q47, so the r13 rotation inherits a
+# tranche that is almost entirely cheap relational queries. Run
 # tools/window_check.py after any registration change;
 # tools/selfcheck.py re-verifies the FULL registry every round.
 _WINDOW_ORDER = [
-    # changed-code leads (r10 NOTES rotation plan)
-    "qd6_simhash",
-    "qt6_repetition_filter",
-    # r8-stale breadth — VERDICT r10 "What's missing" #3 (all 41)
-    "q17_json_extract",
-    "q18_complete_year",
-    "q19_distinct_count",
-    "q20_pivot_event_types",
-    "q21_rollup",
-    "q22_regional_revenue",
-    "q50_feature_trend",
-    "q51_genre_affinity",
-    "qst2_streaming_sessionize",
-    "qst4_streaming_stateful_totals",
+    # changed-code leads (r11 verdict items #1/#2/#6)
+    "qs4_cosine_topk_blas",
+    "qs6_cosine_topk_ivf_blas",
     "qst5_streaming_incremental_near_dup",
     "qst6_streaming_export_gate",
-    "qs1_embed_norms",
-    "qs2_cosine_topk",
-    "qs3_cosine_topk_bucketed",
-    "qs5_cosine_topk_multiprobe",
-    "qs7_cosine_topk_ivf_kmeans",
-    "qs8_cosine_topk_ivf_kmeans_blas",
-    "qs10_ann_full_blas",
-    "qs11_cosine_topk_ivf_kmeans_multiprobe",
-    "qs12_embedding_quantize",
-    "qs14_cosine_topk_ivf_kmeans_sized",
-    "qs16_cosine_topk_ivf_sample_trained",
-    "qs17_cosine_topk_imi",
-    "qs24_cosine_topk_imi_multiprobe",
-    "qs26_cosine_topk_imi_blas",
-    "qe1_label_centroids",
-    "qe2_knn_label_vote",
-    "qd9_simhash_pairs",
-    "qt2_quality_score",
-    "qt3_token_stats",
-    "qt4_fingerprint",
-    "qt5_token_bpeish",
-    "qt7_contamination",
-    "qt8_pii_scrub",
-    "qsp2_split_assign",
-    "qsp3_stratified_sample",
-    "qsp4_domain_mixture",
-    "qp4_curriculum_buckets",
-    "qm3_payload_features",
-    "qm4_frame_sample",
-    # touched by this round's verdict items (#1/#2/#4/#7)
-    "qs19b_cosine_topk_ivfpq_store",
-    "qs25_cosine_topk_imi_adc",
-    "qst7_streaming_index_maintenance",
-    "qs22b_ann_index_maintenance_manifest",
-    "qst8_streaming_ann_serving",
-    "qs20_hybrid_rrf",
-    "qs29_imi_recall_audit",
+    "qd14_near_dup_export",
+    # r9-stale breadth — VERDICT r11 "What's missing" #2 (the other 36)
+    "q23_full_outer_join",
+    "q29_window_lag_lead",
+    "q49_grouping_sets",
+    "qd1_dedup_exact_groups",
+    "qd2_dedup_exact_keep",
+    "qd3_ngram_jaccard_pairs",
+    "qd3b_ngram_jaccard_capped",
+    "qd4_minhash_signatures",
+    "qd5_minhash_lsh_pairs",
+    "qd7_embedding_near_dup",
+    "qd8_dedup_components",
+    "qd11_incremental_near_dup",
+    "qd12_keep_best_per_cluster",
+    "qd13_duplicated_spans",
+    "qk1_salted_agg",
+    "qm1_binary_meta",
+    "qm2_image_decode_meta",
+    "qp1_corpus_prep",
+    "qp2_token_shard_packing",
+    "qp3_token_budget_selection",
+    "qp5_export_manifest",
+    "qp6_pack_manifest",
+    "qs15_query_corpus_topk",
+    "qs18_pq_adc_topk",
+    "qs19_cosine_topk_ivfpq",
+    "qs27_cosine_topk_ivfpq_gather",
+    "qs28_cosine_topk_imi_multiprobe_blas",
+    "qsp1_hash_sample",
+    "qsp5_temperature_resample",
+    "qsp6_exact_quota_sample",
+    "qst1_streaming_type_rollup",
+    "qst3_streaming_static_enrich",
+    "qt1_lang_id",
+    "qt9_chunk_windows",
+    "qt10_ngram_lm_score",
+    "qt11_vocab_stats",
+    # r10-tranche fillers: every heavy non-relational member + q47
+    "qd7b_embedding_near_dup_pruned",
+    "qd9b_simhash_pairs_capped",
+    "qd10_semantic_dedup_components",
+    "qs9_filtered_ann",
+    "qs13_cosine_topk_bucketed_sized",
+    "qs21_ann_recall_audit",
+    "qs22_ann_index_maintenance",
+    "qs23_cosine_topk_ivf_blas_sized",
+    "q47_range_join",
 ]
 
 # Pinned-size exactness baselines (r7 verdict item #5): kept

@@ -371,9 +371,17 @@ def run_near_dup_stream(
         num_hashes,
         rows_per_band,
     ).write.mode("overwrite").parquet(bands_path)
-    shingle_sets(corpus_df, id_col, text_col, n).write.mode(
-        "overwrite"
-    ).parquet(sets_path)
+    # sets rows carry whole-document shingle ARRAYS: with the default
+    # 128 MB row groups, every scan task must buffer a full row group
+    # of fat rows (the parquet vectored reader allocates all column-
+    # chunk parts up front) — 32 concurrent tasks of that killed the
+    # 4 g executor at the 5 M-doc rung (r11/qst5) before the verify
+    # join even ran. 16 MB row groups bound the per-task read buffer
+    # at ~1/8th with no read-path cost (the store is scanned once per
+    # batch, sequentially).
+    shingle_sets(corpus_df, id_col, text_col, n).write.option(
+        "parquet.block.size", 16 * 1024 * 1024
+    ).mode("overwrite").parquet(sets_path)
     stored_bands = spark.read.parquet(bands_path)
     stored_sets = spark.read.parquet(sets_path)
 

@@ -260,7 +260,11 @@ def ladder(spark, registry, names, scaled_dir, factor_key, factor):
                 "base_rows": nb,
                 "scaled_rows": ns,
                 "gc_sec": round(g1 - g0, 1),
-                "heap_mb": round(h1 - h0),
+                # clamped at 0: the before/after used-heap delta goes
+                # negative when a GC lands between the probes (r11
+                # recorded qs22b at -740 MB) — a negative delta carries
+                # no signal, only "a collection happened mid-row"
+                "heap_mb": max(0, round(h1 - h0)),
                 "code_cache_mb": round(c1),
                 **extra,
             }
