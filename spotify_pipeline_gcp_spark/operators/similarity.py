@@ -487,9 +487,24 @@ def _blas_topk_from_combos(
                     s = sims[r]
                     if kk < s.shape[0]:
                         top = np.argpartition(-s, kk - 1)[:kk]
+                        # TIE-AWARE boundary (r12): argpartition picks
+                        # by score alone, but the contract tie-break is
+                        # (score desc, neighbor_id) — at an exact score
+                        # tie on the k-boundary it may keep a higher id
+                        # and drop the lower one. Rare for raw floats;
+                        # COMMON for quantized integer scores (exact-
+                        # duplicate vectors collide exactly). Widen the
+                        # selection to every boundary-score column,
+                        # then let the lexsort cut the true top-k.
+                        thresh = s[top].min()
+                        if np.isfinite(thresh):
+                            top = np.concatenate(
+                                (top[s[top] > thresh],
+                                 np.nonzero(s == thresh)[0])
+                            )
                     else:
                         top = np.arange(s.shape[0])
-                    top = top[np.lexsort((d_ids[top], -s[top]))]
+                    top = top[np.lexsort((d_ids[top], -s[top]))][:kk]
                     for j in top:
                         if np.isfinite(s[j]):
                             # quant: qdot / 2^40 — exact (power-of-two
@@ -1464,6 +1479,7 @@ def cosine_topk_kmeans_blas(
     train_df: DataFrame | None = None,
     blas_assign: bool = False,
     cent: DataFrame | None = None,
+    quant: bool = False,
 ) -> DataFrame:
     """Trained IVF at BLAS speed: the production composition. k-means
     cells from ``kmeans_centroids`` provide the candidate pruning
@@ -1473,9 +1489,15 @@ def cosine_topk_kmeans_blas(
     ``cosine_topk_bucketed_blas`` with learned cells instead of sign
     bits. ``n_sub`` sub-splits oversized cells by id-hash (the salt
     for skewed clusters; size so one block is ~64-256 MB at scale).
-    Float accumulation order differs from the SQL fold at ulp level,
-    so this is a rows-only path; ``cosine_topk_kmeans`` is the
-    oracle-checked exactness twin over the SAME cells. ``train_df``
+    With ``quant=False`` float accumulation order differs from the
+    SQL fold at ulp level, so that mode is rows-only;
+    ``cosine_topk_kmeans`` is the oracle-checked exactness twin over
+    the SAME cells. ``quant=True`` scores the packed cells with the
+    QUANTIZED-EXACT kernel (``_blas_topk_from_combos``) — integer
+    dots of 2^20-rounded unit vectors, bit-replayable by the oracle
+    — and with ``blas_assign`` also routes the n·k assignment
+    through the quantized dgemm (``assign_clusters_quant_blas``), so
+    BOTH n^1.5 terms stay matmul-speed AND hash-verified. ``train_df``
     (a digest sample in the production shape — qs23) restricts the
     trainer's input; assignment and search stay full-corpus.
     ``blas_assign`` moves the n·k assignment scoring into the same
@@ -1499,8 +1521,14 @@ def cosine_topk_kmeans_blas(
     if blas_assign:
         import numpy as np
 
+        qscale = float(_ASSIGN_QSCALE)
         rows = sorted((r["cid"], list(r["c"])) for r in cent.collect())
         C = np.asarray([c for _, c in rows], dtype="float64")
+        if quant:
+            # quantized-exact assignment dots (the
+            # assign_clusters_quant_blas arithmetic, keeping u in the
+            # output row for the packed search blocks)
+            C = np.floor(C * qscale + 0.5)
         cids = np.asarray([cid for cid, _ in rows], dtype="int64")
         pts = _unit_vectors(df, id_col, vec_col)
 
@@ -1514,6 +1542,8 @@ def cosine_topk_kmeans_blas(
                 U = _np.stack(
                     [_np.asarray(u, dtype="float64") for u in pdf["u"]]
                 )
+                if quant:
+                    U = _np.floor(U * qscale + 0.5)
                 best = cids[_np.argmax(U @ C.T, axis=1)]
                 yield pd.DataFrame(
                     {"id": pdf["id"], "v": pdf["u"], "bucket": best}
@@ -1546,7 +1576,7 @@ def cosine_topk_kmeans_blas(
         combos = packed.select(
             F.col("items").alias("q_items"), F.col("items").alias("d_items")
         )
-    return _blas_topk_from_combos(combos, k_neighbors)
+    return _blas_topk_from_combos(combos, k_neighbors, quant=quant)
 
 
 
@@ -2463,14 +2493,35 @@ def cosine_topk_kmeans_blas_trained(
     n_clusters: int = 8,
     n_iter: int = 2,
     n_sub: int = 1,
+    quant: bool = False,
 ) -> DataFrame:
-    """End-to-end BLAS trained ANN: the ``kmeans_centroids_blas``
-    trainer (matmul assignment, partial-aggregate updates) feeding
-    the bucket-packed BLAS search — training AND search vectorized,
-    the full-throughput production path. Rows-only like qs8; the
-    all-DataFrame qs7 remains the hash-verified exactness twin.
-    """
+    """End-to-end BLAS trained ANN: a matmul trainer feeding the
+    bucket-packed BLAS search — training AND search vectorized, the
+    full-throughput production path.
+
+    ``quant=False``: the ``kmeans_centroids_blas`` raw-float trainer
+    — rows-only like raw-float qs8 was; the all-DataFrame qs7 is the
+    exactness twin. ``quant=True`` (qs10's graduated r12 shape): the
+    ``kmeans_centroids_quant_on`` trainer — every Lloyd assignment a
+    QUANTIZED dgemm — then quantized dgemm corpus assignment and
+    quantized-exact packed search via ``cosine_topk_kmeans_blas``:
+    the ONLY fully-dgemm pipeline in the family (train + assign +
+    search), and every score an integer the SQL oracle replays, so
+    it is hash-verified end to end."""
     spark = df.sparkSession
+    if quant:
+        pts = _unit_vectors(df, id_col, vec_col)
+        cent = kmeans_centroids_quant_on(pts, k=n_clusters, n_iter=n_iter)
+        return cosine_topk_kmeans_blas(
+            df,
+            k_neighbors=k_neighbors,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_sub=n_sub,
+            blas_assign=True,
+            cent=cent,
+            quant=True,
+        )
     cent_rows = kmeans_centroids_blas(df, id_col, vec_col, k=n_clusters, n_iter=n_iter)
     cent = spark.createDataFrame(cent_rows, "cid long, c array<double>")
     asg = assign_clusters(df, cent, id_col, vec_col).select(
@@ -2509,6 +2560,7 @@ def cosine_topk_imi_multiprobe_blas(
     nprobe_each: int = 2,
     train_df: DataFrame | None = None,
     cents: tuple[DataFrame, DataFrame] | None = None,
+    quant: bool = False,
 ) -> DataFrame:
     """Multiprobe IMI at BLAS throughput — the last cell of the
     recall-knob × kernel matrix: qs24's 2×2 product probe grid (each
@@ -2524,12 +2576,15 @@ def cosine_topk_imi_multiprobe_blas(
     query's ≤nprobe² probed cells are distinct and each database
     point lives in exactly one cell, so a pair arises in at most one
     block — the same uniqueness argument as the fold multiprobe).
-    Float dgemm accumulation differs from the fold at ulp level →
-    rows-only (the qs4/qs6/qs8/qs10/qs23/qs26 convention);
-    ``cosine_topk_imi`` multiprobe (qs24) is the hash-verified twin
-    over the SAME model and probe grid, agreement pytest-pinned.
-    ``cents`` accepts the pre-trained half-quantizers (qs28 passes
-    the memoized shared 'imi:' model)."""
+    With ``quant=False`` the float dgemm accumulation differs from
+    the fold at ulp level → rows-only; ``cosine_topk_imi`` multiprobe
+    (qs24) is the hash-verified twin over the SAME model and probe
+    grid, agreement pytest-pinned. ``quant=True`` (qs28's graduated
+    r12 shape) keeps the FOLD assignment and probe rankings (already
+    oracle-replayed — qs24's chain) and scores the blocks with the
+    QUANTIZED-EXACT kernel, making the query hash-verified. ``cents``
+    accepts the pre-trained half-quantizers (qs28 passes the memoized
+    shared 'imi:' model)."""
     pts = _unit_vectors(df, id_col, vec_col)
     h = _half_dim(df, vec_col)
     if cents is not None:
@@ -2570,7 +2625,7 @@ def cosine_topk_imi_multiprobe_blas(
     combos = q_packed.join(d_packed, ["cid1", "cid2"]).select(
         "q_items", "d_items"
     )
-    return _blas_topk_from_combos(combos, k_neighbors)
+    return _blas_topk_from_combos(combos, k_neighbors, quant=quant)
 
 
 def cosine_topk_imi_blas(
@@ -2583,6 +2638,7 @@ def cosine_topk_imi_blas(
     train_df: DataFrame | None = None,
     blas_assign: bool = False,
     cents: tuple[DataFrame, DataFrame] | None = None,
+    quant: bool = False,
 ) -> DataFrame:
     """The search-sized IMI at BLAS throughput — ``cosine_topk_imi``'s
     model (same half-quantizer trainer, so with the same ``train_df``
@@ -2611,10 +2667,20 @@ def cosine_topk_imi_blas(
     assigners can legitimately disagree — "product cells IDENTICAL
     to the fold" is a data-dependent observation (it holds on the
     test corpora, pinned in tests/test_similarity.py), not an
-    arithmetic guarantee. Pinning it would mean quantizing dots in
-    BOTH assigners, which would perturb ``imi_assign``'s
-    hash-verified oracle consumers — not worth it for a rows-only
-    throughput twin."""
+    arithmetic guarantee.
+
+    ``quant=True`` (requires ``blas_assign`` — qs26's graduated r12
+    shape): half-assignments AND within-cell search score QUANTIZED
+    integer dots — bit-replayable by the SQL oracle under any dgemm
+    accumulation order, so the query is hash-verified end to end;
+    ``imi_assign``'s float fold and its oracle consumers
+    (qs17/qs24/qs25) are untouched."""
+    if quant and not blas_assign:
+        raise ValueError(
+            "quant=True requires blas_assign=True — the quantized "
+            "fold twin is cosine_topk_imi (float, oracle-checked); "
+            "quant exists to make the dgemm route hash-verifiable"
+        )
     pts = _unit_vectors(df, id_col, vec_col)
     h = _half_dim(df, vec_col)
     if cents is not None:
@@ -2633,12 +2699,16 @@ def cosine_topk_imi_blas(
     if blas_assign:
         import numpy as np
 
+        qscale = float(_ASSIGN_QSCALE)
         r1 = sorted((r["cid"], list(r["c"])) for r in cent1.collect())
         r2 = sorted((r["cid"], list(r["c"])) for r in cent2.collect())
         C1 = np.asarray([c for _, c in r1], dtype="float64")
         cids1 = np.asarray([cid for cid, _ in r1], dtype="int64")
         C2 = np.asarray([c for _, c in r2], dtype="float64")
         cids2 = np.asarray([cid for cid, _ in r2], dtype="int64")
+        if quant:
+            C1 = np.floor(C1 * qscale + 0.5)
+            C2 = np.floor(C2 * qscale + 0.5)
 
         def _assign(batches):
             import numpy as _np
@@ -2650,8 +2720,9 @@ def cosine_topk_imi_blas(
                 U = _np.stack(
                     [_np.asarray(u, dtype="float64") for u in pdf["u"]]
                 )
-                b1 = cids1[_np.argmax(U[:, :h] @ C1.T, axis=1)]
-                b2 = cids2[_np.argmax(U[:, h:] @ C2.T, axis=1)]
+                S = _np.floor(U * qscale + 0.5) if quant else U
+                b1 = cids1[_np.argmax(S[:, :h] @ C1.T, axis=1)]
+                b2 = cids2[_np.argmax(S[:, h:] @ C2.T, axis=1)]
                 yield pd.DataFrame(
                     {"id": pdf["id"], "u": pdf["u"], "cid1": b1, "cid2": b2}
                 )
@@ -2670,4 +2741,4 @@ def cosine_topk_imi_blas(
     combos = packed.select(
         F.col("items").alias("q_items"), F.col("items").alias("d_items")
     )
-    return _blas_topk_from_combos(combos, k_neighbors)
+    return _blas_topk_from_combos(combos, k_neighbors, quant=quant)

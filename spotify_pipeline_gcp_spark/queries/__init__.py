@@ -35,22 +35,26 @@ REGISTRY: dict[str, QuerySpec] = {}
 # module import, so module order no longer determines the window.
 #
 # Round-12 window (r11 verdict item #3 — retire the r9 staleness
-# debt): changed-code leads first — qs4/qs6 (graduated this round
-# from rows-only to hash-verified via quantized-exact BLAS scoring;
-# both also sit in the r9-stale tranche) and qst5/qst6/qd14 (the
+# debt): changed-code leads first — ALL SEVEN graduated BLAS twins
+# (qs4/qs6/qs8/qs10/qs23/qs26/qs28: rows-only → hash-verified via
+# quantized-exact scoring this round; their code AND oracles changed,
+# so every one needs a fresh driver row) and qst5/qst6/qd14 (the
 # three named r11 1000x failures, re-run after their payload-drop /
 # slice-bound fixes) — then the REMAINING 36 queries whose last
 # driver row is r9 (the cross-round union in VERDICT r11; at r12
-# they'd be 3 rounds stale), then 9 fillers drawn from the r10
-# tranche: ALL of its heavy non-relational members (qd7b/qd9b/qd10,
-# qs9/qs13/qs21/qs22/qs23) plus q47, so the r13 rotation inherits a
-# tranche that is almost entirely cheap relational queries. Run
-# tools/window_check.py after any registration change;
-# tools/selfcheck.py re-verifies the FULL registry every round.
+# they'd be 3 rounds stale), then fillers drawn from the r10
+# tranche's heavy non-relational members (qd7b/qd9b/qd10, qs9/qs13),
+# so the r13 rotation inherits a tranche that is almost entirely
+# cheap relational queries. Run tools/window_check.py after any
+# registration change; tools/selfcheck.py re-verifies the FULL
+# registry every round.
 _WINDOW_ORDER = [
     # changed-code leads (r11 verdict items #1/#2/#6)
     "qs4_cosine_topk_blas",
     "qs6_cosine_topk_ivf_blas",
+    "qs8_cosine_topk_ivf_kmeans_blas",
+    "qs10_ann_full_blas",
+    "qs26_cosine_topk_imi_blas",
     "qst5_streaming_incremental_near_dup",
     "qst6_streaming_export_gate",
     "qd14_near_dup_export",
@@ -91,16 +95,15 @@ _WINDOW_ORDER = [
     "qt9_chunk_windows",
     "qt10_ngram_lm_score",
     "qt11_vocab_stats",
-    # r10-tranche fillers: every heavy non-relational member + q47
+    # changed-code (graduated BLAS twin from the r10 tranche; qs28,
+    # also graduated, already sits in the r9-stale tranche above)
+    "qs23_cosine_topk_ivf_blas_sized",
+    # r10-tranche fillers: heavy non-relational members
     "qd7b_embedding_near_dup_pruned",
     "qd9b_simhash_pairs_capped",
     "qd10_semantic_dedup_components",
     "qs9_filtered_ann",
     "qs13_cosine_topk_bucketed_sized",
-    "qs21_ann_recall_audit",
-    "qs22_ann_index_maintenance",
-    "qs23_cosine_topk_ivf_blas_sized",
-    "q47_range_join",
 ]
 
 # Pinned-size exactness baselines (r7 verdict item #5): kept

@@ -253,6 +253,9 @@ def _ivf_kmeans_oracle(
     extra_cte: str = "",
     post_u_cte: str = "",
     train_src: str = "u",
+    quant_pairs: bool = False,
+    quant_final: bool = False,
+    quant_iters: bool = False,
 ) -> str:
     """DuckDB replay of the ENTIRE seeded-k-means training + IVF
     search as one finite CTE chain — possible because the operator
@@ -269,7 +272,33 @@ def _ivf_kmeans_oracle(
     ``post_u_cte``/``train_src`` support SAMPLE-trained IVF: a CTE
     defined after ``u`` (it may reference ``u``) becomes the training
     set for init + Lloyd rounds, while final assignment and probing
-    stay over the full ``u``."""
+    stay over the full ``u``.
+
+    ``quant_pairs`` replays the QUANTIZED-EXACT search scoring of the
+    graduated BLAS twins (qs8 and family): pair score = integer dot
+    of 2^20-rounded unit vectors divided by 2^40 (column ``cosine_q``
+    — an exact dyadic double, no 1e-6 display rounding needed).
+    ``quant_final`` additionally replays quantized dots in the final
+    assignment + probe steps (the ``assign_clusters_quant_blas``
+    route the blas_assign+quant engines take); ``quant_iters``
+    extends the same quantized scoring to the per-ITERATION Lloyd
+    assignments (the ``kmeans_centroids_quant_on`` throughput
+    trainer — qs10's fully-dgemm pipeline); with all three off, the
+    chain replays the generic float-fold trainer (qs7 family)."""
+    qa = float(_ASSIGN_QSCALE)
+
+    def _qd(u_expr: str, c_expr: str) -> str:
+        return (
+            f"list_dot_product(list_transform({u_expr}, x -> floor(x * {qa} + 0.5)),"
+            f" list_transform({c_expr}, x -> floor(x * {qa} + 0.5)))"
+        )
+
+    asg_dot = (
+        _qd("p.u", "c.c") if quant_final else "list_dot_product(p.u, c.c)"
+    )
+    iter_dot = (
+        _qd("p.u", "c.c") if quant_iters else "list_dot_product(p.u, c.c)"
+    )
     ctes = ([extra_cte] if extra_cte else []) + [
         """u AS (
       SELECT vec_id,
@@ -295,7 +324,7 @@ def _ivf_kmeans_oracle(
       SELECT vec_id, u, cid FROM (
         SELECT p.vec_id, p.u, c.cid,
                row_number() OVER (PARTITION BY p.vec_id
-                                  ORDER BY list_dot_product(p.u, c.c) DESC, c.cid) AS rnk
+                                  ORDER BY {iter_dot} DESC, c.cid) AS rnk
         FROM {train_src} p CROSS JOIN cent{i} c) t
       WHERE rnk = 1
     )"""
@@ -331,7 +360,7 @@ def _ivf_kmeans_oracle(
       SELECT vec_id, u, cid FROM (
         SELECT p.vec_id, p.u, c.cid,
                row_number() OVER (PARTITION BY p.vec_id
-                                  ORDER BY list_dot_product(p.u, c.c) DESC, c.cid) AS rnk
+                                  ORDER BY {asg_dot} DESC, c.cid) AS rnk
         FROM u p CROSS JOIN cent{n_iter} c) t
       WHERE rnk = 1
     )"""
@@ -344,15 +373,23 @@ def _ivf_kmeans_oracle(
       SELECT vec_id, u, cid FROM (
         SELECT p.vec_id, p.u, c.cid,
                row_number() OVER (PARTITION BY p.vec_id
-                                  ORDER BY list_dot_product(p.u, c.c) DESC, c.cid) AS rnk
+                                  ORDER BY {asg_dot} DESC, c.cid) AS rnk
         FROM u p CROSS JOIN cent{n_iter} c) t
       WHERE rnk <= {nprobe}
     )"""
     )
+    if quant_pairs:
+        score_col = "cosine_q"
+        score_expr = f"{_qd('a.u', 'b.u')} / {qa * qa}"
+    else:
+        score_col = "cosine_r"
+        score_expr = (
+            "floor(list_dot_product(a.u, b.u) * 1000000 + 0.5) / 1000000"
+        )
     ctes.append(
-        """pairs AS (
+        f"""pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             floor(list_dot_product(a.u, b.u) * 1000000 + 0.5) / 1000000 AS cosine_r
+             {score_expr} AS {score_col}
       FROM probes a JOIN asgf b ON a.cid = b.cid AND a.vec_id <> b.vec_id
     )"""
     )
@@ -360,9 +397,9 @@ def _ivf_kmeans_oracle(
         "WITH "
         + ",\n    ".join(ctes)
         + f"""
-    SELECT query_id, neighbor_id, cosine_r,
+    SELECT query_id, neighbor_id, {score_col},
            row_number() OVER (PARTITION BY query_id
-                              ORDER BY cosine_r DESC, neighbor_id)::BIGINT AS rank
+                              ORDER BY {score_col} DESC, neighbor_id)::BIGINT AS rank
     FROM pairs
     QUALIFY rank <= {topk}
     """
@@ -466,7 +503,14 @@ def _imi_half_chain(
     return ctes
 
 
-def _imi_oracle(d: int, n_iter: int, topk: int, nprobe_each: int = 1) -> str:
+def _imi_oracle(
+    d: int,
+    n_iter: int,
+    topk: int,
+    nprobe_each: int = 1,
+    quant_pairs: bool = False,
+    quant_final: bool = False,
+) -> str:
     """DuckDB replay of the ENTIRE two-level IMI pipeline — sizing
     (k_each = ceil(sqrt(n/256))), the digest training sample, both
     half-vector quantizer trainings over it, the full-corpus
@@ -475,7 +519,22 @@ def _imi_oracle(d: int, n_iter: int, topk: int, nprobe_each: int = 1) -> str:
     is engine-portable). ``nprobe_each`` > 1 probes each query's
     top-n cells PER HALF (an n×n product probe grid) while the
     database side stays in its single assigned product cell — the
-    qs11 multiprobe convention lifted to the two-level index."""
+    qs11 multiprobe convention lifted to the two-level index.
+
+    ``quant_final`` replays the final HALF-assignments (and probe
+    rankings) with quantized integer dots — the dgemm assignment
+    route of the graduated BLAS twins; ``quant_pairs`` replays the
+    quantized-exact within-cell search (fixed-point ``cosine_q`` =
+    qdot / 2^40). Training iterations stay float folds (the shared
+    memoized 'imi:' model)."""
+    qa = float(_ASSIGN_QSCALE)
+
+    def _qd(u_expr: str, c_expr: str) -> str:
+        return (
+            f"list_dot_product(list_transform({u_expr}, x -> floor(x * {qa} + 0.5)),"
+            f" list_transform({c_expr}, x -> floor(x * {qa} + 0.5)))"
+        )
+
     h = d // 2
     k = "(SELECT k FROM sizek)"
     ctes = [
@@ -501,8 +560,12 @@ def _imi_oracle(d: int, n_iter: int, topk: int, nprobe_each: int = 1) -> str:
         f"uh1t AS (SELECT vec_id, u[1:{h}] AS u FROM utrain)",
         f"uh2t AS (SELECT vec_id, u[{h + 1}:{d}] AS u FROM utrain)",
     ]
-    ctes += _imi_half_chain("_1", "uh1t", k, n_iter, h, assign_src="uh1")
-    ctes += _imi_half_chain("_2", "uh2t", k, n_iter, h, assign_src="uh2")
+    ctes += _imi_half_chain(
+        "_1", "uh1t", k, n_iter, h, assign_src="uh1", quant_final=quant_final
+    )
+    ctes += _imi_half_chain(
+        "_2", "uh2t", k, n_iter, h, assign_src="uh2", quant_final=quant_final
+    )
     ctes.append(
         """asg AS (
       SELECT a1.vec_id, u.u, a1.cid AS cid1, a2.cid AS cid2
@@ -512,13 +575,16 @@ def _imi_oracle(d: int, n_iter: int, topk: int, nprobe_each: int = 1) -> str:
     )"""
     )
     if nprobe_each > 1:
+        probe_dot = (
+            _qd("p.u", "c.c") if quant_final else "list_dot_product(p.u, c.c)"
+        )
         for sfx, src in (("_1", "uh1"), ("_2", "uh2")):
             ctes.append(
                 f"""probes{sfx} AS (
       SELECT vec_id, cid FROM (
         SELECT p.vec_id, c.cid,
                row_number() OVER (PARTITION BY p.vec_id
-                                  ORDER BY list_dot_product(p.u, c.c) DESC, c.cid) AS rnk
+                                  ORDER BY {probe_dot} DESC, c.cid) AS rnk
         FROM {src} p CROSS JOIN cent{n_iter}{sfx} c) t
       WHERE rnk <= {nprobe_each}
     )"""
@@ -534,10 +600,18 @@ def _imi_oracle(d: int, n_iter: int, topk: int, nprobe_each: int = 1) -> str:
         query_side = "qprod"
     else:
         query_side = "asg"
+    if quant_pairs:
+        score_col = "cosine_q"
+        score_expr = f"{_qd('a.u', 'b.u')} / {qa * qa}"
+    else:
+        score_col = "cosine_r"
+        score_expr = (
+            "floor(list_dot_product(a.u, b.u) * 1000000 + 0.5) / 1000000"
+        )
     ctes.append(
         f"""pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             floor(list_dot_product(a.u, b.u) * 1000000 + 0.5) / 1000000 AS cosine_r
+             {score_expr} AS {score_col}
       FROM {query_side} a JOIN asg b
         ON a.cid1 = b.cid1 AND a.cid2 = b.cid2 AND a.vec_id <> b.vec_id
     )"""
@@ -546,9 +620,9 @@ def _imi_oracle(d: int, n_iter: int, topk: int, nprobe_each: int = 1) -> str:
         "WITH "
         + ",\n    ".join(ctes)
         + f"""
-    SELECT query_id, neighbor_id, cosine_r,
+    SELECT query_id, neighbor_id, {score_col},
            row_number() OVER (PARTITION BY query_id
-                              ORDER BY cosine_r DESC, neighbor_id)::BIGINT AS rank
+                              ORDER BY {score_col} DESC, neighbor_id)::BIGINT AS rank
     FROM pairs
     QUALIFY rank <= {topk}
     """
@@ -987,15 +1061,27 @@ def qs6_cosine_topk_ivf_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("cosine", "cosine_q")
 
 
-@register("qs8_cosine_topk_ivf_kmeans_blas")  # rows-only: BLAS sum order != SQL fold
+@register(
+    "qs8_cosine_topk_ivf_kmeans_blas",
+    # HASH-VERIFIED (r12): qs7's trained cells (float-fold Lloyd chain,
+    # already oracle-replayed) + quantized-exact within-cell dgemm
+    # scoring (the qs4 graduation applied to the trained index).
+    oracle=_ivf_kmeans_oracle(16, 2, 64, 5, quant_pairs=True),
+)
 def qs8_cosine_topk_ivf_kmeans_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained IVF at BLAS speed — k-means cells (qs7's trained
     quantizer) fused with the Arrow/NumPy block kernel (qs4/qs6's
     throughput): each learned cell packs to one block and scores
     against itself, no candidate join. The end state of the ANN
-    ladder: learned pruning AND vectorized scoring. Rows-only for
-    the same ulp reason as qs4/qs6; qs7 is the oracle-checked fold
-    twin over the SAME cells (agreement asserted in
+    ladder: learned pruning AND vectorized scoring.
+
+    Graduated from rows-only to HASH-VERIFIED in r12: training and
+    cell assignment are qs7's float-fold steps (the oracle replays
+    that chain verbatim), and the within-cell search runs the
+    quantized-exact kernel (integer dots of 2^20-rounded unit
+    vectors — exact in float64 under any dgemm accumulation order,
+    emitted as fixed-point ``cosine_q``). qs7 remains the raw-float
+    fold twin over the SAME cells (agreement asserted in
     tests/test_similarity.py)."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         cosine_topk_kmeans_blas,
@@ -1004,7 +1090,9 @@ def qs8_cosine_topk_ivf_kmeans_blas(spark: SparkSession, sf_dir: str) -> DataFra
 
     ensure_package_on_workers(spark)
     emb = table(spark, sf_dir, "embeddings")
-    return cosine_topk_kmeans_blas(emb, k_neighbors=5, n_clusters=16, n_iter=2)
+    return cosine_topk_kmeans_blas(
+        emb, k_neighbors=5, n_clusters=16, n_iter=2, quant=True
+    ).withColumnRenamed("cosine", "cosine_q")
 
 
 @register(
@@ -1181,15 +1269,29 @@ def qs12_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("qs10_ann_full_blas")  # rows-only: BLAS training + search
+@register(
+    "qs10_ann_full_blas",
+    # HASH-VERIFIED (r12): the whole pipeline — Lloyd iterations,
+    # corpus assignment, AND search — scores quantized integer dots a
+    # dgemm computes bit-identically to this replay.
+    oracle=_ivf_kmeans_oracle(
+        16, 2, 64, 5, quant_pairs=True, quant_final=True, quant_iters=True
+    ),
+)
 def qs10_ann_full_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full-throughput trained ANN: k-means trained with matmul
-    assignment + per-partition partial-sum updates (the MLlib KMeans
-    shape — one mapInPandas pass per round, driver combines O(k·d)
-    model state), searching with the bucket-packed BLAS kernel.
-    Training AND search vectorized end-to-end; qs7 is the
-    hash-verified all-DataFrame twin, qs8 the half-step (exact
-    trainer + BLAS search).
+    """The full-throughput trained ANN: every stage a matmul — the
+    quantized-throughput trainer (``kmeans_centroids_quant_on``: each
+    Lloyd assignment one dgemm pass, driver combines O(k·d) model
+    state), quantized dgemm corpus assignment, and the bucket-packed
+    quantized-exact BLAS search. qs7 is the float-fold all-DataFrame
+    twin, qs8 the half-step (fold trainer + dgemm search).
+
+    Graduated from rows-only to HASH-VERIFIED in r12: with every
+    score an integer dot of 2^20-rounded unit vectors (exact in
+    float64 under any accumulation order), the SQL oracle replays
+    training, assignment, and search bit-for-bit — the qs19b store
+    discipline now covering the ONLY fully-dgemm pipeline in the
+    family.
 
     PINNED 16 cells like qs7/qs8 — a kernel demonstration, not the
     scale shape: within-cell search grows n²/16 (the r9 ladder
@@ -1204,7 +1306,9 @@ def qs10_ann_full_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_package_on_workers(spark)
     emb = table(spark, sf_dir, "embeddings")
-    return cosine_topk_kmeans_blas_trained(emb, k_neighbors=5, n_clusters=16, n_iter=2)
+    return cosine_topk_kmeans_blas_trained(
+        emb, k_neighbors=5, n_clusters=16, n_iter=2, quant=True
+    ).withColumnRenamed("cosine", "cosine_q")
 
 
 
@@ -3268,25 +3372,56 @@ def read_pq_store(spark: SparkSession, path: str):
     return books, codes, meta
 
 
-@register("qs23_cosine_topk_ivf_blas_sized")  # rows-only: BLAS kernel
+@register(
+    "qs23_cosine_topk_ivf_blas_sized",
+    # HASH-VERIFIED (r12): qs16's oracle chain (float-fold sample
+    # training, replayed verbatim) with the final corpus assignment
+    # and the pair scoring in quantized-exact form — the two stages
+    # qs23 runs as dgemm.
+    oracle=_ivf_kmeans_oracle(
+        "(SELECT k FROM sizek)",
+        2,
+        64,
+        5,
+        extra_cte=(
+            "sizen AS (SELECT count(*)::BIGINT AS n FROM embeddings),\n"
+            "    sizek AS (SELECT greatest(1, CAST(floor(sqrt(n)) AS BIGINT))"
+            " AS k FROM sizen)"
+        ),
+        post_u_cte=_sample_cte(
+            "utrain",
+            "u",
+            "ivf:",
+            "least(1.0, (32.0 * (SELECT k FROM sizek))"
+            " / (SELECT n FROM sizen))",
+        ),
+        train_src="utrain",
+        quant_pairs=True,
+        quant_final=True,
+    ),
+)
 def qs23_cosine_topk_ivf_blas_sized(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The sized sample-trained IVF at BLAS throughput — qs16's model
-    (same k = floor(√n), same 'ivf:' digest training sample, so the
-    trained cells are IDENTICAL) searched with the bucket-packed
-    Arrow/NumPy matmul kernel instead of the codegen fold: each cell
-    packs into one block that scores against itself — no candidate
-    join at all. The self-join search over √n cells is intrinsically
-    n·√n MULTIPLY-ADDS; what the kernel changes is the constant —
-    dgemm runs the same flops ~50-100× faster than row-expression
-    folds, which is the difference between the model's math cost and
-    the engine's expression overhead at 100× scale (measured:
-    SCALE_BENCH_r07). Float accumulation order differs from the SQL
-    fold at ulp level, so this is a rows-only driver row (the
-    qs4/qs6/qs8/qs10 convention); qs16 is the hash-verified exactness
-    twin over the SAME cells, and the sized fold/BLAS agreement is
-    pinned in tests/test_similarity.py."""
+    (same k = floor(√n), same 'ivf:' digest training sample, same
+    memoized float-fold trainer) with BOTH n^1.5 terms — corpus
+    assignment and within-cell search — in the quantized-exact dgemm
+    kernel: each cell packs into one block that scores against
+    itself — no candidate join at all. The self-join search over √n
+    cells is intrinsically n·√n MULTIPLY-ADDS; what the kernel
+    changes is the constant — dgemm runs the same flops ~50-100×
+    faster than row-expression folds, which is the difference between
+    the model's math cost and the engine's expression overhead at
+    100× scale (measured: SCALE_BENCH_r07).
+
+    Graduated from rows-only to HASH-VERIFIED in r12: assignment and
+    search scores are integer dots of 2^20-rounded unit vectors —
+    exact in float64 under any dgemm accumulation order — and the
+    oracle replays the training chain, the quantized assignment, and
+    the quantized fixed-point ``cosine_q`` bit-for-bit. qs16 remains
+    the float-fold twin over the same trained model; the sized
+    fold/BLAS agreement is pinned in tests/test_similarity.py."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         cosine_topk_kmeans_blas,
         kmeans_centroids,
@@ -3313,7 +3448,8 @@ def qs23_cosine_topk_ivf_blas_sized(
         n_iter=2,
         blas_assign=True,
         cent=cent,
-    )
+        quant=True,
+    ).withColumnRenamed("cosine", "cosine_q")
 
 
 @register(
@@ -3638,21 +3774,32 @@ def qs25_cosine_topk_imi_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("qs26_cosine_topk_imi_blas")  # rows-only: BLAS kernel
+@register(
+    "qs26_cosine_topk_imi_blas",
+    # HASH-VERIFIED (r12): qs17's trained half-quantizers (float-fold
+    # sample training, replayed verbatim) + quantized final
+    # half-assignments + quantized within-cell dgemm search.
+    oracle=_imi_oracle(64, 2, 5, quant_pairs=True, quant_final=True),
+)
 def qs26_cosine_topk_imi_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The search-sized IMI at BLAS throughput (see
     ``operators/similarity.py::cosine_topk_imi_blas``) — qs17's model
     (same k_each = ceil(√(n/256)) sizing, same 'imi:' digest training
-    sample, so the trained product cells are IDENTICAL) searched by
-    packing each ~256-vector product cell into one block and scoring
-    it against itself in a single dgemm. This completes the BLAS-twin
-    matrix: sign buckets have qs4/qs6, the √n-cell IVF has qs23, and
-    the LINEAR-search index family — the one the decision table
-    routes all-corpus self-joins to — now has its throughput shape
-    too. Search stays ~256·n multiply-adds; only the constant moves.
-    Float accumulation order differs from the fold at ulp level →
-    rows-only driver row; qs17 is the hash-verified exactness twin
-    over the SAME cells (pair/rank agreement pytest-pinned)."""
+    sample, same memoized trainer) searched by packing each
+    ~256-vector product cell into one block and scoring it against
+    itself in a single dgemm. This completes the BLAS-twin matrix:
+    sign buckets have qs4/qs6, the √n-cell IVF has qs23, and the
+    LINEAR-search index family — the one the decision table routes
+    all-corpus self-joins to — has its throughput shape too. Search
+    stays ~256·n multiply-adds; only the constant moves.
+
+    Graduated from rows-only to HASH-VERIFIED in r12: the corpus
+    half-assignments and the within-cell search score quantized
+    integer dots (exact in float64 under any dgemm accumulation
+    order, fixed-point ``cosine_q``), and the oracle replays sizing,
+    sampling, training, assignment, and search end to end. qs17
+    remains the float-fold twin over the same trained model
+    (pair/rank agreement pytest-pinned)."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         _unit_vectors,
         cosine_topk_imi_blas,
@@ -3685,10 +3832,17 @@ def qs26_cosine_topk_imi_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iter=2,
         blas_assign=True,
         cents=cents,
-    )
+        quant=True,
+    ).withColumnRenamed("cosine", "cosine_q")
 
 
-@register("qs28_cosine_topk_imi_multiprobe_blas")  # rows-only: BLAS kernel
+@register(
+    "qs28_cosine_topk_imi_multiprobe_blas",
+    # HASH-VERIFIED (r12): qs24's chain — float-fold training,
+    # assignment, and probe ranking, all already replayed — with the
+    # block search in quantized-exact form (the one dgemm stage).
+    oracle=_imi_oracle(64, 2, 5, nprobe_each=2, quant_pairs=True),
+)
 def qs28_cosine_topk_imi_multiprobe_blas(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3696,14 +3850,18 @@ def qs28_cosine_topk_imi_multiprobe_blas(
     .py::cosine_topk_imi_multiprobe_blas``) — qs24's recall knob (the
     2×2 product probe grid over the linear search-sized index) at
     qs26's dgemm constant, completing the recall-knob × kernel
-    matrix: every trained index family now has a hash-verified fold
-    form AND a BLAS throughput twin at BOTH probe settings. Same
-    memoized 'imi:' model as qs17/qs24/qs25/qs26 (identical trained
-    cells), asymmetric per-cell blocks (assigned members vs probe
-    members), per-block partial top-k merged under one global
-    per-query window. Float kernel → rows-only driver row; qs24 is
-    the hash-verified twin over the SAME model and probe grid —
-    pair/rank agreement pytest-pinned."""
+    matrix: every trained index family has a float fold form AND a
+    BLAS throughput twin at BOTH probe settings. Same memoized 'imi:'
+    model as qs17/qs24/qs25/qs26 (identical trained cells — the fold
+    assignment/probes are unchanged here), asymmetric per-cell blocks
+    (assigned members vs probe members), per-block partial top-k
+    merged under one global per-query window.
+
+    Graduated from rows-only to HASH-VERIFIED in r12: assignment and
+    probe ranking stay the float folds qs24's oracle replays, and the
+    block scoring is quantized-exact (fixed-point ``cosine_q``), so
+    the whole query hashes against the oracle. qs24 agreement stays
+    pytest-pinned."""
     from spotify_pipeline_gcp_spark.operators.similarity import (
         _unit_vectors,
         cosine_topk_imi_multiprobe_blas,
@@ -3734,7 +3892,8 @@ def qs28_cosine_topk_imi_multiprobe_blas(
         n_iter=2,
         nprobe_each=2,
         cents=cents,
-    )
+        quant=True,
+    ).withColumnRenamed("cosine", "cosine_q")
 
 
 @register("qs27_cosine_topk_ivfpq_gather", oracle=_ivfpq_oracle(64, 4, 16, 2, 5))
