@@ -315,6 +315,7 @@ def export_gate(
     min_tokens: int = 10,
     max_dup3_ratio: float = 0.2,
     contamination_n: int = 4,
+    bounded_batch: bool = False,
 ) -> DataFrame:
     """The per-document EXPORT policy, shared verbatim by the batch
     manifest (``corpus_export_manifest``) and the streaming gate
@@ -337,7 +338,20 @@ def export_gate(
     predicate on the scan; dedup is one digest aggregate + semi join
     (the only corpus payload shuffle); the stored-digest anti-join
     and the gram join never shuffle the corpus (digest store keyed,
-    bench grams broadcast)."""
+    bench grams broadcast).
+
+    ``bounded_batch=True`` (the STREAMING gate's shape — r12, the
+    qst6 1000× fix): the dedup verdict is computed on a SKINNY
+    (id, digest) projection — digest-keyed agg + semi + stored-digest
+    anti-join, all id/digest-width shuffles — and the winning ids
+    BROADCAST back onto the fat rows, so document text never enters
+    any exchange (a 2.5 M-doc micro-batch's two text-width columns
+    shuffling by join key is the measured 4 g shuffle-write death;
+    micro-batch plans also run without AQE). The broadcast is
+    O(|accepted batch|) ids — bounded by the micro-batch convention
+    (split a corpus-sized batch upstream). The default (batch qp5)
+    keeps the shuffle form: its input is the whole corpus, which must
+    never be broadcast."""
 
     def grams(n: int) -> Column:
         pat = rf"(?:^|(?<= ))(?=((\S+ ){{{n - 1}}}\S+))"
@@ -356,14 +370,30 @@ def export_gate(
     quality = staged.where(
         (F.col("n_tokens") >= min_tokens) & (dup3 <= F.lit(max_dup3_ratio))
     ).withColumn("_digest", F.md5(F.col(text_col)))
-    keep = quality.groupBy("_digest").agg(F.min(id_col).alias(id_col))
-    deduped = quality.join(keep, [id_col, "_digest"], "left_semi")
-    if stored_digests is not None:
-        deduped = deduped.join(
-            stored_digests,
-            deduped["_digest"] == stored_digests["digest"],
-            "left_anti",
+    if bounded_batch:
+        # skinny verdict + broadcast join-back: no text-width column
+        # ever shuffles (see docstring). min-per-digest ids are
+        # unique, so the final semi join needs only the id key.
+        skinny = quality.select(F.col(id_col), "_digest")
+        keep = skinny.groupBy("_digest").agg(F.min(id_col).alias(id_col))
+        if stored_digests is not None:
+            keep = keep.join(
+                stored_digests,
+                keep["_digest"] == stored_digests["digest"],
+                "left_anti",
+            )
+        deduped = quality.join(
+            F.broadcast(keep.select(id_col)), id_col, "left_semi"
         )
+    else:
+        keep = quality.groupBy("_digest").agg(F.min(id_col).alias(id_col))
+        deduped = quality.join(keep, [id_col, "_digest"], "left_semi")
+        if stored_digests is not None:
+            deduped = deduped.join(
+                stored_digests,
+                deduped["_digest"] == stored_digests["digest"],
+                "left_anti",
+            )
     survivor_grams = deduped.select(
         F.col(id_col),
         F.explode(F.array_distinct(grams(contamination_n))).alias("gram"),

@@ -515,6 +515,11 @@ def streaming_export_gate(
                 min_tokens=min_tokens,
                 max_dup3_ratio=max_dup3_ratio,
                 contamination_n=contamination_n,
+                # skinny dedup verdict + broadcast join-back: the
+                # micro-batch's text never shuffles (r12 — the
+                # remaining 1000x shuffle-write OOM after r11's
+                # project-before-persist fix)
+                bounded_batch=True,
             )
             # project BEFORE persist: export_gate returns every input
             # column plus _norm — caching two text-width columns of a

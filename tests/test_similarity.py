@@ -93,6 +93,38 @@ def test_blas_partial_topk_merge_exact(spark):
     assert all(n != q for (q, _), n in got.items())
 
 
+def test_blas_topk_boundary_ties_break_by_id(spark):
+    # CONSTRUCTED boundary tie (r12): vectors 10/11/12 are exact
+    # duplicates, so for query 1 they all score the same quantized
+    # dot. With k=2 the boundary falls INSIDE the tie group — the
+    # kernel must keep the LOWEST neighbor ids (10, 11), which the
+    # naive argpartition-by-score selection gets wrong whenever the
+    # partition happens to keep a higher id. Also asserted on the
+    # raw-float kernel: exact duplicates tie there too.
+    dup = [1.0, 2.0, 3.0, 4.0]
+    rows = [
+        (1, [4.0, 3.0, 2.0, 1.0]),
+        (10, dup),
+        (11, dup),
+        (12, dup),
+        # far-away filler so the block is bigger than k
+        (20, [-1.0, -2.0, -3.0, -4.0]),
+        (21, [-4.0, -3.0, -2.0, -1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for quant in (False, True):
+        got = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in cosine_topk_blas(
+                emb, k=2, n_blocks=1, quant=quant
+            ).collect()
+        }
+        assert got[(1, 1)] == 10 and got[(1, 2)] == 11, (quant, got)
+        # the tie group members rank each other ahead of everyone
+        assert got[(10, 1)] == 11 and got[(10, 2)] == 12, (quant, got)
+        assert got[(11, 1)] == 10 and got[(11, 2)] == 12, (quant, got)
+
+
 def test_blas_quant_scores_are_exact_fixed_point(spark):
     # The r12 graduation contract (qs4/qs6): every quant-mode score is
     # qdot / 2^40 with qdot an INTEGER — the property that makes the
