@@ -341,17 +341,21 @@ def export_gate(
     bench grams broadcast).
 
     ``bounded_batch=True`` (the STREAMING gate's shape — r12, the
-    qst6 1000× fix): the dedup verdict is computed on a SKINNY
-    (id, digest) projection — digest-keyed agg + semi + stored-digest
-    anti-join, all id/digest-width shuffles — and the winning ids
-    BROADCAST back onto the fat rows, so document text never enters
-    any exchange (a 2.5 M-doc micro-batch's two text-width columns
-    shuffling by join key is the measured 4 g shuffle-write death;
-    micro-batch plans also run without AQE). The broadcast is
-    O(|accepted batch|) ids — bounded by the micro-batch convention
-    (split a corpus-sized batch upstream). The default (batch qp5)
-    keeps the shuffle form: its input is the whole corpus, which must
-    never be broadcast."""
+    qst6 1000× fix): the whole dedup verdict runs on SKINNY
+    projections — digest-keyed agg + stored-digest anti-join + an
+    id-keyed semi join whose BOTH sides are id/digest-width — so
+    document text never enters any exchange (a 2.5 M-doc
+    micro-batch's two text-width columns shuffling by join key is
+    the measured 4 g shuffle-write death, and broadcasting the
+    winner-id set back is no escape — a 2.5 M-id hashed relation
+    does not build in 4 g either; micro-batch plans also run
+    without AQE). Contamination grams explode from the pre-dedup
+    quality superset (row-local off the scan); the final anti-join
+    intersects with winners, so the output is identical. In this
+    mode the returned survivors carry every input column EXCEPT
+    ``text_col`` (and no ``_norm``) — the accounting columns
+    (n_tokens, _digest) are row-local and kept. The default (batch
+    qp5) keeps the shuffle form and full-column contract."""
 
     def grams(n: int) -> Column:
         pat = rf"(?:^|(?<= ))(?=((\S+ ){{{n - 1}}}\S+))"
@@ -371,20 +375,34 @@ def export_gate(
         (F.col("n_tokens") >= min_tokens) & (dup3 <= F.lit(max_dup3_ratio))
     ).withColumn("_digest", F.md5(F.col(text_col)))
     if bounded_batch:
-        # skinny verdict + broadcast join-back: no text-width column
-        # ever shuffles (see docstring). min-per-digest ids are
-        # unique, so the final semi join needs only the id key.
-        skinny = quality.select(F.col(id_col), "_digest")
-        keep = skinny.groupBy("_digest").agg(F.min(id_col).alias(id_col))
+        # ALL-SKINNY verdict: every exchange in the dedup decision is
+        # id/digest-width (see docstring — the fat semi-join was the
+        # 1000x shuffle-write death, and a broadcast join-back of the
+        # winner ids failed next: a 2.5 M-id hashed relation will not
+        # build in a 4 g heap mid-batch). The text column exists only
+        # in row-local pipelines: the winners table carries every
+        # NON-text input column + (n_tokens, _digest) straight off
+        # the scan, and contamination grams explode from the quality
+        # superset BEFORE dedup (row-local) — scoring a few loser
+        # docs' grams is harmless because the final anti-join
+        # intersects with winners anyway, and it keeps the gram
+        # stream out of any verdict join. Bounded mode therefore
+        # returns survivors WITHOUT text_col/_norm.
+        carry = [c for c in df.columns if c != text_col]
+        skinny = quality.select(*carry, "n_tokens", "_digest")
+        keep = (
+            skinny.select(F.col(id_col), "_digest")
+            .groupBy("_digest")
+            .agg(F.min(id_col).alias(id_col))
+        )
         if stored_digests is not None:
             keep = keep.join(
                 stored_digests,
                 keep["_digest"] == stored_digests["digest"],
                 "left_anti",
             )
-        deduped = quality.join(
-            F.broadcast(keep.select(id_col)), id_col, "left_semi"
-        )
+        deduped = skinny.join(keep.select(id_col), id_col, "left_semi")
+        gram_src = quality
     else:
         keep = quality.groupBy("_digest").agg(F.min(id_col).alias(id_col))
         deduped = quality.join(keep, [id_col, "_digest"], "left_semi")
@@ -394,7 +412,8 @@ def export_gate(
                 deduped["_digest"] == stored_digests["digest"],
                 "left_anti",
             )
-    survivor_grams = deduped.select(
+        gram_src = deduped
+    survivor_grams = gram_src.select(
         F.col(id_col),
         F.explode(F.array_distinct(grams(contamination_n))).alias("gram"),
     )
