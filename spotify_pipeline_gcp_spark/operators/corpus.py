@@ -395,13 +395,19 @@ def export_gate(
             .groupBy("_digest")
             .agg(F.min(id_col).alias(id_col))
         )
+        # merge hints throughout: micro-batch plans run WITHOUT AQE,
+        # and the static planner's size estimates under-guess these
+        # batch-sized aggregates/scans — an auto-broadcast of a
+        # 2.5 M-row verdict table is the measured 4 g death.
         if stored_digests is not None:
             keep = keep.join(
-                stored_digests,
+                stored_digests.hint("merge"),
                 keep["_digest"] == stored_digests["digest"],
                 "left_anti",
             )
-        deduped = skinny.join(keep.select(id_col), id_col, "left_semi")
+        deduped = skinny.join(
+            keep.select(id_col).hint("merge"), id_col, "left_semi"
+        )
         gram_src = quality
     else:
         keep = quality.groupBy("_digest").agg(F.min(id_col).alias(id_col))
@@ -430,17 +436,35 @@ def export_gate(
     # the corpus-sized gram stream still never shuffles (the
     # prefilter is a broadcast join; only candidates reach the
     # exact-verify exchange).
-    bench_fp = bench_grams.select(F.xxhash64("gram").alias("_gh")).distinct()
-    cand = (
-        survivor_grams.withColumn("_gh", F.xxhash64("gram"))
-        .join(F.broadcast(bench_fp), "_gh")
-        .drop("_gh")
-    )
-    contaminated = (
-        cand.join(bench_grams, "gram", "left_semi")
-        .select(id_col)
-        .distinct()
-    )
+    if bounded_batch:
+        # One exact merge semi join instead of the fingerprint
+        # broadcast (r12): the bench-gram fingerprint relation grows
+        # with the held-out set (~12.5 M longs at the 5 M-doc rung —
+        # "Not enough memory to build and broadcast" in 4 g while the
+        # micro-batch pipeline holds its own working set). Bounded
+        # mode's gram stream is BATCH-sized by convention, so the
+        # skinny (id, gram) shuffle is disk-bounded and safe — the
+        # trade is one exchange the unbounded path's broadcast
+        # avoids, bought back by dropping the prefilter pass.
+        contaminated = (
+            survivor_grams.join(bench_grams.hint("merge"), "gram", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+    else:
+        bench_fp = bench_grams.select(
+            F.xxhash64("gram").alias("_gh")
+        ).distinct()
+        cand = (
+            survivor_grams.withColumn("_gh", F.xxhash64("gram"))
+            .join(F.broadcast(bench_fp), "_gh")
+            .drop("_gh")
+        )
+        contaminated = (
+            cand.join(bench_grams, "gram", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
     return deduped.join(contaminated, id_col, "left_anti")
 
 

@@ -347,8 +347,23 @@ def _minhash_wide_sliced(sh: DataFrame, num_hashes: int) -> DataFrame:
     digest into independent words is the standard trick in minwise-
     hashing implementations; a 2^-32 per-hash collision rate is
     immaterial for LSH candidate generation because verification is
-    exact. Smaller values also shrink min-agg state (8-char vs
-    32-char string compares)."""
+    exact.
+
+    The min-aggregation runs on the NUMERIC value of each slice
+    (r12): ``min(string)`` has no mutable fixed-width buffer, so
+    Spark plans it as ObjectHashAggregate, which falls back to
+    SORT-BASED aggregation after a 128-key in-memory threshold — at
+    the 5 M-doc rung that sort held the whole 260 M-row exploded
+    shingle stream per task and OOM'd the 4 g executor (the r11/r12
+    qd14 failure stack: UTF8String reads inside
+    SortBasedAggregationIterator). ``min(long)`` is a plain
+    HashAggregate — whole-stage codegen, compact map-side combine,
+    no sort. Fixed-length lowercase hex orders EXACTLY like its
+    numeric value, so converting slice→long for the min and
+    long→8-char hex after the final aggregate reproduces the
+    original string signatures bit-for-bit — every downstream
+    consumer (band keys, stored band tables, the DuckDB oracles'
+    ``min(substr(md5(...)))`` replay) is unchanged."""
     n_md5 = (num_hashes + 3) // 4
     salts = [chr(ord("a") + j) for j in range(n_md5)]
     hashed = sh.select(
@@ -361,12 +376,21 @@ def _minhash_wide_sliced(sh: DataFrame, num_hashes: int) -> DataFrame:
     sliced = hashed.select(
         "doc_id",
         *[
-            F.substring(f"_m{i // 4}", (i % 4) * 8 + 1, 8).alias(f"h{i}")
+            F.conv(
+                F.substring(f"_m{i // 4}", (i % 4) * 8 + 1, 8), 16, 10
+            ).cast("long").alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )
-    return sliced.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    agg = sliced.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"n{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "doc_id",
+        *[
+            F.lpad(F.lower(F.hex(F.col(f"n{i}"))), 8, "0").alias(f"m{i}")
+            for i in range(num_hashes)
+        ],
     )
 
 
