@@ -28,6 +28,11 @@ from spotify_pipeline_gcp_spark.queries.compat import (
     table,
 )
 
+# Corpus size above which qd14 spools its pair table to parquet
+# between generation and closure (splits the two memory peaks — see
+# qd14's inline comment). Below it the spool is pure fixed overhead.
+_SPOOL_MIN_DOCS = 100_000
+
 # Shared oracle CTEs for word-3-shingles (1-based list indexing).
 SHINGLE_CTE = """
   tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -961,24 +966,30 @@ def qd14_near_dup_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_per_band=2, threshold=0.8,
     ).select("doc_a", "doc_b")
     # Stage the pair table to parquet between generation and closure
-    # (r12): dedup_components' first eager localCheckpoint otherwise
-    # materializes the WHOLE LSH plan inside one stage pipeline —
-    # the fat-array verify sort, the DISK_ONLY block writes, and the
-    # label dedup's shuffle all peak together, which is what flaked
-    # the 5 M-doc rung in 4 g even after the verify sort was
-    # slice-bounded. A parquet spool splits the peaks: pair
+    # at scale (r12): dedup_components' first eager localCheckpoint
+    # otherwise materializes the WHOLE LSH plan inside one stage
+    # pipeline — the fat-array verify sort, the DISK_ONLY block
+    # writes, and the label dedup's shuffle all peak together, which
+    # is what flaked the 5 M-doc rung in 4 g even after the verify
+    # sort was slice-bounded. A parquet spool splits the peaks: pair
     # generation runs alone (qd5's proven 1000x shape, streaming
     # write), and the closure iterates over the skinny re-read table
     # (qd8's proven shape). This is also what a production run does —
     # the pair table is the natural durable intermediate of a dedup
-    # DAG. The spool is id-pairs only (~16 B/row); the temp dir lives
-    # until process exit.
-    import os
-    import tempfile
+    # DAG. The spool is id-pairs only (~16 B/row); the temp dir
+    # lives until process exit. Below the threshold the plan feeds
+    # the closure directly — the spool's extra job/write round-trip
+    # is pure fixed overhead on toy corpora (measured +10 s at
+    # sf0.1), and the peak it splits does not exist there.
+    if docs.count() > _SPOOL_MIN_DOCS:
+        import os
+        import tempfile
 
-    spool = os.path.join(tempfile.mkdtemp(prefix="near_dup_export_"), "pairs")
-    pairs.write.parquet(spool)
-    pairs = spark.read.schema("doc_a long, doc_b long").parquet(spool)
+        spool = os.path.join(
+            tempfile.mkdtemp(prefix="near_dup_export_"), "pairs"
+        )
+        pairs.write.parquet(spool)
+        pairs = spark.read.schema("doc_a long, doc_b long").parquet(spool)
     comp = dedup_components(pairs)
     scores = quality_score(docs, "doc_id", "text").select(
         "doc_id", fixed(F.col("quality"), 6).alias("q_r")

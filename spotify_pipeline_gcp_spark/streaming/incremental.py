@@ -413,6 +413,16 @@ def run_near_dup_stream(
 
 EXPORT_GATE_SCHEMA = "doc_id long, source string, n_tokens long"
 
+# Micro-batch size above which the export gate switches to the
+# bounded-working-set plan (all-skinny dedup verdict, merge-hinted
+# joins, exact-join contamination — see operators/corpus.py::
+# export_gate). Below it the classic broadcast plan wins: the
+# bounded plan's extra exchanges are ~20 s of fixed stage overhead
+# on toy batches (measured at sf0.1), while the broadcasts it
+# avoids only become a hazard when the batch approaches executor
+# memory (the 2.5 M-doc rung death).
+_BOUNDED_BATCH_DOCS = 100_000
+
 
 def streaming_export_gate(
     spark: SparkSession,
@@ -515,11 +525,12 @@ def streaming_export_gate(
                 min_tokens=min_tokens,
                 max_dup3_ratio=max_dup3_ratio,
                 contamination_n=contamination_n,
-                # skinny dedup verdict + broadcast join-back: the
-                # micro-batch's text never shuffles (r12 — the
-                # remaining 1000x shuffle-write OOM after r11's
-                # project-before-persist fix)
-                bounded_batch=True,
+                # size-routed plan (r12): big batches take the
+                # bounded-working-set form — no text column in any
+                # exchange, no batch-scaled broadcasts (the 1000x
+                # failure catalog); small batches keep the cheaper
+                # broadcast form. The count is one columnar pass.
+                bounded_batch=batch_df.count() > _BOUNDED_BATCH_DOCS,
             )
             # project BEFORE persist: export_gate returns every input
             # column plus _norm — caching two text-width columns of a
