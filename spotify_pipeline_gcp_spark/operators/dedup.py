@@ -327,7 +327,16 @@ def _minhash_wide(sh: DataFrame, num_hashes: int) -> DataFrame:
     and reduced by k ``min`` aggregates in ONE groupBy — no seed
     explode (which would multiply shuffle volume k×) and no second
     aggregation. The md5 count is identical; the rows moved are not.
-    """
+
+    SCALE WARNING (r12): these are ``min(string)`` aggregates over
+    full 32-char digests — no mutable fixed-width buffer, so Spark
+    plans ObjectHashAggregate and falls back to SORT-BASED
+    aggregation at its 128-key threshold, sorting the whole exploded
+    shingle stream per task (the measured 5 M-doc 4 g OOM class).
+    128-bit values don't fit a long, so this family cannot take the
+    hex→long round-trip that fixed ``_minhash_wide_sliced`` — keep
+    this variant for bounded inputs; the sliced family is the
+    at-scale default everywhere in the registry."""
     hashed = sh.select(
         "doc_id",
         *[
