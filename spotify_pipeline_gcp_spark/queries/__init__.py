@@ -34,76 +34,73 @@ REGISTRY: dict[str, QuerySpec] = {}
 # now an explicit list edit: ``_WINDOW_ORDER`` below is applied after
 # module import, so module order no longer determines the window.
 #
-# Round-12 window (r11 verdict item #3 — retire the r9 staleness
-# debt): changed-code leads first — ALL SEVEN graduated BLAS twins
-# (qs4/qs6/qs8/qs10/qs23/qs26/qs28: rows-only → hash-verified via
-# quantized-exact scoring this round; their code AND oracles changed,
-# so every one needs a fresh driver row) and qst5/qst6/qd14 (the
-# three named r11 1000x failures, re-run after their payload-drop /
-# slice-bound fixes) — then the REMAINING 36 queries whose last
-# driver row is r9 (the cross-round union in VERDICT r11; at r12
-# they'd be 3 rounds stale), then fillers drawn from the r10
-# tranche's heavy non-relational members (qd7b/qd9b/qd10, qs9/qs13),
-# so the r13 rotation inherits a tranche that is almost entirely
-# cheap relational queries. Run tools/window_check.py after any
-# registration change; tools/selfcheck.py re-verifies the FULL
-# registry every round.
+# Round-13 window (r12 verdict item #1 — retire the r10 staleness
+# debt before it becomes the project's first >2-round breach):
+# changed-code leads first — the SEVEN queries whose code changes
+# this round (qd5/qd14: lazy count-probe + spool cleanup in
+# ``minhash_lsh_pairs``; qd8/qd10/qd12/qd14: the closure loop in
+# ``dedup_components``; qst5: the documented max-batch bound in
+# ``run_near_dup_stream``; qst6: the bounded-gate duplicate-doc_id
+# contract in ``export_gate``) — then ALL 43 queries whose last
+# driver row is r10 (the cross-round union in VERDICT r12 "What's
+# missing" #1; at r13 they'd be 3 rounds stale). 7 + 43 = exactly 50.
+# The 45 r11-latest queries are 2 rounds stale after this round —
+# still inside policy — and form the r14 tranche. Run
+# tools/window_check.py after any registration change;
+# tools/selfcheck.py re-verifies the FULL registry every round.
 _WINDOW_ORDER = [
-    # changed-code leads (r11 verdict items #1/#2/#6)
-    "qs4_cosine_topk_blas",
-    "qs6_cosine_topk_ivf_blas",
-    "qs8_cosine_topk_ivf_kmeans_blas",
-    "qs10_ann_full_blas",
-    "qs26_cosine_topk_imi_blas",
+    # changed-code leads (r12 verdict items #2/#5/#6/#7 + ADVICE)
+    "qd5_minhash_lsh_pairs",
+    "qd8_dedup_components",
+    "qd10_semantic_dedup_components",
+    "qd12_keep_best_per_cluster",
+    "qd14_near_dup_export",
     "qst5_streaming_incremental_near_dup",
     "qst6_streaming_export_gate",
-    "qd14_near_dup_export",
-    # r9-stale breadth — VERDICT r11 "What's missing" #2 (the other 36)
-    "q23_full_outer_join",
-    "q29_window_lag_lead",
-    "q49_grouping_sets",
-    "qd1_dedup_exact_groups",
-    "qd2_dedup_exact_keep",
-    "qd3_ngram_jaccard_pairs",
-    "qd3b_ngram_jaccard_capped",
-    "qd4_minhash_signatures",
-    "qd5_minhash_lsh_pairs",
-    "qd7_embedding_near_dup",
-    "qd8_dedup_components",
-    "qd11_incremental_near_dup",
-    "qd12_keep_best_per_cluster",
-    "qd13_duplicated_spans",
-    "qk1_salted_agg",
-    "qm1_binary_meta",
-    "qm2_image_decode_meta",
-    "qp1_corpus_prep",
-    "qp2_token_shard_packing",
-    "qp3_token_budget_selection",
-    "qp5_export_manifest",
-    "qp6_pack_manifest",
-    "qs15_query_corpus_topk",
-    "qs18_pq_adc_topk",
-    "qs19_cosine_topk_ivfpq",
-    "qs27_cosine_topk_ivfpq_gather",
-    "qs28_cosine_topk_imi_multiprobe_blas",
-    "qsp1_hash_sample",
-    "qsp5_temperature_resample",
-    "qsp6_exact_quota_sample",
-    "qst1_streaming_type_rollup",
-    "qst3_streaming_static_enrich",
-    "qt1_lang_id",
-    "qt9_chunk_windows",
-    "qt10_ngram_lm_score",
-    "qt11_vocab_stats",
-    # changed-code (graduated BLAS twin from the r10 tranche; qs28,
-    # also graduated, already sits in the r9-stale tranche above)
-    "qs23_cosine_topk_ivf_blas_sized",
-    # r10-tranche fillers: heavy non-relational members
-    "qd7b_embedding_near_dup_pruned",
-    "qd9b_simhash_pairs_capped",
-    "qd10_semantic_dedup_components",
-    "qs9_filtered_ann",
-    "qs13_cosine_topk_bucketed_sized",
+    # r10-stale breadth — VERDICT r12 "What's missing" #1 (all 43)
+    "q00_flagship_pipeline",
+    "q01_project_derived",
+    "q02_filter_isin",
+    "q03_explode_tokens",
+    "q04_bag_collect",
+    "q05_bag_join",
+    "q06_delta_anti_join",
+    "q07_distinct",
+    "q08_pricing_summary",
+    "q09_top_orders",
+    "q10_segment_revenue_topn",
+    "q11_window_topk",
+    "q12_window_running",
+    "q13_union_distinct",
+    "q14_semi_join",
+    "q15_date_trunc_daily",
+    "q16_date_format_monthly",
+    "q24_cross_join",
+    "q25_except",
+    "q26_intersect",
+    "q27_string_funcs",
+    "q28_null_handling",
+    "q30_sessionize",
+    "q31_asof_last_click",
+    "q32_scalar_subquery",
+    "q33_conditional_agg",
+    "q34_array_agg_ops",
+    "q35_exact_percentiles",
+    "q36_approx_aggregates",
+    "q37_unpivot",
+    "q38_map_ops",
+    "q39_date_arith",
+    "q40_json_bag",
+    "q41_big_orders_having",
+    "q42_above_group_avg",
+    "q43_ratio_metric",
+    "q44_flagship_partition_ready",
+    "q45_cube",
+    "q46_range_frame",
+    "q47_range_join",
+    "q48_rank_battery",
+    "qs21_ann_recall_audit",
+    "qs22_ann_index_maintenance",
 ]
 
 # Pinned-size exactness baselines (r7 verdict item #5): kept
