@@ -405,8 +405,15 @@ def export_gate(
                 keep["_digest"] == stored_digests["digest"],
                 "left_anti",
             )
+        # Semi join on BOTH (id, _digest) — the same winner-pair key
+        # the default plan uses (r13): an id-only key silently kept
+        # every row carrying a winner id when an id repeats within a
+        # batch with different texts. The digest column is the same
+        # skinny width class as the id, so the exchange stays
+        # id/digest-width; test_corpus pins bounded == default
+        # survivors including the duplicate-id case.
         deduped = skinny.join(
-            keep.select(id_col).hint("merge"), id_col, "left_semi"
+            keep.hint("merge"), [id_col, "_digest"], "left_semi"
         )
         gram_src = quality
     else:

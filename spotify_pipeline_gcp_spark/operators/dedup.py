@@ -403,6 +403,14 @@ def _minhash_wide_sliced(sh: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+# Bounded-inputs-only contract for the ``salted`` hash family: its
+# ``min(string)`` aggregates degrade to SORT-BASED aggregation (the
+# ObjectHashAggregate 128-key fallback), sorting the whole exploded
+# shingle stream per task — the measured 5 M-doc 4 g OOM class. The
+# guard bound is deliberately far below the measured death point.
+_SALTED_MAX_DOCS = 100_000
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -411,6 +419,7 @@ def minhash_signatures(
     num_hashes: int = 8,
     _shingles: DataFrame | None = None,
     hash_family: str = "sliced",
+    salted_max_docs: int = _SALTED_MAX_DOCS,
 ) -> DataFrame:
     """MinHash signatures: (doc_id, seed, minhash) — one row per seed.
 
@@ -433,6 +442,23 @@ def minhash_signatures(
     if hash_family == "sliced":
         wide = _minhash_wide_sliced(sh, num_hashes)
     elif hash_family == "salted":
+        # Enforce the documented bounded-inputs-only contract (r13):
+        # the salted family's min(string) aggregates sort-fallback on
+        # large exploded shingle streams (see _SALTED_MAX_DOCS). One
+        # eager count on the input frame is acceptable here precisely
+        # BECAUSE the family is for small corpora; raise the bound
+        # explicitly if the heap budget has been verified.
+        n_rows = df.count()
+        if n_rows > salted_max_docs:
+            raise ValueError(
+                f"hash_family='salted' is bounded-inputs-only: got "
+                f"{n_rows} docs > salted_max_docs={salted_max_docs}. Its "
+                "min(string) aggregates degrade to sort-based aggregation "
+                "(per-task sort of the exploded shingle stream — the "
+                "measured multi-million-doc OOM class). Use the default "
+                "'sliced' family at scale, or raise salted_max_docs after "
+                "verifying the heap budget."
+            )
         wide = _minhash_wide(sh, num_hashes)
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
@@ -480,6 +506,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH banding + exact verification.
 
@@ -570,10 +597,15 @@ def minhash_lsh_pairs(
     # corpus-scaled count REPLACES the join's own exchange (same key,
     # so the SMJ reuses it and ReuseExchange still serves both the
     # doc_a and doc_b sides from ONE shuffle) — no extra pass, every
-    # sort slice bounded at ~60 MB. The count() is metadata-fast on
-    # parquet scans (the same auto-sizing probe the ANN family uses).
+    # sort slice bounded at ~60 MB. Callers that already know the
+    # corpus size pass ``n_docs`` and skip the probe entirely (r13,
+    # qd14's spool decision counts the same frame); otherwise the
+    # count() is metadata-fast on bare parquet scans (the same
+    # auto-sizing probe the ANN family uses) but RECOMPUTES the
+    # upstream plan on derived/filtered frames — pass the hint there.
     base_par = df.sparkSession.sparkContext.defaultParallelism
-    want = math.ceil(df.count() / _FAT_ROWS_PER_TASK)
+    rows = df.count() if n_docs is None else n_docs
+    want = math.ceil(rows / _FAT_ROWS_PER_TASK)
     if want > base_par:
         sets = sets.repartition(want, "doc_id")
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"))

@@ -961,9 +961,11 @@ def qd14_near_dup_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_pipeline_gcp_spark.queries.compat import fixed
 
     docs = table(spark, sf_dir, "documents")
+    n_corpus = docs.count()  # metadata-fast; shared by the pair
+    # generator's slice-bound sizing and the spool routing below
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=8,
-        rows_per_band=2, threshold=0.8,
+        rows_per_band=2, threshold=0.8, n_docs=n_corpus,
     ).select("doc_a", "doc_b")
     # Stage the pair table to parquet between generation and closure
     # at scale (r12): dedup_components' first eager localCheckpoint
@@ -976,21 +978,38 @@ def qd14_near_dup_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write), and the closure iterates over the skinny re-read table
     # (qd8's proven shape). This is also what a production run does —
     # the pair table is the natural durable intermediate of a dedup
-    # DAG. The spool is id-pairs only (~16 B/row); the temp dir
-    # lives until process exit. Below the threshold the plan feeds
+    # DAG. The spool is id-pairs only (~16 B/row) and is DELETED as
+    # soon as the closure materializes (r13 — dedup_components runs
+    # its loop eagerly and checkpoints the final label table, so
+    # nothing references the spool afterwards; mkdtemp dirs are NOT
+    # cleaned at process exit, and repeated large runs were leaking
+    # pair tables into /tmp). The spool base honors
+    # SPARK_GRAFT_SCRATCH for deployments where driver and executors
+    # need a SHARED filesystem (the driver-local tempdir default is a
+    # local-mode convenience). Below the threshold the plan feeds
     # the closure directly — the spool's extra job/write round-trip
     # is pure fixed overhead on toy corpora (measured +10 s at
     # sf0.1), and the peak it splits does not exist there.
-    if docs.count() > _SPOOL_MIN_DOCS:
+    if n_corpus > _SPOOL_MIN_DOCS:
         import os
+        import shutil
         import tempfile
 
-        spool = os.path.join(
-            tempfile.mkdtemp(prefix="near_dup_export_"), "pairs"
+        spool_dir = tempfile.mkdtemp(
+            prefix="near_dup_export_",
+            dir=os.environ.get("SPARK_GRAFT_SCRATCH"),
         )
-        pairs.write.parquet(spool)
-        pairs = spark.read.schema("doc_a long, doc_b long").parquet(spool)
-    comp = dedup_components(pairs)
+        try:
+            spool = os.path.join(spool_dir, "pairs")
+            pairs.write.parquet(spool)
+            spooled = spark.read.schema(
+                "doc_a long, doc_b long"
+            ).parquet(spool)
+            comp = dedup_components(spooled)
+        finally:
+            shutil.rmtree(spool_dir, ignore_errors=True)
+    else:
+        comp = dedup_components(pairs)
     scores = quality_score(docs, "doc_id", "text").select(
         "doc_id", fixed(F.col("quality"), 6).alias("q_r")
     )

@@ -172,6 +172,71 @@ def test_curriculum_buckets_boundaries(spark):
     assert "Window" not in plan
 
 
+def test_export_gate_bounded_batch_matches_default(spark):
+    """The bounded (streaming, all-skinny) gate plan must reach the
+    same verdict as the default plan — including when a doc_id
+    repeats within a batch with DIFFERENT texts (the winner-pair key
+    must be (id, digest), not id alone), and when a stored digest
+    knocks out a would-be winner. Bounded mode drops text/_norm from
+    the survivor contract, so the comparison is on ids + accounting
+    columns."""
+    from spotify_pipeline_gcp_spark.operators.corpus import export_gate
+
+    good = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    other = "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+    corpus = spark.createDataFrame(
+        [
+            (1, good, "a"),
+            (2, good, "a"),            # exact dup of 1 -> dropped
+            (3, other, "a"),           # distinct content, kept
+            # doc_id repeats with DIFFERENT texts: only the (3, other)
+            # winner pair may survive under id 3; this third row's
+            # digest loses to doc 1 (min id for `good` is 1), so an
+            # id-only verdict key would wrongly keep it
+            (3, good, "a"),
+            (4, "short", "a"),         # 1 token -> quality-dropped
+            (5, good.upper(), "b"),    # stored digest -> dropped
+            (6, "held out quiz question " + other, "b"),  # contaminated
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame(
+        [("held out quiz question set",)], "text string"
+    ).select(
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.trim(F.regexp_replace("text", r"\s+", " ")),
+                    F.lit(r"(?:^|(?<= ))(?=((\S+ ){3}\S+))"),
+                    1,
+                )
+            )
+        ).alias("gram")
+    )
+    stored = spark.createDataFrame(
+        [(good.upper(),)], "text string"
+    ).select(F.md5("text").alias("digest"))
+
+    def survivors(bounded: bool):
+        out = export_gate(
+            corpus, bench, "doc_id", "text",
+            stored_digests=stored, min_tokens=10, bounded_batch=bounded,
+        )
+        return {
+            (r.doc_id, r._digest, r.n_tokens, r.source)
+            for r in out.select(
+                "doc_id", "_digest", "n_tokens", "source"
+            ).collect()
+        }
+
+    default = survivors(False)
+    bounded = survivors(True)
+    assert bounded == default
+    assert {r[0] for r in default} == {1, 3}
+    # exactly ONE row for id 3 — the (3, other) winner pair
+    assert sum(1 for r in default if r[0] == 3) == 1
+
+
 def test_corpus_export_manifest_gates(spark):
     """Each gate drops exactly its target: short docs, repetitive
     docs, exact duplicates (higher id), and benchmark-contaminated
