@@ -280,41 +280,81 @@ def ngram_jaccard_pairs(
             .select("doc_id", F.explode_outer("sh").alias("shingle"))
             .repartition(F.col("shingle"))
         )
-    if max_shingle_df is not None:
-        hot = (
-            ex.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        # NO broadcast hint: on low-entropy corpora the hot set is
-        # itself corpus-sized (r10 measured millions of over-cap
-        # shingles at the 1000x point — a driver-side broadcast build
-        # failed in 4 g). Both sides already share ex's shingle
-        # partitioning (groupBy preserves it), so the anti-join is
-        # co-partitioned with no extra exchange; AQE still broadcasts
-        # when the hot set is genuinely small.
-        ex = ex.join(hot, "shingle", "left_anti")
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Group-local pair generation instead of a posting-list self-join
+    # (r13): the self-join shape made the capped posting list a
+    # MULTI-consumer subplan (hot-shingle count, anti-join, two join
+    # sides, the per-doc size aggregate), and column pruning gives
+    # the consumers canonically DIFFERENT exchanges — at the 5 M-doc
+    # rung the scan→shingle→explode map chain ran THREE times (~70 s
+    # each) and the sizes path re-ran the anti-join twice more (the
+    # measured qd8/qd12 260 s profile: >90% pair generation, ~5%
+    # closure). Instead, ONE WindowExec pass over the one posting
+    # exchange attaches each shingle's full inverted list
+    # (``collect_list over (partition by shingle)`` — the window
+    # buffers one group at a time with spill, so a hot shingle's
+    # array never multiplies across an agg hash map), the stop-
+    # shingle cap becomes ``size(docs) <= max_df`` on the same row,
+    # and one representative row per group (the row whose doc_id
+    # leads its own docs array) explodes BOTH the ordered pairs AND
+    # one singleton row per posting (doc_b NULL) — so a single
+    # downstream count yields pair co-occurrence counts and per-doc
+    # FILTERED set sizes together. One heavy map chain, one posting
+    # exchange + sort, one skinny pair exchange. Jaccard values, the
+    # filtered shingle space, and the (doc_a < doc_b) contract are
+    # bit-identical to the join shape (the DuckDB oracles replay
+    # unchanged; pair order is normalized by VALUE comparison and
+    # counts are order-insensitive, so the window's nondeterministic
+    # intra-group order cannot leak into the result).
+    from pyspark.sql import Window
+
+    id_type = dict(ex.dtypes)["doc_id"]
+    w = Window.partitionBy("shingle")
+    aug = ex.where(F.col("shingle").isNotNull()).withColumn(
+        "docs", F.collect_list("doc_id").over(w)
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    keep_group = (
+        F.size("docs") <= F.lit(max_shingle_df)
+        if max_shingle_df is not None
+        else F.lit(True)
+    )
+    one = aug.where(keep_group & (F.col("doc_id") == F.col("docs")[0]))
+    pair_rows = F.expr(
+        "concat("
+        "  flatten(transform(docs, a -> "
+        "    filter(transform(docs, b -> "
+        "      if(a < b, struct(a AS doc_a, b AS doc_b), null)), "
+        "      p -> p IS NOT NULL))), "
+        f" transform(docs, d -> struct(d AS doc_a, "
+        f"   cast(null AS {id_type}) AS doc_b)))"
+    )
+    agg = (
+        one.select(F.explode(pair_rows).alias("pr"))
+        .select("pr.doc_a", "pr.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Attach the per-doc sizes with two WINDOWS over the (small) pair
+    # aggregate instead of two self-joins: a join-based assembly makes
+    # `agg` a three-consumer subplan, and the isnull/isnotnull filters
+    # push BELOW the aggregate — canonically different exchanges, so
+    # the whole 250 M-row window chain re-executes per consumer (the
+    # residual 2x in the first r13 profile). Keyed windows keep it at
+    # ONE consumer: partitioning by coalesce(doc_b, doc_a) co-locates
+    # every pair (·, b) with b's singleton size row, and partitioning
+    # by doc_a co-locates (a, ·) with a's — two sorts of a
+    # pairs+docs-sized table (skinny, |pairs|+|docs| rows) against a
+    # full re-run of the posting chain.
+    size_of_group = F.max(
+        F.when(F.col("doc_b").isNull(), F.col("c"))
+    )
+    w_b = Window.partitionBy(F.coalesce(F.col("doc_b"), F.col("doc_a")))
+    w_a = Window.partitionBy(F.col("doc_a"))
+    sized = agg.withColumn("nb", size_of_group.over(w_b)).withColumn(
+        "na", size_of_group.over(w_a)
+    )
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        sized.where(F.col("doc_b").isNotNull())
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

@@ -141,13 +141,20 @@ def test_ivf_kmeans_search_reuses_assignment(spark):
     assert "ReusedExchange" in plan, "assignment subplan computed twice"
 
 
-def test_capped_jaccard_hot_filter_is_anti_join(spark):
-    # the stop-shingle cap compiles to a distributed anti join against
-    # the (tiny) hot-shingle aggregate, not a collected IN-list
+def test_capped_jaccard_single_scan_window_cap(spark):
+    # r13 shape: the stop-shingle cap is a size predicate on the
+    # window-collected inverted list — the whole pair generator reads
+    # the corpus through ONE scan + ONE posting exchange (the r12
+    # self-join shape re-ran the scan→shingle map chain three times
+    # under column pruning), and no anti-join or IN-list exists
     from spotify_pipeline_gcp_spark.plans.inspect import formatted_plan
 
     plan = formatted_plan(_q(spark, "qd3b_ngram_jaccard_capped"))
-    assert "LeftAnti" in plan
+    # one scan NODE == one "Location: InMemoryFileIndex" detail entry
+    # (the bare node name appears twice per scan: tree + detail)
+    assert plan.count("InMemoryFileIndex") == 1, plan
+    assert "Window" in plan
+    assert "LeftAnti" not in plan
 
 
 def test_stratified_sample_zero_shuffle(spark):
