@@ -36,12 +36,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 #
 # Round-13 window (r12 verdict item #1 — retire the r10 staleness
 # debt before it becomes the project's first >2-round breach):
-# changed-code leads first — the SEVEN queries whose code changes
-# this round (qd5/qd14: lazy count-probe + spool cleanup in
-# ``minhash_lsh_pairs``; qd8/qd10/qd12/qd14: the closure loop in
-# ``dedup_components``; qst5: the documented max-batch bound in
-# ``run_near_dup_stream``; qst6: the bounded-gate duplicate-doc_id
-# contract in ``export_gate``) — then ALL 43 queries whose last
+# changed-code leads first — the SEVEN queries whose code changed
+# this round (qd3b/qd8/qd12: the single-pass window rewrite of
+# ``ngram_jaccard_pairs``' capped path; qd5/qd14: the n_docs
+# count-probe hint + spool cleanup around ``minhash_lsh_pairs``;
+# qst6: the bounded-gate (id, digest) verdict key in ``export_gate``;
+# qst5: safety seat — its chain shares the minhash/store operators
+# whose signatures changed) — then ALL 43 queries whose last
 # driver row is r10 (the cross-round union in VERDICT r12 "What's
 # missing" #1; at r13 they'd be 3 rounds stale). 7 + 43 = exactly 50.
 # The 45 r11-latest queries are 2 rounds stale after this round —
@@ -49,10 +50,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 # tools/window_check.py after any registration change;
 # tools/selfcheck.py re-verifies the FULL registry every round.
 _WINDOW_ORDER = [
-    # changed-code leads (r12 verdict items #2/#5/#6/#7 + ADVICE)
+    # changed-code leads (r12 verdict items #2/#6/#7 + ADVICE)
+    "qd3b_ngram_jaccard_capped",
     "qd5_minhash_lsh_pairs",
     "qd8_dedup_components",
-    "qd10_semantic_dedup_components",
     "qd12_keep_best_per_cluster",
     "qd14_near_dup_export",
     "qst5_streaming_incremental_near_dup",
