@@ -8,8 +8,16 @@ where one exists). Each is oracle-checkable in ANSI SQL.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Slice bound for the bigram-instance sorts in ngram_lm_score: ~50
+# transition rows per document at ~40 B each, so 20k docs ≈ 1 M rows
+# ≈ 40 MB per sort slice — in-memory for a task's share of executor
+# memory even under full concurrency.
+_BIGRAM_DOCS_PER_TASK = 20_000
 
 # Minimal per-language stopword lists (public, standard function words).
 STOPWORDS: dict[str, list[str]] = {
@@ -388,6 +396,22 @@ def ngram_lm_score(
             )
         ).alias("bg"),
     ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # Slice-bound the instance table on the join key (r13 — the qd14
+    # 1000x fix class): the instances->probs SMJ sorts the whole
+    # transition stream (~50 bigram rows per document, two strings
+    # each), and at the 5 M-doc rung 32 concurrent task sorters each
+    # holding ~8 M fat rows while the shuffle writer claims the same
+    # execution memory died with UNABLE_TO_ACQUIRE_MEMORY inside
+    # growPointerArray. A corpus-scaled hash repartition on the join
+    # key REPLACES the join's own exchange (ENSURE_REQUIREMENTS picks
+    # it up on the left side; the Zipf-compressed probs side gets the
+    # matching small exchange), bounding every sort slice; below the
+    # default parallelism the knob is a no-op, so toy scales keep
+    # their plan. The count() probe is metadata-fast on parquet scans.
+    base_par = df.sparkSession.sparkContext.defaultParallelism
+    want = math.ceil(df.count() / _BIGRAM_DOCS_PER_TASK)
+    if want > base_par:
+        inst = inst.repartition(want, "w1", "w2")
     c2 = inst.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("n_bi")
     )
