@@ -348,7 +348,15 @@ def run_near_dup_stream(
     the accumulated pairs. Factored out of
     ``streaming_incremental_near_dup`` so tests can drive a genuinely
     multi-batch delta (``maxFilesPerTrigger=1`` over a multi-file
-    directory) against the same machinery."""
+    directory) against the same machinery.
+
+    Measured batch headroom (r13, SCALE_BENCH_r13.json): against a
+    multi-million-doc corpus store in a 4 g executor heap, a 1.25 M-
+    doc micro-batch runs at 111 s with GC 13% of wall, and a probed
+    2.5 M-doc batch (``probes.qst5_batch2x``) at 119 s with GC 7% —
+    so batches up to ~2.5 M docs are DEMONSTRATED at the terminal
+    rung; beyond that, split the delta upstream (the micro-batch is
+    the bounded unit — qs20's serving-batch convention)."""
     import os
     import tempfile
 
