@@ -64,6 +64,71 @@ def test_minhash_identical_signatures(spark):
     assert len(by_doc[1]) == 4
 
 
+def test_capped_jaccard_matches_brute_force(spark):
+    """The single-pass window plan (r13) must reproduce the
+    from-first-principles capped Jaccard on a frame with planted
+    structure: exact dups, a near dup, a disjoint doc, and a
+    boilerplate shingle shared by everyone that the df cap drops."""
+    boiler = "copyright footer text"
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta " + boiler),
+        (2, "alpha beta gamma delta epsilon zeta " + boiler),
+        (3, "alpha beta gamma delta epsilon eta " + boiler),
+        (4, "one two three four five six " + boiler),
+        (5, "seven eight nine ten eleven twelve " + boiler),
+        (6, "thirteen fourteen fifteen sixteen " + boiler),
+    ]
+    cap = 4
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.0, max_shingle_df=cap
+        ).collect()
+    }
+
+    # brute force in Python over the SAME filtered shingle space
+    def sh3(text):
+        t = text.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    sets = {d: sh3(t) for d, t in docs}
+    from collections import Counter
+
+    dfreq = Counter(s for v in sets.values() for s in v)
+    kept = {d: {s for s in v if dfreq[s] <= cap} for d, v in sets.items()}
+    want = {}
+    ids = sorted(kept)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(kept[a] & kept[b])
+            if inter:
+                want[(a, b)] = inter / len(kept[a] | kept[b])
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12, (k, got[k], v)
+
+
+def test_capped_jaccard_string_ids(spark):
+    """The group-local pair explode casts a NULL to the id type; it
+    must stay type-generic (string ids order lexicographically in the
+    a < b pair normalization)."""
+    df = spark.createDataFrame(
+        [
+            ("docB", "the quick brown fox jumps over the lazy dog"),
+            ("docA", "the quick brown fox jumps over the lazy dog"),
+            ("docC", "utterly unrelated words in this one here now"),
+        ],
+        "doc_id string, text string",
+    )
+    pairs = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=10
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in pairs] == [
+        ("docA", "docB", 1.0)
+    ]
+
+
 def test_minhash_salted_bounded_inputs_guard(spark):
     """The ``salted`` hash family is bounded-inputs-only (its
     min(string) aggregates sort-fallback on large exploded shingle
