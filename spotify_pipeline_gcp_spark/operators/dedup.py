@@ -258,20 +258,14 @@ def ngram_jaccard_pairs(
         return common.select(
             "doc_a", "doc_b", jac.alias("jaccard")
         ).where(F.col("jaccard") >= threshold)
-    # Capped / injected-postings shape (r10 rewrite — the previous
-    # form OOM'd the 1000x rung): per-doc distinct shingles come
-    # ROW-LOCALLY from shingle_sets (the corpus-wide dropDuplicates
-    # shuffle of 500M string rows is gone), and ONE explicit
-    # hash-repartition on the shingle feeds every consumer — the
-    # hot-shingle count, the anti-join, and both self-join sides — so
-    # the document-frequency aggregate runs POST-exchange with
-    # partition-local maps (~vocab/partitions entries) instead of a
-    # map-side partial over each task's ~all-distinct shingle stream
-    # fighting the shuffle sorter for the same execution memory (the
-    # measured UNABLE_TO_ACQUIRE_MEMORY failure shape). The hot set is
-    # tiny by construction (only over-cap shingles) and broadcast, so
-    # the anti-join preserves the shared partitioning and the pair
-    # join re-reads the one exchange.
+    # Capped / injected-postings shape: per-doc distinct shingles
+    # come ROW-LOCALLY from shingle_sets (the corpus-wide
+    # dropDuplicates shuffle of 500M string rows went in r10), and
+    # ONE explicit hash-repartition on the shingle feeds the
+    # window-based group pass below, so nothing aggregates map-side
+    # over each task's ~all-distinct shingle stream while fighting
+    # the shuffle sorter for execution memory (the r10
+    # UNABLE_TO_ACQUIRE_MEMORY failure shape).
     if _shingles is not None:
         ex = _shingles.repartition(F.col("shingle"))
     else:
