@@ -306,6 +306,17 @@ def bench_gram_table(
     )
 
 
+# Document-count threshold above which export-policy plans should use
+# export_gate's bounded (all-skinny) shape: below it the classic
+# broadcast plan wins (the bounded plan's extra exchanges are ~20 s of
+# fixed stage overhead on toy batches, measured at sf0.1), while the
+# broadcasts it avoids only become a hazard when the input approaches
+# executor memory (the 2.5 M-doc rung death). Shared by the streaming
+# gate's per-micro-batch routing (streaming/incremental.py) and the
+# batch manifest's whole-corpus routing (corpus_export_manifest, r13).
+_BOUNDED_BATCH_DOCS = 100_000
+
+
 def export_gate(
     df: DataFrame,
     bench_grams: DataFrame,
@@ -508,6 +519,17 @@ def corpus_export_manifest(
     per-source rollup. The content digest hashes the RAW text (dedup
     must not conflate whitespace variants).
     """
+    # Size-route to the all-skinny gate plan above the streaming
+    # gate's batch bound (r13): the manifest consumes only
+    # (source, n_tokens, id) — all carried by bounded mode — and
+    # bounded == default survivors is pinned by test_corpus, so the
+    # only difference at scale is that document text stays out of
+    # every dedup/contamination exchange. The 5 M-doc rung measured
+    # the default (fat) plan at 244.7 s vs the same corpus streamed
+    # through the bounded plan in ~4 batches at ~53 s each; routing
+    # here removes the text-width semi-join and the corpus-sized
+    # fingerprint broadcast from the one-batch DAG. The count() probe
+    # is metadata-fast on the parquet scans this DAG starts from.
     clean = export_gate(
         corpus.select(F.col(id_col), F.col(source_col), F.col(text_col)),
         bench_gram_table(bench, text_col, contamination_n),
@@ -516,6 +538,7 @@ def corpus_export_manifest(
         min_tokens=min_tokens,
         max_dup3_ratio=max_dup3_ratio,
         contamination_n=contamination_n,
+        bounded_batch=corpus.count() > _BOUNDED_BATCH_DOCS,
     )
     step = chunk_tokens - overlap
     n_chunks = F.expr(

@@ -428,8 +428,12 @@ EXPORT_GATE_SCHEMA = "doc_id long, source string, n_tokens long"
 # bounded plan's extra exchanges are ~20 s of fixed stage overhead
 # on toy batches (measured at sf0.1), while the broadcasts it
 # avoids only become a hazard when the batch approaches executor
-# memory (the 2.5 M-doc rung death).
-_BOUNDED_BATCH_DOCS = 100_000
+# memory (the 2.5 M-doc rung death). The constant lives next to
+# export_gate (r13 — the batch manifest size-routes on it too);
+# re-exported here for the existing call sites.
+from spotify_pipeline_gcp_spark.operators.corpus import (  # noqa: E402
+    _BOUNDED_BATCH_DOCS,
+)
 
 
 def streaming_export_gate(
