@@ -399,33 +399,39 @@ def export_gate(
         # intersects with winners anyway, and it keeps the gram
         # stream out of any verdict join. Bounded mode therefore
         # returns survivors WITHOUT text_col/_norm.
+        from pyspark.sql import Window
+
         carry = [c for c in df.columns if c != text_col]
         skinny = quality.select(*carry, "n_tokens", "_digest")
-        keep = (
-            skinny.select(F.col(id_col), "_digest")
-            .groupBy("_digest")
-            .agg(F.min(id_col).alias(id_col))
+        # ONE window pass instead of digest-agg + winner semi-join
+        # (r13): the agg and the join's left side were two separate
+        # consumers of the quality scan — each re-ran the full
+        # per-document regex battery over the corpus (the 5 M-doc
+        # profile showed one ~50-90 s scan pass per consumer). The
+        # winner verdict `id == min(id) over (partition by _digest)`
+        # selects exactly the same (id, digest) winner pairs (the
+        # default plan's key — test_corpus pins bounded == default
+        # survivors, including the duplicate-id case) with a single
+        # skinny digest-keyed exchange and no join. Micro-batch plans
+        # run WITHOUT AQE, so the static exchange width must bound
+        # the sort slices itself: skinny rows are id/digest-width,
+        # ~30 B — batch-sized inputs stay a few MB per partition.
+        w_digest = Window.partitionBy("_digest")
+        deduped = (
+            skinny.withColumn("_win", F.min(id_col).over(w_digest))
+            .where(F.col(id_col) == F.col("_win"))
+            .drop("_win")
         )
-        # merge hints throughout: micro-batch plans run WITHOUT AQE,
-        # and the static planner's size estimates under-guess these
-        # batch-sized aggregates/scans — an auto-broadcast of a
-        # 2.5 M-row verdict table is the measured 4 g death.
+        # merge hint: the static planner's size estimates under-guess
+        # batch-sized scans — an auto-broadcast of a 2.5 M-row store
+        # is the measured 4 g death. The anti-join key is the window's
+        # own partitioning, so no extra corpus-side exchange.
         if stored_digests is not None:
-            keep = keep.join(
+            deduped = deduped.join(
                 stored_digests.hint("merge"),
-                keep["_digest"] == stored_digests["digest"],
+                deduped["_digest"] == stored_digests["digest"],
                 "left_anti",
             )
-        # Semi join on BOTH (id, _digest) — the same winner-pair key
-        # the default plan uses (r13): an id-only key silently kept
-        # every row carrying a winner id when an id repeats within a
-        # batch with different texts. The digest column is the same
-        # skinny width class as the id, so the exchange stays
-        # id/digest-width; test_corpus pins bounded == default
-        # survivors including the duplicate-id case.
-        deduped = skinny.join(
-            keep.hint("merge"), [id_col, "_digest"], "left_semi"
-        )
         gram_src = quality
     else:
         keep = quality.groupBy("_digest").agg(F.min(id_col).alias(id_col))
