@@ -399,32 +399,35 @@ def export_gate(
         # intersects with winners anyway, and it keeps the gram
         # stream out of any verdict join. Bounded mode therefore
         # returns survivors WITHOUT text_col/_norm.
-        from pyspark.sql import Window
-
         carry = [c for c in df.columns if c != text_col]
         skinny = quality.select(*carry, "n_tokens", "_digest")
         # ONE window pass instead of digest-agg + winner semi-join
         # (r13): the agg and the join's left side were two separate
         # consumers of the quality scan — each re-ran the full
-        # per-document regex battery over the corpus (the 5 M-doc
-        # profile showed one ~50-90 s scan pass per consumer). The
-        # winner verdict `id == min(id) over (partition by _digest)`
-        # selects exactly the same (id, digest) winner pairs (the
-        # default plan's key — test_corpus pins bounded == default
-        # survivors, including the duplicate-id case) with a single
-        # skinny digest-keyed exchange and no join. Micro-batch plans
-        # run WITHOUT AQE, so the static exchange width must bound
-        # the sort slices itself: skinny rows are id/digest-width,
-        # ~30 B — batch-sized inputs stay a few MB per partition.
+        # per-document regex battery over the corpus (~50-90 s per
+        # pass at the 5 M-doc rung). The winner verdict `id ==
+        # min(id) over (partition by _digest)` selects exactly the
+        # same (id, digest) winner pairs (the default plan's key —
+        # test_corpus pins bounded == default survivors, including
+        # the duplicate-id case) with a single skinny digest-keyed
+        # exchange and no join. Measured: 5 M-doc manifest 174.5 s
+        # (agg+semi) → 158.7 s (window); at the 1.25 M-doc streaming
+        # batch the two shapes are within noise (66.5 vs 70.3 s), so
+        # the single-consumer shape wins outright — no size tier.
+        # Micro-batch plans run WITHOUT AQE, so the static exchange
+        # width must bound the sort slices itself: skinny rows are
+        # id/digest-width, ~30 B.
+        from pyspark.sql import Window
+
         w_digest = Window.partitionBy("_digest")
         deduped = (
             skinny.withColumn("_win", F.min(id_col).over(w_digest))
             .where(F.col(id_col) == F.col("_win"))
             .drop("_win")
         )
-        # merge hint: the static planner's size estimates under-guess
-        # batch-sized scans — an auto-broadcast of a 2.5 M-row store
-        # is the measured 4 g death. The anti-join key is the window's
+        # merge hint: the static planner under-guesses batch-sized
+        # scans — an auto-broadcast of a 2.5 M-row store is the
+        # measured 4 g death. The anti-join key is the window's
         # own partitioning, so no extra corpus-side exchange.
         if stored_digests is not None:
             deduped = deduped.join(

@@ -230,7 +230,7 @@ def test_export_gate_bounded_batch_matches_default(spark):
         }
 
     default = survivors(False)
-    bounded = survivors(True)
+    bounded = survivors(True)  # window verdict
     assert bounded == default
     assert {r[0] for r in default} == {1, 3}
     # exactly ONE row for id 3 — the (3, other) winner pair
