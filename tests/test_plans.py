@@ -157,6 +157,29 @@ def test_capped_jaccard_single_scan_window_cap(spark):
     assert "LeftAnti" not in plan
 
 
+def test_single_chain_operators_scan_once(spark):
+    # the r13 multi-consumer lesson as a standing guard: these
+    # operators are single-chain by design — every one reads its
+    # corpus through exactly ONE scan node. A second scan appearing
+    # means a new consumer split the plan (column pruning makes
+    # same-looking consumers canonically different exchanges, which
+    # AQE's exchange reuse cannot merge — each re-executes the whole
+    # map chain; the qd8 260 s -> 56 s class).
+    from spotify_pipeline_gcp_spark.plans.inspect import formatted_plan
+
+    single_chain = [
+        "qd4_minhash_signatures",
+        "qd6_simhash",
+        "qd13_duplicated_spans",
+        "qt2_quality_score",
+        "qt4_fingerprint",
+    ]
+    for name in single_chain:
+        plan = formatted_plan(_q(spark, name))
+        n = plan.count("InMemoryFileIndex")
+        assert n == 1, f"{name}: {n} scan nodes"
+
+
 def test_stratified_sample_zero_shuffle(spark):
     # stratified membership is a row-local predicate: no exchange
     assert exchange_count(_q(spark, "qsp3_stratified_sample")) == 0
