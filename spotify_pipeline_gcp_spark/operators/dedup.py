@@ -282,12 +282,14 @@ def ngram_jaccard_pairs(
     # rung the scan→shingle→explode map chain ran THREE times (~70 s
     # each) and the sizes path re-ran the anti-join twice more (the
     # measured qd8/qd12 260 s profile: >90% pair generation, ~5%
-    # closure). Instead, ONE WindowExec pass over the one posting
-    # exchange attaches each shingle's full inverted list
-    # (``collect_list over (partition by shingle)`` — the window
-    # buffers one group at a time with spill, so a hot shingle's
-    # array never multiplies across an agg hash map), the stop-
-    # shingle cap becomes ``size(docs) <= max_df`` on the same row,
+    # closure). Instead, TWO WindowExec passes over the one posting
+    # exchange: a bare ``count(*) over (partition by shingle)`` drops
+    # over-cap groups in O(group size) with NO array built, then
+    # ``collect_list`` over the same partitioning (filter sits
+    # between the two Window nodes — exchange and sort planned once)
+    # attaches each SURVIVING shingle's inverted list, so the per-row
+    # array copy in the window's output projection is bounded by the
+    # cap, never by the hottest key,
     # and one representative row per group (the row whose doc_id
     # leads its own docs array) explodes BOTH the ordered pairs AND
     # one singleton row per posting (doc_b NULL) — so a single
@@ -303,15 +305,30 @@ def ngram_jaccard_pairs(
 
     id_type = dict(ex.dtypes)["doc_id"]
     w = Window.partitionBy("shingle")
-    aug = ex.where(F.col("shingle").isNotNull()).withColumn(
-        "docs", F.collect_list("doc_id").over(w)
-    )
-    keep_group = (
-        F.size("docs") <= F.lit(max_shingle_df)
-        if max_shingle_df is not None
-        else F.lit(True)
-    )
-    one = aug.where(keep_group & (F.col("doc_id") == F.col("docs")[0]))
+    base = ex.where(F.col("shingle").isNotNull())
+    if max_shingle_df is not None:
+        # Cap BEFORE building any array (r14): the r13 shape
+        # collect_list'ed EVERY group's full inverted list and only
+        # then filtered on size(docs) — for an over-cap boilerplate
+        # shingle shared by m docs that materializes O(m²) transient
+        # bytes in the window's output projection (each of the m rows
+        # copies the m-element array) plus a non-spillable m-element
+        # collect_list buffer in one task — the exact hot-key case the
+        # cap exists to drop, and the case the old anti-join handled
+        # in O(m). A bare count(*) window attaches the group's DF to
+        # each row WITHOUT materializing the list, so over-cap groups
+        # cost O(m) and are gone before the collect_list window below
+        # ever buffers an array (all survivors are ≤ max_df elements).
+        # Both windows partition on the same key, so Catalyst places
+        # the filter between two WindowExec nodes over ONE
+        # exchange+sort (plan-asserted in test_plans).
+        base = (
+            base.withColumn("df", F.count(F.lit(1)).over(w))
+            .where(F.col("df") <= F.lit(max_shingle_df))
+            .drop("df")
+        )
+    aug = base.withColumn("docs", F.collect_list("doc_id").over(w))
+    one = aug.where(F.col("doc_id") == F.col("docs")[0])
     pair_rows = F.expr(
         "concat("
         "  flatten(transform(docs, a -> "

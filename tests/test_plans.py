@@ -142,18 +142,21 @@ def test_ivf_kmeans_search_reuses_assignment(spark):
 
 
 def test_capped_jaccard_single_scan_window_cap(spark):
-    # r13 shape: the stop-shingle cap is a size predicate on the
-    # window-collected inverted list — the whole pair generator reads
-    # the corpus through ONE scan + ONE posting exchange (the r12
-    # self-join shape re-ran the scan→shingle map chain three times
-    # under column pruning), and no anti-join or IN-list exists
+    # r14 shape: the whole pair generator reads the corpus through
+    # ONE scan (the r12 self-join shape re-ran the scan→shingle map
+    # chain three times under column pruning), no anti-join or
+    # IN-list exists, and the stop-shingle cap is a bare count(*)
+    # window BEFORE the collect_list window — over-cap inverted lists
+    # are dropped without ever being materialized as arrays. Four
+    # Window nodes total: count-cap, collect_list, and the two keyed
+    # sizing windows over the pair aggregate.
     from spotify_pipeline_gcp_spark.plans.inspect import formatted_plan
 
     plan = formatted_plan(_q(spark, "qd3b_ngram_jaccard_capped"))
-    # one scan NODE == one "Location: InMemoryFileIndex" detail entry
-    # (the bare node name appears twice per scan: tree + detail)
-    assert plan.count("InMemoryFileIndex") == 1, plan
-    assert "Window" in plan
+    # count the unambiguous detail marker, not the bare node-name
+    # substring (formatting-change-proof: one per scan by contract)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert plan.count("Window (") == 4, plan
     assert "LeftAnti" not in plan
 
 
@@ -176,7 +179,7 @@ def test_single_chain_operators_scan_once(spark):
     ]
     for name in single_chain:
         plan = formatted_plan(_q(spark, name))
-        n = plan.count("InMemoryFileIndex")
+        n = plan.count("Location: InMemoryFileIndex")
         assert n == 1, f"{name}: {n} scan nodes"
 
 
