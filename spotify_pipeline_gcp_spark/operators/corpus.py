@@ -506,6 +506,7 @@ def corpus_export_manifest(
     contamination_n: int = 4,
     chunk_tokens: int = 64,
     overlap: int = 8,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """The full training-data EXPORT gate as one composed DAG:
 
@@ -538,7 +539,11 @@ def corpus_export_manifest(
     # through the bounded plan in ~4 batches at ~53 s each; routing
     # here removes the text-width semi-join and the corpus-sized
     # fingerprint broadcast from the one-batch DAG. The count() probe
-    # is metadata-fast on the parquet scans this DAG starts from.
+    # is metadata-fast on the parquet scans this DAG starts from;
+    # callers holding a derived/filtered corpus pass ``n_docs`` (any
+    # upper bound works — it only picks the plan tier) so the
+    # upstream plan is never re-executed for routing (the
+    # minhash_lsh_pairs n_docs convention).
     clean = export_gate(
         corpus.select(F.col(id_col), F.col(source_col), F.col(text_col)),
         bench_gram_table(bench, text_col, contamination_n),
@@ -547,7 +552,8 @@ def corpus_export_manifest(
         min_tokens=min_tokens,
         max_dup3_ratio=max_dup3_ratio,
         contamination_n=contamination_n,
-        bounded_batch=corpus.count() > _BOUNDED_BATCH_DOCS,
+        bounded_batch=(n_docs if n_docs is not None else corpus.count())
+        > _BOUNDED_BATCH_DOCS,
     )
     step = chunk_tokens - overlap
     n_chunks = F.expr(

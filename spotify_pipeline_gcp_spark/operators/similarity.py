@@ -586,6 +586,97 @@ def cosine_topk_bucketed_blas(
     return _blas_topk_from_combos(combos, k, quant=quant)
 
 
+def sign_bucket_pairs_blas(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Near-dup PAIRS (id_a < id_b, cosine_q >= threshold) with one
+    integer dgemm per sign bucket — the throughput twin of the
+    fold-scored bucketed pair self-join (qd7b's shape).
+
+    Same candidate space as the self-join: auto-sized sign buckets
+    (``sign_bits_for`` — avg ~256 members at any scale), hot buckets
+    dropped (``MAX_SIGN_BUCKET`` — worst-case candidates linear). But
+    instead of an equi-join that re-materializes both sides and
+    scores each pair with an interpreted HOF fold (measured 177 s of
+    qd7b's 199 s at the 5 M-doc rung), each bucket packs into ONE row
+    (``collect_list`` — bounded by the cap, ≤4096×d doubles) and an
+    Arrow-batched NumPy kernel scores the whole bucket against itself
+    as a single matmul: candidate generation needs no join at all —
+    the bucket IS the block — and every FLOP runs at BLAS speed.
+
+    Scoring is QUANTIZED-EXACT (the qs4/qs26 discipline, see
+    ``cosine_topk_blas``): unit vectors come from the JVM fold
+    (``_unit_vectors`` — bit-identical to the SQL replay; sign
+    buckets are unchanged since sign(u_i) == sign(v_i)), the kernel
+    rounds at ``_ASSIGN_QSCALE`` and the dgemm's integer dots are
+    exact in float64 under any accumulation order (d=64 dot ≤ 2^46 <
+    2^53). Emitted ``cosine_q`` = qdot / 2^40 — a dyadic rational
+    both engines represent exactly — so the threshold cut and every
+    value are hash-verifiable by a DuckDB oracle replaying the same
+    quantized dots. The 2^-20 quantization moves only pairs within
+    ~1e-6 of the threshold, identically in every engine; the fold
+    twin (qd7b) remains the raw-float exactness anchor.
+
+    Per-task memory: one bucket's score matrix ≤ cap² × 8 B
+    (134 MB transient at the 4096 cap, freed per bucket; typical
+    buckets are ~256 → ~0.5 MB). At 100 TB the packed-bucket table
+    is n/256 rows of ~128 KB — the same accounting as the IVF-BLAS
+    search kernels.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_bits is None:
+        n_bits = sign_bits_for(df.count() if n_docs is None else n_docs)
+    base = _unit_vectors(df, id_col, vec_col).withColumn(
+        "bucket", sign_bucket("u", n_bits)
+    )
+    base = drop_hot_buckets(base)
+    packed = base.groupBy("bucket").agg(
+        F.collect_list(F.struct("id", "u")).alias("items")
+    )
+    qscale = float(_ASSIGN_QSCALE)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows: list[tuple[int, int, float]] = []
+            for items in pdf["items"]:
+                m = len(items)
+                if m < 2:
+                    continue
+                ids = np.fromiter(
+                    (r["id"] for r in items), dtype="int64", count=m
+                )
+                mat = np.stack(
+                    [np.asarray(r["u"], dtype="float64") for r in items]
+                )
+                qm = np.floor(mat * qscale + 0.5)
+                sims = (qm @ qm.T) / (qscale * qscale)
+                iu, ju = np.triu_indices(m, k=1)
+                keep = sims[iu, ju] >= threshold
+                ia, ib = ids[iu[keep]], ids[ju[keep]]
+                # bucket member order is collect_list order, not id
+                # order — normalize each pair to (min, max) by VALUE
+                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                vals = sims[iu[keep], ju[keep]]
+                rows.extend(
+                    (int(a), int(b), float(s))
+                    for a, b, s in zip(lo, hi, vals)
+                )
+            yield pd.DataFrame(
+                rows, columns=["id_a", "id_b", "cosine_q"]
+            )
+
+    return packed.mapInPandas(
+        kernel, schema="id_a long, id_b long, cosine_q double"
+    )
+
+
 # Backwards-compatible name; the driver-collect implementation it
 # once pointed to is gone (it was a driver-memory cliff).
 cosine_topk_pandas = cosine_topk_blas

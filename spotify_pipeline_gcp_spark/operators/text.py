@@ -351,6 +351,7 @@ def ngram_lm_score(
     id_col: str,
     text_col: str,
     scale: int = 1_000_000,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Corpus-trained bigram-LM likelihood score per document — the
     classic KenLM-style quality signal (documents whose word
@@ -386,6 +387,20 @@ def ngram_lm_score(
     base = df.select(F.col(id_col), toks.alias("toks")).where(
         F.size("toks") >= 2
     )
+    # Dictionary-encode every gram key to a 60-bit long BEFORE the
+    # instance stream hits any exchange (r14 — the r13 rung row spent
+    # 32.3 s of 123.3 s wall in GC carrying two strings per transition
+    # through the repartition + SMJ sorts): k = first 15 hex chars of
+    # md5('w1 w2') as a BIGINT, k1 likewise for the prefix. Long keys
+    # are primitive, radix-sortable, and 8 bytes fixed vs two heap
+    # strings per row. Engine-portable: the oracle replays the same
+    # md5-prefix fold, so grouping/join semantics are identical BY
+    # CONSTRUCTION — a (vanishingly unlikely) 60-bit collision merges
+    # the same keys in both engines. Tokens are \\S+ runs, so the
+    # space separator cannot collide two distinct bigrams.
+    def _k60(col: Column) -> Column:
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
     inst = base.select(
         F.col(id_col),
         F.explode(
@@ -395,7 +410,13 @@ def ngram_lm_score(
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("bg"),
-    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    ).select(
+        F.col(id_col),
+        _k60(
+            F.concat(F.col("bg.w1"), F.lit(" "), F.col("bg.w2"))
+        ).alias("k"),
+        _k60(F.col("bg.w1")).alias("k1"),
+    )
     # Slice-bound the instance table on the join key (r13 — the qd14
     # 1000x fix class): the instances->probs SMJ sorts the whole
     # transition stream (~50 bigram rows per document, two strings
@@ -407,19 +428,27 @@ def ngram_lm_score(
     # it up on the left side; the Zipf-compressed probs side gets the
     # matching small exchange), bounding every sort slice; below the
     # default parallelism the knob is a no-op, so toy scales keep
-    # their plan. The count() probe is metadata-fast on parquet scans.
+    # their plan. The count() probe is metadata-fast on BARE parquet
+    # scans; callers holding a derived/filtered frame pass ``n_docs``
+    # (any upper bound on the doc count works — it only sizes the
+    # slice) so the upstream plan is never re-executed for sizing.
     base_par = df.sparkSession.sparkContext.defaultParallelism
-    want = math.ceil(df.count() / _BIGRAM_DOCS_PER_TASK)
+    want = math.ceil(
+        (n_docs if n_docs is not None else df.count()) / _BIGRAM_DOCS_PER_TASK
+    )
     if want > base_par:
-        inst = inst.repartition(want, "w1", "w2")
-    c2 = inst.groupBy("w1", "w2").agg(
+        # partition on k alone: HashPartitioning(k) satisfies BOTH
+        # the (k, k1) count's clustering (k ⊆ {k, k1}) and the final
+        # instances->probs join on k — one exchange, two consumers
+        inst = inst.repartition(want, "k")
+    c2 = inst.groupBy("k", "k1").agg(
         F.count(F.lit(1)).cast("long").alias("n_bi")
     )
-    c1 = c2.groupBy("w1").agg(F.sum("n_bi").cast("long").alias("n_prefix"))
-    probs = c2.join(c1, "w1").select(
-        "w1", "w2", F.expr(f"({scale} * n_bi) div n_prefix").alias("q")
+    c1 = c2.groupBy("k1").agg(F.sum("n_bi").cast("long").alias("n_prefix"))
+    probs = c2.join(c1, "k1").select(
+        "k", F.expr(f"({scale} * n_bi) div n_prefix").alias("q")
     )
-    scored = inst.join(probs, ["w1", "w2"]).groupBy(id_col).agg(
+    scored = inst.join(probs, ["k"]).groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum("q").cast("long").alias("sum_q"),
     )

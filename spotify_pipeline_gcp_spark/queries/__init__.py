@@ -34,74 +34,75 @@ REGISTRY: dict[str, QuerySpec] = {}
 # now an explicit list edit: ``_WINDOW_ORDER`` below is applied after
 # module import, so module order no longer determines the window.
 #
-# Round-13 window (r12 verdict item #1 — retire the r10 staleness
-# debt before it becomes the project's first >2-round breach):
-# changed-code leads first — the SEVEN queries whose code changed
-# this round (qd3b/qd8/qd12: the single-pass window rewrite of
-# ``ngram_jaccard_pairs``' capped path; qd5/qd14: the n_docs
-# count-probe hint + spool cleanup around ``minhash_lsh_pairs``;
-# qst6: the bounded-gate (id, digest) verdict key in ``export_gate``;
-# qst5: safety seat — its chain shares the minhash/store operators
-# whose signatures changed) — then ALL 43 queries whose last
-# driver row is r10 (the cross-round union in VERDICT r12 "What's
-# missing" #1; at r13 they'd be 3 rounds stale). 7 + 43 = exactly 50.
-# The 45 r11-latest queries are 2 rounds stale after this round —
-# still inside policy — and form the r14 tranche. Run
-# tools/window_check.py after any registration change;
-# tools/selfcheck.py re-verifies the FULL registry every round.
+# Round-14 window (r13 verdict item #1 — rotate to the 45 queries
+# whose last driver row is r11; at r14 they sit at the 2-round policy
+# edge and this window is the only mechanism keeping "all green"
+# attestable): changed/new-code leads first — qd7c (NEW: the
+# quantized-dgemm per-bucket pair kernel, never driver-verified),
+# qd9r (NEW: the SimHash recall audit, r13 verdict item #3), qd10
+# (edge kernel switched to the dgemm AND its oracle's np CTE now
+# replays quantized dots), qt10 (bigram keys dictionary-encoded to
+# 60-bit longs, oracle replays the fold), qd3b (the capped path now
+# count-caps BEFORE collect_list — same oracle, new plan) — then ALL
+# 45 r11-latest queries. 5 + 45 = exactly 50. qd8/qd12 share qd3b's
+# changed path but keep their r13 rows (1 round old) and identical
+# oracles; the full-registry selfcheck re-verifies them (and
+# everything else) every round. The 43 r12-latest queries form the
+# r15 tranche. Run tools/window_check.py after any registration
+# change.
 _WINDOW_ORDER = [
-    # changed-code leads (r12 verdict items #2/#6/#7 + ADVICE)
+    # changed/new-code leads (r13 verdict items #2/#3/#5 + ADVICE)
+    "qd7c_embedding_near_dup_blas",
+    "qd9r_simhash_recall_audit",
+    "qd10_semantic_dedup_components",
+    "qt10_ngram_lm_score",
     "qd3b_ngram_jaccard_capped",
-    "qd5_minhash_lsh_pairs",
-    "qd8_dedup_components",
-    "qd12_keep_best_per_cluster",
-    "qd14_near_dup_export",
-    "qst5_streaming_incremental_near_dup",
-    "qst6_streaming_export_gate",
-    # r10-stale breadth — VERDICT r12 "What's missing" #1 (all 43)
-    "q00_flagship_pipeline",
-    "q01_project_derived",
-    "q02_filter_isin",
-    "q03_explode_tokens",
-    "q04_bag_collect",
-    "q05_bag_join",
-    "q06_delta_anti_join",
-    "q07_distinct",
-    "q08_pricing_summary",
-    "q09_top_orders",
-    "q10_segment_revenue_topn",
-    "q11_window_topk",
-    "q12_window_running",
-    "q13_union_distinct",
-    "q14_semi_join",
-    "q15_date_trunc_daily",
-    "q16_date_format_monthly",
-    "q24_cross_join",
-    "q25_except",
-    "q26_intersect",
-    "q27_string_funcs",
-    "q28_null_handling",
-    "q30_sessionize",
-    "q31_asof_last_click",
-    "q32_scalar_subquery",
-    "q33_conditional_agg",
-    "q34_array_agg_ops",
-    "q35_exact_percentiles",
-    "q36_approx_aggregates",
-    "q37_unpivot",
-    "q38_map_ops",
-    "q39_date_arith",
-    "q40_json_bag",
-    "q41_big_orders_having",
-    "q42_above_group_avg",
-    "q43_ratio_metric",
-    "q44_flagship_partition_ready",
-    "q45_cube",
-    "q46_range_frame",
-    "q47_range_join",
-    "q48_rank_battery",
-    "qs21_ann_recall_audit",
-    "qs22_ann_index_maintenance",
+    # r11-stale breadth — VERDICT r13 "Next round" #1 (all 45)
+    "q17_json_extract",
+    "q18_complete_year",
+    "q19_distinct_count",
+    "q20_pivot_event_types",
+    "q21_rollup",
+    "q22_regional_revenue",
+    "q50_feature_trend",
+    "q51_genre_affinity",
+    "qd6_simhash",
+    "qd9_simhash_pairs",
+    "qe1_label_centroids",
+    "qe2_knn_label_vote",
+    "qm3_payload_features",
+    "qm4_frame_sample",
+    "qp4_curriculum_buckets",
+    "qs11_cosine_topk_ivf_kmeans_multiprobe",
+    "qs12_embedding_quantize",
+    "qs14_cosine_topk_ivf_kmeans_sized",
+    "qs16_cosine_topk_ivf_sample_trained",
+    "qs17_cosine_topk_imi",
+    "qs19b_cosine_topk_ivfpq_store",
+    "qs1_embed_norms",
+    "qs20_hybrid_rrf",
+    "qs22b_ann_index_maintenance_manifest",
+    "qs24_cosine_topk_imi_multiprobe",
+    "qs25_cosine_topk_imi_adc",
+    "qs29_imi_recall_audit",
+    "qs2_cosine_topk",
+    "qs3_cosine_topk_bucketed",
+    "qs5_cosine_topk_multiprobe",
+    "qs7_cosine_topk_ivf_kmeans",
+    "qsp2_split_assign",
+    "qsp3_stratified_sample",
+    "qsp4_domain_mixture",
+    "qst2_streaming_sessionize",
+    "qst4_streaming_stateful_totals",
+    "qst7_streaming_index_maintenance",
+    "qst8_streaming_ann_serving",
+    "qt2_quality_score",
+    "qt3_token_stats",
+    "qt4_fingerprint",
+    "qt5_token_bpeish",
+    "qt6_repetition_filter",
+    "qt7_contamination",
+    "qt8_pii_scrub",
 ]
 
 # Pinned-size exactness baselines (r7 verdict item #5): kept

@@ -497,14 +497,64 @@ def qd7b_embedding_near_dup_pruned(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+from spotify_pipeline_gcp_spark.operators.similarity import _ASSIGN_QSCALE
+
+_QA = float(_ASSIGN_QSCALE)  # one source of truth for the fixed-point scale
+
+# Quantized-unit-vector extension of the sign-bucket base: the same
+# auto-sized buckets + hot-bucket cap, then each survivor's JVM-fold
+# unit vector rounded at _ASSIGN_QSCALE — the replay of exactly what
+# sign_bucket_pairs_blas's NumPy kernel scores (see qs4: integer dots
+# of 2^20-rounded unit vectors are exact in float64 under any
+# accumulation order, and qdot / 2^40 is a dyadic rational both
+# engines represent bit-identically).
+_QUANT_BASE_SQL = f"""{_SIGNED_BASE_SQL},
+    qb AS (
+      SELECT vec_id, bucket,
+             list_transform(v, x -> floor((x / norm) * {_QA} + 0.5)) AS qu
+      FROM base
+    )"""
+
+
+@register(
+    "qd7c_embedding_near_dup_blas",
+    # HASH-VERIFIED: quantized-exact pair scoring — the oracle
+    # replays the kernel's integer dots bit-for-bit (qs4 discipline).
+    oracle=f"""
+    WITH {_QUANT_BASE_SQL}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.qu, b.qu) / {_QA * _QA} AS cosine_q
+    FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.qu, b.qu) / {_QA * _QA} >= 0.45
+    """,
+)
+def qd7c_embedding_near_dup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qd7b's throughput twin: same sign-bucket candidate space
+    (auto-sized code, hot-bucket cap), but each bucket is scored as
+    ONE integer dgemm instead of an equi-join of interpreted HOF
+    folds — at the 5 M-doc rung 177 s of qd7b's 199 s was fold dots
+    (NOTES_r13), and this kernel moves those FLOPs to BLAS while
+    keeping the query hash-verifiable (quantized-exact scoring, the
+    qs4/qs26 discipline — see operators/similarity.py::
+    sign_bucket_pairs_blas). qd7b is retained as the raw-float fold
+    anchor; the two differ only for pairs within ~2^-20 of the 0.45
+    threshold, identically replayed by each query's own oracle."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        sign_bucket_pairs_blas,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return sign_bucket_pairs_blas(emb, threshold=0.45)
+
+
 @register(
     "qd10_semantic_dedup_components",
     oracle=f"""
-    WITH RECURSIVE {_SIGNED_BASE_SQL},
+    WITH RECURSIVE {_QUANT_BASE_SQL},
     np AS (
       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-      FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-      WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.45
+      FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.qu, b.qu) / {_QA * _QA} >= 0.45
     ),
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM np
@@ -528,10 +578,20 @@ def qd10_semantic_dedup_components(spark: SparkSession, sf_dir: str) -> DataFram
     bucketed join or an iterate-materialize loop, and the oracle
     replays sizing + pruning + threshold + closure (recursive CTE)
     exactly — buckets are AUTO-SIZED via sign_bits_for (avg ~256
-    vectors each) so the candidate stage stays ~256*n at any scale."""
-    pairs, cos = _sign_bucket_pairs(spark, sf_dir)
-    edges = pairs.where(cos >= 0.45).select(
-        F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b")
+    vectors each) so the candidate stage stays ~256*n at any scale.
+
+    r14: the edge kernel is the quantized-exact per-bucket dgemm
+    (qd7c — one matmul per bucket instead of the fold-scored
+    equi-join that dominated the 331.6 s r13 rung row); the oracle's
+    np CTE replays the quantized dots, so the threshold cut stays
+    hash-verified. qd7b remains the raw-float fold anchor."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        sign_bucket_pairs_blas,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    edges = sign_bucket_pairs_blas(emb, threshold=0.45).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     comp = dedup_components(edges)
     return comp.select(F.col("doc_id").alias("vec_id"), "component")
@@ -800,6 +860,134 @@ def qd9b_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bounds per-task fingerprint-aggregate state (the r10 1000x
         # ladder OOM'd the unsized form in 4 g) — see simhash()
         n_docs=n,
+    )
+
+
+# digest_unit replay over a `_d` column (queries/sampling.py keeps
+# the canonical copy; inlined here to keep module import order —
+# hence pre-window registration order — unchanged)
+_UNIT_FOLD_D = " + ".join(
+    f"(strpos('0123456789abcdef', substring(_d, {j + 1}, 1)) - 1)"
+    f" * {16 ** (7 - j)}::BIGINT"
+    for j in range(8)
+)
+
+
+@register(
+    "qd9r_simhash_recall_audit",
+    # HASH-VERIFIED: sample membership (unit fold), adaptive width,
+    # fingerprints, probe draw, bucket cap, and the integer recall
+    # ratio are all replayed — every reported miss is attributable
+    # to the cap, measured, not narrated.
+    oracle=f"""
+    WITH sizen AS (SELECT count(*)::BIGINT AS n FROM documents),
+    sizew AS (
+      SELECT least(15, greatest(8,
+               CAST(ceil(log2(greatest(1, n // 4))) AS BIGINT))) AS w
+      FROM sizen
+    ),
+    samp AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, md5('shc:' || doc_id::VARCHAR) AS _d
+        FROM documents
+      ) WHERE ({_UNIT_FOLD_D}) / 4294967296.0
+          < least(1.0, 65536.0 / (SELECT n FROM sizen))
+    ),
+    tok0 AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM samp
+    ),
+    tok AS (
+      SELECT doc_id, md5(token) AS h, md5('b:' || token) AS h2 FROM tok0
+    ),
+    expanded AS (
+      SELECT * FROM (SELECT doc_id, h, h2, unnest(range(60)) AS j FROM tok)
+      WHERE j < 4 * (SELECT w FROM sizew)
+    ),
+    per_bit AS (
+      SELECT doc_id, j,
+             sum((((strpos('0123456789abcdef',
+                           substr(CASE WHEN j < 32 THEN h ELSE h2 END,
+                                  (CASE WHEN j < 32 THEN j ELSE j - 32 END
+                                   + 1)::INT, 1)) - 1) % 2)
+                  * 2 - 1)::BIGINT) AS s
+      FROM expanded GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)
+               ::BIGINT AS simhash
+      FROM per_bit GROUP BY doc_id
+    ),
+    probes AS (
+      SELECT doc_id, simhash FROM (
+        SELECT doc_id, simhash,
+               md5('shp:' || doc_id::VARCHAR) AS _p
+        FROM fp
+      ) ORDER BY _p LIMIT 64
+    ),
+    banded AS (
+      SELECT doc_id, band,
+             (simhash >> (band * (SELECT w FROM sizew))::INT)
+               & ((1::BIGINT << (SELECT w FROM sizew)::INT) - 1) AS bv
+      FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band)
+    ),
+    hot AS (
+      SELECT band, bv FROM banded GROUP BY band, bv HAVING count(*) > 32
+    ),
+    exact AS (
+      SELECT p.doc_id AS probe_id, c.doc_id AS other_id,
+             p.simhash AS fp_p, c.simhash AS fp_c
+      FROM probes p JOIN fp c ON p.doc_id <> c.doc_id
+      WHERE bit_count(xor(p.simhash, c.simhash)) <= 3
+    ),
+    shared AS (
+      SELECT e.probe_id, e.other_id, b.band,
+             (e.fp_p >> (b.band * (SELECT w FROM sizew))::INT)
+               & ((1::BIGINT << (SELECT w FROM sizew)::INT) - 1) AS bv
+      FROM exact e CROSS JOIN (SELECT unnest(range(4)) AS band) b
+      WHERE ((e.fp_p >> (b.band * (SELECT w FROM sizew))::INT)
+               & ((1::BIGINT << (SELECT w FROM sizew)::INT) - 1))
+          = ((e.fp_c >> (b.band * (SELECT w FROM sizew))::INT)
+               & ((1::BIGINT << (SELECT w FROM sizew)::INT) - 1))
+    ),
+    surv AS (
+      SELECT DISTINCT probe_id, other_id
+      FROM shared s ANTI JOIN hot h ON s.band = h.band AND s.bv = h.bv
+    ),
+    truec AS (
+      SELECT probe_id, count(*)::BIGINT AS n_true FROM exact GROUP BY 1
+    ),
+    hits AS (
+      SELECT probe_id, count(*)::BIGINT AS n_hits FROM surv GROUP BY 1
+    )
+    SELECT p.doc_id AS doc_id,
+           coalesce(t.n_true, 0)::BIGINT AS n_true,
+           coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+           CASE WHEN coalesce(t.n_true, 0) = 0 THEN 1.0
+                ELSE coalesce(h.n_hits, 0) / CAST(t.n_true AS DOUBLE)
+           END AS recall
+    FROM probes p
+    LEFT JOIN truec t ON p.doc_id = t.probe_id
+    LEFT JOIN hits h ON p.doc_id = h.probe_id
+    """,
+)
+def qd9r_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for qd9b's capped adaptive-width band index (r13
+    verdict item #3 — the qs21/qs29 pattern for the SimHash family):
+    per-probe recall of the candidate rule against exact-Hamming
+    ground truth over a bounded sampled universe (≤64 probes × ≤65 k
+    audit corpus — constant cost at ANY corpus size). The index under
+    audit keeps its full-corpus configuration (width sized from the
+    REAL document count, cap 32 on the sampled universe's buckets),
+    so the number this reports is the deployed index's recall, and
+    because the 4-band filter is lossless at Hamming ≤ 3, every miss
+    is attributable to the bucket cap. See
+    ``operators/dedup.py::simhash_recall_audit``."""
+    from spotify_pipeline_gcp_spark.operators.dedup import simhash_recall_audit
+
+    docs = table(spark, sf_dir, "documents")
+    return simhash_recall_audit(
+        docs, "doc_id", "text", n_docs=docs.count()
     )
 
 

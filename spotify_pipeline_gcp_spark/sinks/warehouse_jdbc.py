@@ -57,12 +57,49 @@ class JdbcWarehouse:
             r = r.option(k, v)
         return r
 
+    # SQLStates meaning "relation not found" across the usual suspects:
+    # Derby 42X05, MySQL/SQLServer 42S02, Postgres 42P01, older Derby
+    # S0002, DB2/generic "undefined name" 42704. Anything else (auth,
+    # network, missing DATABASE, bad URL) is an environment failure the
+    # caller must see — idempotent-append logic that treats it as
+    # "table absent" would happily re-create and double-load.
+    _ABSENT_SQLSTATES = frozenset(
+        {"42X05", "42S02", "42P01", "S0002", "42704"}
+    )
+
+    @classmethod
+    def _table_absent(cls, exc: Exception) -> bool:
+        """True iff the failure chain says the TABLE is missing (vs
+        auth/network/database errors, which propagate)."""
+        jt = getattr(exc, "java_exception", None)
+        hops = 0
+        while jt is not None and hops < 10:
+            try:
+                state = jt.getSQLState()
+            except Exception:  # noqa: BLE001 — not a SQLException
+                state = None
+            if state in cls._ABSENT_SQLSTATES:
+                return True
+            try:
+                jt = jt.getCause()
+            except Exception:  # noqa: BLE001
+                break
+            hops += 1
+        # message fallback for engines whose state didn't surface:
+        # "does not exist" covers Derby ("Table/View 'X' does not
+        # exist") and Postgres ("relation \"x\" does not exist");
+        # deliberately NOT "not found" — Derby's missing-DATABASE
+        # error ("Database 'x' not found", XJ004) must raise.
+        return "does not exist" in str(exc)
+
     def exists(self, table: str) -> bool:
         try:
             self._reader().option("dbtable", table).load().schema
             return True
-        except Exception:  # noqa: BLE001
-            return False
+        except Exception as exc:  # noqa: BLE001
+            if self._table_absent(exc):
+                return False
+            raise
 
     def scan(
         self,

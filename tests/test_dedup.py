@@ -608,3 +608,92 @@ def test_simhash_rejects_giant_documents(spark):
     df = spark.createDataFrame([(1, giant)], "doc_id long, text string")
     with _pytest.raises(Exception, match="exceeds 2\\^20 tokens"):
         simhash(df, "doc_id", "text", bits=16).collect()
+
+
+def test_sign_bucket_pairs_blas_agrees_with_fold_join(spark):
+    """The quantized dgemm pair kernel (qd7c's engine) must emit the
+    same pair SET as the fold-scored bucketed self-join (qd7b's
+    shape) away from the threshold boundary, with id_a < id_b by
+    VALUE, and every score a dyadic rational qdot / 2^40 (exactly
+    representable — the hash-verification contract)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _ASSIGN_QSCALE,
+        _dot_pre,
+        _double_base,
+        sign_bucket,
+        sign_bucket_pairs_blas,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 10, [float(x) for x in v]))
+        # near-dup partner: tiny perturbation, same signs
+        rows.append((i * 10 + 1, [float(x * 1.001) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r.id_a, r.id_b): r.cosine_q
+        for r in sign_bucket_pairs_blas(
+            emb, threshold=0.9, n_bits=3
+        ).collect()
+    }
+    # fold twin over the same buckets
+    b = _double_base(emb, "vec_id", "embedding").withColumn(
+        "bucket", sign_bucket("v", 3)
+    )
+    a_, b_ = b.alias("a"), b.alias("b")
+    cos = _dot_pre(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    want = {
+        (r.id_a, r.id_b)
+        for r in a_.join(
+            b_,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(cos >= 0.9)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .collect()
+    }
+    # perturbations are ~1e-3 from cosine 1.0 — far beyond the 2^-20
+    # quantization band, so the sets agree exactly
+    assert set(got) == want and len(got) >= 6
+    q2 = float(_ASSIGN_QSCALE) ** 2
+    for (ia, ib), c in got.items():
+        assert ia < ib
+        assert c * q2 == round(c * q2), "score must be qdot / 2^40"
+
+
+def test_lsh_sizing_probe_refuses_derived_frames(spark):
+    """r13 verdict item #7: the auto-sizing count() must be
+    unreachable on derived frames — a union'd input without ``n_docs``
+    raises (naming the hint), the same input WITH the hint works, and
+    bare/filtered scans keep the probe."""
+    import pytest as _pytest
+
+    docs = _docs(spark)
+    # runtime-empty second branch (Catalyst can't prove it empty, so
+    # the Union survives optimization and the plan counts as derived)
+    derived = docs.union(docs.where("doc_id > 100"))
+    with _pytest.raises(ValueError, match="n_docs"):
+        minhash_lsh_pairs(derived, "doc_id", "text", threshold=0.8)
+    hinted = minhash_lsh_pairs(
+        derived, "doc_id", "text", threshold=0.8, n_docs=len(DOCS)
+    )
+    bare = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    assert {(r.doc_a, r.doc_b) for r in hinted.collect()} == {
+        (r.doc_a, r.doc_b) for r in bare.collect()
+    }
+    # filtered scans are still scan-cheap: no hint needed
+    minhash_lsh_pairs(
+        docs.where("doc_id >= 0"), "doc_id", "text", threshold=0.8
+    )

@@ -192,3 +192,22 @@ def test_concurrent_staging_names_do_not_collide(spark, wh):
     keys2 = _batch(spark, [("t2", "b", 2)]).select("played_at", "track_id")
     assert wh.delete_keys("stage_t", keys2, ["played_at", "track_id"]) == 1
     assert wh.scan("stage_t").count() == 0
+
+
+def test_exists_raises_on_environment_failure(spark, tmp_path):
+    """r13 verdict item #6: ``exists`` must distinguish "table
+    absent" (SQLState 42X05 and friends -> False) from auth/network/
+    database failures — a bogus database URL raises instead of
+    reading as "absent" (which would let idempotent-append logic
+    re-create and double-load)."""
+    if not _derby_available(spark):
+        pytest.skip("Derby driver not on the Spark classpath")
+    bogus = JdbcWarehouse(
+        spark,
+        # no create=true: Derby raises XJ004 "Database ... not found"
+        f"jdbc:derby:{tmp_path}/definitely_missing_db",
+        properties={"driver": DERBY_DRIVER},
+    )
+    with pytest.raises(Exception) as ei:
+        bogus.exists("any_table")
+    assert "not found" in str(ei.value) or "XJ004" in str(ei.value)

@@ -279,3 +279,24 @@ def test_regex_ngrams_identical_to_transform_ngrams(spark):
             .count()
         )
         assert mismatches == 0, f"n={n}: regex grams != transform grams"
+
+
+def test_ngram_lm_score_n_docs_hint_same_result(spark):
+    """The sizing hint (ADVICE r13: no full-plan recompute for a
+    derived input) must not change results — it only bounds the
+    instance-slice repartition."""
+    from spotify_pipeline_gcp_spark.operators.text import ngram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x y"), (3, "c c c")],
+        "doc_id long, text string",
+    )
+    base = {
+        (r.doc_id, r.n_bigrams, r.sum_q)
+        for r in ngram_lm_score(docs, "doc_id", "text").collect()
+    }
+    hinted = {
+        (r.doc_id, r.n_bigrams, r.sum_q)
+        for r in ngram_lm_score(docs, "doc_id", "text", n_docs=3).collect()
+    }
+    assert hinted == base and len(base) == 3

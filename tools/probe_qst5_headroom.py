@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -52,14 +53,19 @@ def main() -> int:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     store = tempfile.mkdtemp(prefix="qst5_probe_store_")
-    h0, g0, _ = _jvm_probe(spark)
-    t0 = time.time()
-    out = streaming_incremental_near_dup(
-        spark, SCALED_1000, BATCH_2X_SOURCES, store_dir=store
-    )
-    rows = out.count()
-    wall = time.time() - t0
-    h1, g1, _ = _jvm_probe(spark)
+    try:
+        h0, g0, _ = _jvm_probe(spark)
+        t0 = time.time()
+        out = streaming_incremental_near_dup(
+            spark, SCALED_1000, BATCH_2X_SOURCES, store_dir=store
+        )
+        rows = out.count()
+        wall = time.time() - t0
+        h1, g1, _ = _jvm_probe(spark)
+    finally:
+        # the same /tmp-leak class qd14 fixed in r13: the store dir is
+        # probe-scoped scratch, removed even on a mid-run death
+        shutil.rmtree(store, ignore_errors=True)
     row = {
         "wall_sec": round(wall, 1),
         "rows": rows,
@@ -75,8 +81,12 @@ def main() -> int:
         with open(OUT) as f:
             doc = json.load(f)
     doc.setdefault("probes", {})["qst5_batch2x"] = row
-    with open(OUT, "w") as f:
+    # atomic replace (the scale_r11._save discipline): a crash mid-dump
+    # must never truncate the shared bench file
+    tmp = OUT + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(doc, f, indent=1)
+    os.replace(tmp, OUT)
     return 0
 
 
