@@ -115,7 +115,10 @@ HEADLINE_EXT = [
     "qd9b_simhash_pairs_capped",
     "qd7b_embedding_near_dup_pruned",
     "q36_approx_aggregates",
-    "qp5_export_manifest",
+    # r14: the quantized-dgemm pair kernel (qd7b's throughput twin)
+    # and the SimHash recall audit (bounded eval — constant cost)
+    "qd7c_embedding_near_dup_blas",
+    "qd9r_simhash_recall_audit",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

@@ -387,20 +387,14 @@ def ngram_lm_score(
     base = df.select(F.col(id_col), toks.alias("toks")).where(
         F.size("toks") >= 2
     )
-    # Dictionary-encode every gram key to a 60-bit long BEFORE the
-    # instance stream hits any exchange (r14 — the r13 rung row spent
-    # 32.3 s of 123.3 s wall in GC carrying two strings per transition
-    # through the repartition + SMJ sorts): k = first 15 hex chars of
-    # md5('w1 w2') as a BIGINT, k1 likewise for the prefix. Long keys
-    # are primitive, radix-sortable, and 8 bytes fixed vs two heap
-    # strings per row. Engine-portable: the oracle replays the same
-    # md5-prefix fold, so grouping/join semantics are identical BY
-    # CONSTRUCTION — a (vanishingly unlikely) 60-bit collision merges
-    # the same keys in both engines. Tokens are \\S+ runs, so the
-    # space separator cannot collide two distinct bigrams.
-    def _k60(col: Column) -> Column:
-        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-
+    # Gram keys stay RAW STRINGS, deliberately (r14 A/B): an md5-
+    # prefix-fold dictionary encoding (60-bit long keys, oracle-
+    # replayable) was built and rung-measured at 179.2 s vs the
+    # string form's 123.3 s — two md5+conv calls per transition
+    # instance cost far more CPU than the string-carry saved, and GC
+    # stayed ~32 s (digest/concat churn replaces string churn). The
+    # measured fix for the instance stream's memory profile is below:
+    # the probs join streams instead of sorting.
     inst = base.select(
         F.col(id_col),
         F.explode(
@@ -410,13 +404,7 @@ def ngram_lm_score(
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("bg"),
-    ).select(
-        F.col(id_col),
-        _k60(
-            F.concat(F.col("bg.w1"), F.lit(" "), F.col("bg.w2"))
-        ).alias("k"),
-        _k60(F.col("bg.w1")).alias("k1"),
-    )
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     # Slice-bound the instance table on the join key (r13 — the qd14
     # 1000x fix class): the instances->probs SMJ sorts the whole
     # transition stream (~50 bigram rows per document, two strings
@@ -437,18 +425,24 @@ def ngram_lm_score(
         (n_docs if n_docs is not None else df.count()) / _BIGRAM_DOCS_PER_TASK
     )
     if want > base_par:
-        # partition on k alone: HashPartitioning(k) satisfies BOTH
-        # the (k, k1) count's clustering (k ⊆ {k, k1}) and the final
-        # instances->probs join on k — one exchange, two consumers
-        inst = inst.repartition(want, "k")
-    c2 = inst.groupBy("k", "k1").agg(
+        inst = inst.repartition(want, "w1", "w2")
+    c2 = inst.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("n_bi")
     )
-    c1 = c2.groupBy("k1").agg(F.sum("n_bi").cast("long").alias("n_prefix"))
-    probs = c2.join(c1, "k1").select(
-        "k", F.expr(f"({scale} * n_bi) div n_prefix").alias("q")
+    c1 = c2.groupBy("w1").agg(F.sum("n_bi").cast("long").alias("n_prefix"))
+    probs = c2.join(c1, "w1").select(
+        "w1", "w2", F.expr(f"({scale} * n_bi) div n_prefix").alias("q")
     )
-    scored = inst.join(probs, ["k"]).groupBy(id_col).agg(
+    # SHUFFLE_HASH on the Zipf-compressed probs side (r14): the SMJ
+    # alternative SORTS the whole fat transition stream per task —
+    # the dominant memory/GC term at the 5 M-doc rung even after the
+    # slice-bound repartition. A shuffled hash join builds its table
+    # from probs (distinct bigrams per partition — Zipf-small at any
+    # corpus size) and STREAMS the instance side: no instance sort,
+    # no growPointerArray, and the co-partitioned exchange above is
+    # still reused verbatim. (Values are join-key-equality exact —
+    # the physical strategy cannot change one output bit.)
+    scored = inst.join(probs.hint("shuffle_hash"), ["w1", "w2"]).groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum("q").cast("long").alias("sum_q"),
     )

@@ -299,21 +299,9 @@ def qt9_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# replay of operators/text.py::ngram_lm_score's 60-bit dictionary key:
-# fold the first 15 hex chars of the md5 digest to a BIGINT — exactly
-# Spark's conv(substring(md5(x), 1, 15), 16, 10) (digit j carries
-# weight 16^(14-j); 16^15 - 1 < 2^60 so no overflow on either engine)
-def _k60_fold(digest_col: str) -> str:
-    return "(" + " + ".join(
-        f"(strpos('0123456789abcdef', substring({digest_col}, {j + 1}, 1))"
-        f" - 1) * {16 ** (14 - j)}::BIGINT"
-        for j in range(15)
-    ) + ")"
-
-
 @register(
     "qt10_ngram_lm_score",
-    oracle=f"""
+    oracle="""
     WITH t AS (
       SELECT doc_id,
              list_filter(string_split(regexp_replace(text, '\\s', ' ', 'g'), ' '),
@@ -326,24 +314,16 @@ def _k60_fold(digest_col: str) -> str:
                     i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
       FROM t WHERE len(toks) >= 2
     ),
-    inst AS (
-      SELECT doc_id, {_k60_fold("_db")} AS k, {_k60_fold("_d1")} AS k1
-      FROM (
-        SELECT doc_id,
-               md5(bg.w1 || ' ' || bg.w2) AS _db,
-               md5(bg.w1) AS _d1
-        FROM b
-      )
-    ),
-    c2 AS (SELECT k, k1, count(*)::BIGINT AS n_bi FROM inst GROUP BY 1, 2),
-    c1 AS (SELECT k1, sum(n_bi)::BIGINT AS n_prefix FROM c2 GROUP BY 1),
+    inst AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+    c2 AS (SELECT w1, w2, count(*)::BIGINT AS n_bi FROM inst GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(n_bi)::BIGINT AS n_prefix FROM c2 GROUP BY 1),
     p AS (
-      SELECT k, (1000000 * n_bi) // n_prefix AS q
-      FROM c2 JOIN c1 USING (k1)
+      SELECT w1, w2, (1000000 * n_bi) // n_prefix AS q
+      FROM c2 JOIN c1 USING (w1)
     ),
     s AS (
       SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(q)::BIGINT AS sum_q
-      FROM inst JOIN p USING (k) GROUP BY doc_id
+      FROM inst JOIN p USING (w1, w2) GROUP BY doc_id
     )
     SELECT doc_id, n_bigrams, sum_q,
            floor((sum_q / n_bigrams / 1000000.0) * 1000000 + 0.5) / 1000000
