@@ -1464,6 +1464,98 @@ def maintain_index(
     return cell_fill_report(cent, cells, n_new, int(meta["expected"]))
 
 
+def _topn_probe_ranks(
+    pts: DataFrame, centroids: DataFrame, nprobe: int
+) -> DataFrame:
+    """SKINNY probe table (id, cid, probe_rank) — ``_topn_probes``
+    without the u join-back, for callers that attach payloads
+    themselves (or need the rank table twice — it is three longs per
+    row, checkpointable at any scale)."""
+    # u-free scored stream (the _argmax_assign r8 fix)
+    scored = pts.crossJoin(F.broadcast(centroids)).select(
+        "id", _dot_pre(F.col("u"), F.col("c")).alias("dot"), "cid"
+    )
+    best = scored.groupBy("id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("dot")).alias("nd"), F.col("cid")))
+            ),
+            1,
+            nprobe,
+        ).alias("top")
+    )
+    return best.select(
+        "id", F.posexplode("top").alias("pos", "p")
+    ).select(
+        "id",
+        F.col("p.cid").alias("cid"),
+        (F.col("pos") + 1).cast("long").alias("probe_rank"),
+    )
+
+
+def _topn_probe_ranks_halves(
+    pts: DataFrame,
+    cent1: DataFrame,
+    cent2: DataFrame,
+    d_half: int,
+    nprobe: int,
+    work_rows: int | None = None,
+) -> DataFrame:
+    """(id, t1, t2): BOTH halves' top-``nprobe`` probe lists from ONE
+    scored stream — ``imi_assign``'s tagged-union trick generalized
+    from argmax to top-n. The two sub-quantizers' centroids union
+    into one broadcast table tagged ``q`` ∈ {1, 2}; each point scores
+    all 2·k_each in a single crossJoin, and ONE map-side-combinable
+    aggregation collects both halves' (−dot, cid) lists (``when`` →
+    null → collect_list skips), sorts, and slices. Same dots, same
+    per-half tie order (ties → lowest cid) as two separate
+    ``_topn_probe_ranks`` passes — but one scan, one unit-vector
+    build, one exchange instead of two of each (the r14 qs28
+    stageprof measured each separate half-chain at ~80 s on 2 M
+    vectors). ``t[0]`` is the assigned cell (probe rank 1).
+
+    ``work_rows`` (= corpus rows × 2·k_each, which callers already
+    know — no counting job) pre-widens the point stream so the
+    tagged scored slice per task stays sort/spill-friendly (see
+    ``_widen_for_scoring``): the union DOUBLES per-task scored rows
+    vs a separate per-half pass, which is precisely the qs25 r11
+    partial-SortAggregate OOM class — the unwidened tagged form died
+    at the 2 M-vector rung in 4 g where the two separate chains
+    (half the slice each) had survived."""
+    c1 = cent1.select(F.lit(1).alias("q"), "cid", "c")
+    c2 = cent2.select(F.lit(2).alias("q"), "cid", "c")
+    cents = c1.unionByName(c2)
+    halved = _widen_for_scoring(
+        pts.select(
+            "id",
+            F.slice("u", 1, d_half).alias("u1"),
+            F.slice("u", d_half + 1, d_half).alias("u2"),
+        ),
+        work_rows,
+    )
+    scored = halved.crossJoin(F.broadcast(cents)).select(
+        "id",
+        "q",
+        "cid",
+        F.when(F.col("q") == 1, _dot_pre(F.col("u1"), F.col("c")))
+        .otherwise(_dot_pre(F.col("u2"), F.col("c")))
+        .alias("dot"),
+    )
+    entry = F.struct((-F.col("dot")).alias("nd"), F.col("cid"))
+    return scored.groupBy("id").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.when(F.col("q") == 1, entry))),
+            1,
+            nprobe,
+        ).alias("t1"),
+        F.slice(
+            F.array_sort(F.collect_list(F.when(F.col("q") == 2, entry))),
+            1,
+            nprobe,
+        ).alias("t2"),
+    )
+
+
 def _topn_probes(pts: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
     """(id, u, cid, probe_rank): each point's top-``nprobe`` nearest
     cells by dot product (ties → lowest cid) — ``_argmax_assign``
@@ -1478,26 +1570,7 @@ def _topn_probes(pts: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame
     which guarantees ``probe_rank`` 1 == the assigned cell (so
     callers needing the assignment filter on it instead of scoring
     the points a second time)."""
-    # u-free scored stream + join-back (the _argmax_assign r8 fix)
-    scored = pts.crossJoin(F.broadcast(centroids)).select(
-        "id", _dot_pre(F.col("u"), F.col("c")).alias("dot"), "cid"
-    )
-    best = scored.groupBy("id").agg(
-        F.slice(
-            F.array_sort(
-                F.collect_list(F.struct((-F.col("dot")).alias("nd"), F.col("cid")))
-            ),
-            1,
-            nprobe,
-        ).alias("top")
-    )
-    probes = best.select(
-        "id", F.posexplode("top").alias("pos", "p")
-    ).select(
-        "id",
-        F.col("p.cid").alias("cid"),
-        (F.col("pos") + 1).cast("long").alias("probe_rank"),
-    )
+    probes = _topn_probe_ranks(pts, centroids, nprobe)
     return pts.join(probes, "id").select("id", "u", "cid", "probe_rank")
 
 
@@ -2652,6 +2725,7 @@ def cosine_topk_imi_multiprobe_blas(
     train_df: DataFrame | None = None,
     cents: tuple[DataFrame, DataFrame] | None = None,
     quant: bool = False,
+    work_rows: int | None = None,
 ) -> DataFrame:
     """Multiprobe IMI at BLAS throughput — the last cell of the
     recall-knob × kernel matrix: qs24's 2×2 product probe grid (each
@@ -2676,6 +2750,8 @@ def cosine_topk_imi_multiprobe_blas(
     QUANTIZED-EXACT kernel, making the query hash-verified. ``cents``
     accepts the pre-trained half-quantizers (qs28 passes the memoized
     shared 'imi:' model)."""
+    from pyspark import StorageLevel
+
     pts = _unit_vectors(df, id_col, vec_col)
     h = _half_dim(df, vec_col)
     if cents is not None:
@@ -2689,23 +2765,48 @@ def cosine_topk_imi_multiprobe_blas(
         cent1, cent2 = kmeans_centroids_on_halves(
             tpts, h, k=k_each, n_iter=n_iter
         )
-    asg = imi_assign(pts, cent1, cent2, h)
-    d_packed = asg.groupBy("cid1", "cid2").agg(
-        F.collect_list(
-            F.struct(F.col("id"), F.col("u").alias("v"))
-        ).alias("d_items")
+    # ONE fold-scoring chain total (r14 — the qs28 stageprof
+    # attributed ~280 s of the 377.8 s rung row to THREE scoring
+    # chains: imi_assign's pass plus two separate probe passes, each
+    # rebuilding the scan→unit-vector map; an intermediate two-chain
+    # shape still paid 2×~80 s): both halves' top-n probe lists come
+    # from ONE tagged-union scored stream
+    # (``_topn_probe_ranks_halves`` — the imi_assign trick
+    # generalized to top-n), and the assignment is ``t[0]`` (probe
+    # rank 1 — the ranking's (−dot, cid) order is identical to the
+    # assignment argmax's, ``_topn_probes``' documented contract).
+    # The per-id probe row (id + two ≤nprobe struct arrays) is
+    # consumed twice (all rank combos → query side, rank-1 pair →
+    # database side); a DISK_ONLY localCheckpoint pins it so neither
+    # consumer re-runs the scoring. Output is bit-identical to the
+    # imi_assign shape (same dots, same tie order) — the oracle and
+    # the qs24 agreement pytest are unchanged.
+    both = _topn_probe_ranks_halves(
+        pts, cent1, cent2, h, nprobe_each, work_rows=work_rows
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    d_ids = both.select(
+        "id",
+        F.col("t1")[0]["cid"].alias("cid1"),
+        F.col("t2")[0]["cid"].alias("cid2"),
     )
-    p1 = _topn_probes(
-        pts.select("id", F.slice("u", 1, h).alias("u")), cent1, nprobe_each
-    ).select("id", F.col("cid").alias("cid1"))
-    p2 = _topn_probes(
-        pts.select("id", F.slice("u", h + 1, h).alias("u")),
-        cent2,
-        nprobe_each,
-    ).select("id", F.col("cid").alias("cid2"))
+    d_packed = (
+        pts.join(d_ids, "id")
+        .groupBy("cid1", "cid2")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("id"), F.col("u").alias("v"))
+            ).alias("d_items")
+        )
+    )
+    q_keys = (
+        both.select("id", F.explode("t1").alias("p1"), "t2")
+        .select(
+            "id", F.col("p1.cid").alias("cid1"), F.explode("t2").alias("p2")
+        )
+        .select("id", "cid1", F.col("p2.cid").alias("cid2"))
+    )
     q_packed = (
-        pts.join(p1, "id")
-        .join(p2, "id")
+        pts.join(q_keys, "id")
         .groupBy("cid1", "cid2")
         .agg(
             F.collect_list(

@@ -3893,6 +3893,9 @@ def qs28_cosine_topk_imi_multiprobe_blas(
         nprobe_each=2,
         cents=cents,
         quant=True,
+        # bounds the tagged scored stream's per-task sorter slice —
+        # the 2 M-row rung died without it (see _topn_probe_ranks_halves)
+        work_rows=n * 2 * k_each,
     ).withColumnRenamed("cosine", "cosine_q")
 
 
