@@ -115,10 +115,13 @@ HEADLINE_EXT = [
     "qd9b_simhash_pairs_capped",
     "qd7b_embedding_near_dup_pruned",
     "q36_approx_aggregates",
-    # r14: the quantized-dgemm pair kernel (qd7b's throughput twin)
-    # and the SimHash recall audit (bounded eval — constant cost)
+    # r14: the quantized-dgemm pair kernel (qd7b's throughput twin),
+    # the SimHash recall audits (bounded eval — constant cost), and
+    # the collapsed pairing they measure
     "qd7c_embedding_near_dup_blas",
     "qd9r_simhash_recall_audit",
+    "qd9c_simhash_pairs_collapsed",
+    "qd9r2_simhash_recall_audit_collapsed",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

@@ -1157,6 +1157,7 @@ def simhash_recall_audit(
     n_probes: int = 64,
     max_corpus: int = 65536,
     n_docs: int | None = None,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """Measured recall of the capped band-bucket candidate rule
     (qd9b's index) against exact-Hamming ground truth — the qs21/qs29
@@ -1205,6 +1206,14 @@ def simhash_recall_audit(
         .drop("_d")
     )
     fp = simhash(samp, id_col, text_col, bits, n_docs=min(n, max_corpus))
+    if collapse_identical:
+        # audit the COLLAPSED index (qd9c's candidate rule): each
+        # exact-fingerprint clique is represented once (min doc_id),
+        # so ground truth, banding, and the cap all range over
+        # representatives — the universe the collapsed pairer
+        # actually serves. Clique members are exact-dup territory,
+        # recovered upstream (see simhash_pairs).
+        fp = fp.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
     # one fingerprint table, four consumers (probes, corpus side,
     # hot-bucket count, shared-band probe) — checkpoint once, the
     # simhash_pairs pattern; (doc_id, long) rows, ~16 B/doc

@@ -863,6 +863,100 @@ def qd9b_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "qd9c_simhash_pairs_collapsed",
+    oracle="""
+    WITH sizen AS (SELECT count(*)::BIGINT AS n FROM documents),
+    sizew AS (
+      SELECT least(15, greatest(8,
+               CAST(ceil(log2(greatest(1, n // 4))) AS BIGINT))) AS w
+      FROM sizen
+    ),
+    tok0 AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, md5(token) AS h, md5('b:' || token) AS h2 FROM tok0
+    ),
+    expanded AS (
+      SELECT * FROM (SELECT doc_id, h, h2, unnest(range(60)) AS j FROM tok)
+      WHERE j < 4 * (SELECT w FROM sizew)
+    ),
+    per_bit AS (
+      SELECT doc_id, j,
+             sum((((strpos('0123456789abcdef',
+                           substr(CASE WHEN j < 32 THEN h ELSE h2 END,
+                                  (CASE WHEN j < 32 THEN j ELSE j - 32 END
+                                   + 1)::INT, 1)) - 1) % 2)
+                  * 2 - 1)::BIGINT) AS s
+      FROM expanded GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)
+               ::BIGINT AS simhash
+      FROM per_bit GROUP BY doc_id
+    ),
+    fpc AS (
+      SELECT min(doc_id) AS doc_id, simhash FROM fp GROUP BY simhash
+    ),
+    banded AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (band * (SELECT w FROM sizew))::INT)
+               & ((1::BIGINT << (SELECT w FROM sizew)::INT) - 1) AS bv
+      FROM fpc CROSS JOIN (SELECT unnest(range(4)) AS band)
+    ),
+    hot AS (
+      SELECT band, bv FROM banded GROUP BY band, bv HAVING count(*) > 32
+    ),
+    kept AS (
+      SELECT b.doc_id, b.simhash, b.band, b.bv
+      FROM banded b ANTI JOIN hot h ON b.band = h.band AND b.bv = h.bv
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS fp_a, b.simhash AS fp_b
+      FROM kept a
+      JOIN kept b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT DISTINCT doc_a, doc_b, bit_count(xor(fp_a, fp_b))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+    """,
+)
+def qd9c_simhash_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qd9b with ``collapse_identical=True`` — built as the
+    hypothesized mitigation for the recall cost qd9r measured (0.58
+    avg at sf0.1 under cap 32), then AUDITED: qd9r2 reports 0.584 vs
+    qd9r's 0.585 on the same universe — on this corpus collapsing
+    does NOT recover the capped recall, because the hot band values
+    are populated by NEAR-identical (distinct) fingerprints, which
+    collapse cannot merge. The honest value of the collapse is
+    candidate-VOLUME control, not recall: an identical-fingerprint
+    clique of c members emits c·(c-1)/2 pairs on one band reducer in
+    qd9b (a blowup no bucket cap can see when the clique spans many
+    buckets' worth of one value); here each clique is one
+    representative and intra-clique pairs are exact-dup territory
+    recovered upstream (qd1/qd2). Recall levers that DO move the
+    qd9r number are cap size, band count, and pinned width. The
+    collapse, sizing, cap, and Hamming verify are all
+    oracle-replayed."""
+    from spotify_pipeline_gcp_spark.operators.dedup import simhash_bits_for
+
+    docs = table(spark, sf_dir, "documents")
+    n = docs.count()
+    return simhash_pairs(
+        docs,
+        "doc_id",
+        "text",
+        bits=simhash_bits_for(n),
+        bands=4,
+        max_hamming=3,
+        max_bucket=32,
+        collapse_identical=True,
+        n_docs=n,
+    )
+
+
 # digest_unit replay over a `_d` column (queries/sampling.py keeps
 # the canonical copy; inlined here to keep module import order —
 # hence pre-window registration order — unchanged)
@@ -873,13 +967,20 @@ _UNIT_FOLD_D = " + ".join(
 )
 
 
-@register(
-    "qd9r_simhash_recall_audit",
-    # HASH-VERIFIED: sample membership (unit fold), adaptive width,
-    # fingerprints, probe draw, bucket cap, and the integer recall
-    # ratio are all replayed — every reported miss is attributable
-    # to the cap, measured, not narrated.
-    oracle=f"""
+def _simhash_audit_oracle(collapse: bool) -> str:
+    """Audit oracle for qd9r/qd9r2: sample fold, adaptive width,
+    fingerprints, optional exact-fingerprint collapse (the qd9c
+    universe), probe draw, bucket cap, integer recall."""
+    fp_src = "fpc" if collapse else "fp"
+    collapse_cte = (
+        """,
+    fpc AS (
+      SELECT min(doc_id) AS doc_id, simhash FROM fp GROUP BY simhash
+    )"""
+        if collapse
+        else ""
+    )
+    return f"""
     WITH sizen AS (SELECT count(*)::BIGINT AS n FROM documents),
     sizew AS (
       SELECT least(15, greatest(8,
@@ -917,19 +1018,19 @@ _UNIT_FOLD_D = " + ".join(
              sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)
                ::BIGINT AS simhash
       FROM per_bit GROUP BY doc_id
-    ),
+    ){collapse_cte},
     probes AS (
       SELECT doc_id, simhash FROM (
         SELECT doc_id, simhash,
                md5('shp:' || doc_id::VARCHAR) AS _p
-        FROM fp
+        FROM {fp_src}
       ) ORDER BY _p LIMIT 64
     ),
     banded AS (
       SELECT doc_id, band,
              (simhash >> (band * (SELECT w FROM sizew))::INT)
                & ((1::BIGINT << (SELECT w FROM sizew)::INT) - 1) AS bv
-      FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band)
+      FROM {fp_src} CROSS JOIN (SELECT unnest(range(4)) AS band)
     ),
     hot AS (
       SELECT band, bv FROM banded GROUP BY band, bv HAVING count(*) > 32
@@ -937,7 +1038,7 @@ _UNIT_FOLD_D = " + ".join(
     exact AS (
       SELECT p.doc_id AS probe_id, c.doc_id AS other_id,
              p.simhash AS fp_p, c.simhash AS fp_c
-      FROM probes p JOIN fp c ON p.doc_id <> c.doc_id
+      FROM probes p JOIN {fp_src} c ON p.doc_id <> c.doc_id
       WHERE bit_count(xor(p.simhash, c.simhash)) <= 3
     ),
     shared AS (
@@ -969,7 +1070,16 @@ _UNIT_FOLD_D = " + ".join(
     FROM probes p
     LEFT JOIN truec t ON p.doc_id = t.probe_id
     LEFT JOIN hits h ON p.doc_id = h.probe_id
-    """,
+    """
+
+
+@register(
+    "qd9r_simhash_recall_audit",
+    # HASH-VERIFIED: sample membership (unit fold), adaptive width,
+    # fingerprints, probe draw, bucket cap, and the integer recall
+    # ratio are all replayed — every reported miss is attributable
+    # to the cap, measured, not narrated.
+    oracle=_simhash_audit_oracle(collapse=False),
 )
 def qd9r_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall audit for qd9b's capped adaptive-width band index (r13
@@ -988,6 +1098,34 @@ def qd9r_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return simhash_recall_audit(
         docs, "doc_id", "text", n_docs=docs.count()
+    )
+
+
+@register(
+    "qd9r2_simhash_recall_audit_collapsed",
+    oracle=_simhash_audit_oracle(collapse=True),
+)
+def qd9r2_simhash_recall_audit_collapsed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """qd9r pointed at the COLLAPSED index (qd9c's candidate rule):
+    same bounded eval, but exact-fingerprint cliques are represented
+    once before banding, ground truth, and the cap — measuring
+    whether the hypothesized mitigation recovers the recall the cap
+    costs. MEASURED ANSWER (r14): no — 0.584 vs qd9r's 0.585 at
+    sf0.1 (hot band values come from near-identical, not identical,
+    fingerprints), and at the 5 M-doc rung BOTH audits report recall
+    1.0 over a near-empty ground truth (1 true pair in the sampled
+    universe) — direct confirmation that qd9b's pair shrinkage at
+    scale is the ADAPTIVE-WIDTH THRESHOLD tightening (Hamming ≤ 3 of
+    60 bits), not cap-driven recall loss. Collapse, sizing, cap, and
+    the integer recall ratio are all oracle-replayed —
+    hash-verified."""
+    from spotify_pipeline_gcp_spark.operators.dedup import simhash_recall_audit
+
+    docs = table(spark, sf_dir, "documents")
+    return simhash_recall_audit(
+        docs, "doc_id", "text", n_docs=docs.count(), collapse_identical=True
     )
 
 
