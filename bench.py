@@ -122,6 +122,7 @@ HEADLINE_EXT = [
     "qd9r_simhash_recall_audit",
     "qd9c_simhash_pairs_collapsed",
     "qd9r2_simhash_recall_audit_collapsed",
+    "qs30_cosine_topk_bucketed_blas_sized",
 ]
 # Not benched by design (all oracle-checked for correctness):
 # - qd8_dedup_components / qd10_semantic_dedup_components: iterative

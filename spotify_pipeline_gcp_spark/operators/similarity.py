@@ -530,6 +530,7 @@ def cosine_topk_bucketed_blas(
     n_bits: int = 4,
     n_sub: int = 1,
     quant: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """IVF-with-BLAS: the production ANN shape. Candidate pruning from
     ``cosine_topk_bucketed`` (sign-bucket code ≈ IVF cluster id) +
@@ -563,6 +564,13 @@ def cosine_topk_bucketed_blas(
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         )
     base = base.withColumn("bucket", sign_bucket("v", n_bits))
+    if max_bucket is not None:
+        # the sized shape's hot-bucket cap (qs13's r10 move): a dense
+        # region's bucket is dropped BEFORE packing, which bounds both
+        # the candidate volume (cap·n) and the per-task score matrix
+        # (≤ cap² × 8 B transient) — without it one mega-bucket block
+        # is a quadratic dgemm on one task
+        base = drop_hot_buckets(base, max_bucket)
     if n_sub > 1:
         base = base.withColumn("sub", F.pmod(F.xxhash64("id"), F.lit(n_sub)))
         packed = base.groupBy("bucket", "sub").agg(

@@ -1378,6 +1378,79 @@ def qs13_cosine_topk_bucketed_sized(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "qs30_cosine_topk_bucketed_blas_sized",
+    # HASH-VERIFIED: qs13's sizing + cap arithmetic replayed, with
+    # quantized-exact within-bucket scoring (the qs4/qs6 discipline)
+    oracle=f"""
+    WITH nb AS (
+      SELECT {_SIZED_BITS_SQL} AS bits FROM embeddings
+    ),
+    coded AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+             CAST(list_sum(list_transform(range(1, (SELECT bits FROM nb) + 1),
+                  j -> CASE WHEN embedding[j] > 0 THEN 1 << (j - 1) ELSE 0 END))
+                  AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    hot AS (
+      SELECT bucket FROM coded GROUP BY bucket
+      HAVING count(*) > {SIZED_BUCKET_CAP}
+    ),
+    kept AS (
+      SELECT c.* FROM coded c ANTI JOIN hot h ON c.bucket = h.bucket
+    ),
+    qb AS (
+      SELECT vec_id, bucket,
+             list_transform(v, x -> floor((x / norm) * {_QA} + 0.5)) AS qu
+      FROM kept
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.qu, b.qu) / {_QA * _QA} AS cosine_q
+      FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_q,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_q DESC, neighbor_id)::BIGINT AS rank
+    FROM pairs
+    QUALIFY rank <= 5
+    """,
+)
+def qs30_cosine_topk_bucketed_blas_sized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The AUTO-SIZED sign-bucket self-join at BLAS throughput — the
+    missing cell next to qs13 (sized fold, 270 s at the 1000× rung in
+    r10): same index arithmetic (bits = ``sign_bits_for(count)``, hot
+    buckets > ``MAX_SIGN_BUCKET`` dropped — both replayed by the
+    oracle), but each bucket packs into one row and scores against
+    itself as a single quantized-exact dgemm (the qd7c/qs6 kernel;
+    the cap also bounds the per-task score matrix at cap² × 8 B).
+    Hash-verified: ``cosine_q`` = qdot/2^40, dyadic in both engines.
+    qs13 remains the raw-float fold anchor over the same buckets —
+    this is the shape the 100 TB all-corpus hash-cell self-join
+    actually runs."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        MAX_SIGN_BUCKET,
+        cosine_topk_bucketed_blas,
+        sign_bits_for,
+    )
+    from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    n_bits = sign_bits_for(emb.count())
+    return cosine_topk_bucketed_blas(
+        emb,
+        k=5,
+        n_bits=n_bits,
+        quant=True,
+        max_bucket=MAX_SIGN_BUCKET,
+    ).withColumnRenamed("cosine", "cosine_q")
+
+
+@register(
     "qs14_cosine_topk_ivf_kmeans_sized",
     oracle=_ivf_kmeans_oracle(
         "(SELECT k FROM sizek)",

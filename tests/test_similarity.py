@@ -1197,3 +1197,25 @@ def test_assign_quant_fold_equals_quant_blas(spark):
         _unit_vectors(pts, "vec_id", "embedding"), tie_cent
     ).collect()[0]
     assert f.cid == 0 and b.cid == 0
+
+
+def test_sized_blas_buckets_match_sized_fold_buckets(spark):
+    # qs30 (quantized dgemm over auto-sized sign buckets) must produce
+    # the same (query, neighbor, rank) triples as qs13 (hash-verified
+    # fold over the SAME buckets + cap) — any diff is kernel-level,
+    # and the 2^-20 quantization must not reorder ranks on this data
+    from spotify_pipeline_gcp_spark.queries.similarity import (
+        qs13_cosine_topk_bucketed_sized,
+        qs30_cosine_topk_bucketed_blas_sized,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    fold = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in qs13_cosine_topk_bucketed_sized(spark, sf_dir).collect()
+    }
+    blas = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in qs30_cosine_topk_bucketed_blas_sized(spark, sf_dir).collect()
+    }
+    assert fold == blas and len(fold) > 0
