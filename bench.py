@@ -158,8 +158,21 @@ def _calibration(spark, sf_dir: str, reps: int = 3) -> dict[str, float]:
             "count(*) AS n",
         ).collect()
 
+    def job() -> None:
+        # r14: fixed per-JOB scheduler latency — 10 trivial actions.
+        # cpu_sec/scan_sec measure throughput; neither captures the
+        # per-job fixed cost, which varies ~5-10x across sandbox
+        # classes (measured 0.10-0.16 s/job on the r14 box vs the
+        # ~0.02-0.04 s/job the r13 numbers imply) and dominates
+        # multi-job queries (Lloyd loops, streaming triggers, AQE
+        # stage rounds) at toy SF. Recorded so cross-round per-query
+        # deltas can be attributed to code vs box. ~(value/10 -
+        # cheap-eval) approximates seconds per job.
+        for _ in range(10):
+            spark.range(1).selectExpr("count(*)").collect()
+
     out: dict[str, float] = {}
-    for key, fn in (("cpu_sec", cpu), ("scan_sec", scan)):
+    for key, fn in (("cpu_sec", cpu), ("scan_sec", scan), ("job_sec", job)):
         fn()  # warm
         runs = []
         for _ in range(reps):

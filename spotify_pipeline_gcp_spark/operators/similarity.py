@@ -16,9 +16,38 @@ path is the drop-in replacement where throughput demands it (see
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _no_aqe(spark):
+    """Scope ``spark.sql.adaptive.enabled=false`` around a
+    model-training loop (r14, guide §1.2/§2.4 job-count reduction).
+
+    Every Lloyd-style trainer here runs a FIXED number of iterations
+    over a k·d-bounded model against a sample-sized point frame; AQE
+    has nothing to re-plan (no skew, no join-strategy surprises, the
+    broadcast side is an explicit literal frame) but each AQE query
+    stage materializes as a SEPARATE scheduler round — measured on
+    this box at ~0.1 s fixed latency per job, 3-5 extra jobs per
+    iteration across the loops. With AQE scoped off, each per-
+    iteration collect is ONE multi-stage job. Results are bit
+    identical by construction: assignment dots are per-row folds,
+    argmax is a commutative struct-max, and the centroid update is a
+    quantized-integer sum that commutes under ANY partitioning —
+    that determinism contract is what makes the trainers
+    oracle-replayable in the first place, independent of AQE. The
+    conf is restored in ``finally`` so the surrounding query (which
+    DOES want AQE: real scans, real joins) is untouched."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -966,22 +995,25 @@ def kmeans_centroids_on(pts: DataFrame, k: int, n_iter: int = 2) -> DataFrame:
     spark = pts.sparkSession
     pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        cent = _seeded_init(pts, k)
-        for _ in range(n_iter):
-            assigned = _argmax_assign(pts, cent)
-            means = _cell_means(assigned, "cid")
-            new_cent = means.select(
-                "cid",
-                F.transform(
-                    "mv",
-                    lambda x: x / F.sqrt(_dot_pre(F.col("mv"), F.col("mv"))),
-                ).alias("c"),
-            )
-            # O(k·d) model state to the driver, re-broadcast next
-            # round — truncates plan growth; this is model exchange,
-            # not data collection (size independent of |df|).
-            rows = [(r["cid"], list(r["c"])) for r in new_cent.collect()]
-            cent = spark.createDataFrame(rows, "cid long, c array<double>")
+        with _no_aqe(spark):
+            cent = _seeded_init(pts, k)
+            for _ in range(n_iter):
+                assigned = _argmax_assign(pts, cent)
+                means = _cell_means(assigned, "cid")
+                new_cent = means.select(
+                    "cid",
+                    F.transform(
+                        "mv",
+                        lambda x: x
+                        / F.sqrt(_dot_pre(F.col("mv"), F.col("mv"))),
+                    ).alias("c"),
+                )
+                # O(k·d) model state to the driver, re-broadcast next
+                # round — truncates plan growth; this is model
+                # exchange, not data collection (size independent of
+                # |df|).
+                rows = [(r["cid"], list(r["c"])) for r in new_cent.collect()]
+                cent = spark.createDataFrame(rows, "cid long, c array<double>")
     finally:
         pts.unpersist(blocking=False)
     return cent
@@ -1174,20 +1206,22 @@ def kmeans_centroids_quant_on(
     spark = pts.sparkSession
     pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        cent = _seeded_init(pts, k)
-        for _ in range(n_iter):
-            asg = assign_clusters_quant_blas(pts, cent)
-            assigned = pts.join(asg, "id").select("id", "u", "cid")
-            means = _cell_means(assigned, "cid")
-            new_cent = means.select(
-                "cid",
-                F.transform(
-                    "mv",
-                    lambda x: x / F.sqrt(_dot_pre(F.col("mv"), F.col("mv"))),
-                ).alias("c"),
-            )
-            rows = [(r["cid"], list(r["c"])) for r in new_cent.collect()]
-            cent = spark.createDataFrame(rows, "cid long, c array<double>")
+        with _no_aqe(spark):
+            cent = _seeded_init(pts, k)
+            for _ in range(n_iter):
+                asg = assign_clusters_quant_blas(pts, cent)
+                assigned = pts.join(asg, "id").select("id", "u", "cid")
+                means = _cell_means(assigned, "cid")
+                new_cent = means.select(
+                    "cid",
+                    F.transform(
+                        "mv",
+                        lambda x: x
+                        / F.sqrt(_dot_pre(F.col("mv"), F.col("mv"))),
+                    ).alias("c"),
+                )
+                rows = [(r["cid"], list(r["c"])) for r in new_cent.collect()]
+                cent = spark.createDataFrame(rows, "cid long, c array<double>")
     finally:
         pts.unpersist(blocking=False)
     return cent
@@ -1777,7 +1811,8 @@ def kmeans_centroids_blas(
     spark = df.sparkSession
     ensure_package_on_workers(spark)
     pts = _unit_vectors(df, id_col, vec_col)
-    init = _seeded_init(pts, k).collect()
+    with _no_aqe(spark):
+        init = _seeded_init(pts, k).collect()
     cent = np.stack(
         [
             np.asarray(r["c"], dtype="float64")
@@ -2016,51 +2051,60 @@ def kmeans_centroids_on_halves(
         ).alias("s", "u"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        top = (
-            pts.select(
-                "id", "u", F.md5(F.col("id").cast("string")).alias("ik")
-            )
-            .orderBy("ik", "id")
-            .limit(k)
-            .collect()
-        )
-        rows = [
-            (s, cid, list(r["u"])[s * d_half : (s + 1) * d_half])
-            for s in range(2)
-            for cid, r in enumerate(top)
-        ]
-        cent = spark.createDataFrame(rows, "s int, cid long, c array<double>")
-        for _ in range(n_iter):
-            scored = subs.join(F.broadcast(cent), "s").withColumn(
-                "score", _dot_pre(F.col("u"), F.col("c"))
-            )
-            assigned = (
-                scored.groupBy("s", "id")
-                .agg(
-                    F.max(
-                        F.struct(F.col("score"), (-F.col("cid")).alias("ncid"))
-                    ).alias("best"),
-                    F.first("u").alias("u"),
+        with _no_aqe(spark):
+            top = (
+                pts.select(
+                    "id", "u", F.md5(F.col("id").cast("string")).alias("ik")
                 )
-                .select(
-                    "s", "u", (-F.col("best.ncid")).cast("long").alias("cid")
-                )
-            )
-            means = _cell_means(assigned, ["s", "cid"])
-            new_cent = means.select(
-                "s",
-                "cid",
-                F.transform(
-                    "mv",
-                    lambda x: x / F.sqrt(_dot_pre(F.col("mv"), F.col("mv"))),
-                ).alias("c"),
+                .orderBy("ik", "id")
+                .limit(k)
+                .collect()
             )
             rows = [
-                (r["s"], r["cid"], list(r["c"])) for r in new_cent.collect()
+                (s, cid, list(r["u"])[s * d_half : (s + 1) * d_half])
+                for s in range(2)
+                for cid, r in enumerate(top)
             ]
             cent = spark.createDataFrame(
                 rows, "s int, cid long, c array<double>"
             )
+            for _ in range(n_iter):
+                scored = subs.join(F.broadcast(cent), "s").withColumn(
+                    "score", _dot_pre(F.col("u"), F.col("c"))
+                )
+                assigned = (
+                    scored.groupBy("s", "id")
+                    .agg(
+                        F.max(
+                            F.struct(
+                                F.col("score"), (-F.col("cid")).alias("ncid")
+                            )
+                        ).alias("best"),
+                        F.first("u").alias("u"),
+                    )
+                    .select(
+                        "s",
+                        "u",
+                        (-F.col("best.ncid")).cast("long").alias("cid"),
+                    )
+                )
+                means = _cell_means(assigned, ["s", "cid"])
+                new_cent = means.select(
+                    "s",
+                    "cid",
+                    F.transform(
+                        "mv",
+                        lambda x: x
+                        / F.sqrt(_dot_pre(F.col("mv"), F.col("mv"))),
+                    ).alias("c"),
+                )
+                rows = [
+                    (r["s"], r["cid"], list(r["c"]))
+                    for r in new_cent.collect()
+                ]
+                cent = spark.createDataFrame(
+                    rows, "s int, cid long, c array<double>"
+                )
     finally:
         subs.unpersist(blocking=False)
     halves = {}
@@ -2086,25 +2130,29 @@ def kmeans_l2_on(pts: DataFrame, k: int, n_iter: int = 2) -> DataFrame:
     contract as ``kmeans_centroids_on``: seeded-md5 init, fixed
     iterations, ties → lowest cid."""
     spark = pts.sparkSession
-    cent = _seeded_init(pts, k)
-    for _ in range(n_iter):
-        withcc = cent.withColumn("cc", _dot_pre(F.col("c"), F.col("c")))
-        scored = pts.crossJoin(F.broadcast(withcc)).withColumn(
-            "score", _dot_pre(F.col("u"), F.col("c")) - F.lit(0.5) * F.col("cc")
-        )
-        assigned = (
-            scored.groupBy("id")
-            .agg(
-                F.max(
-                    F.struct(F.col("score"), (-F.col("cid")).alias("ncid"))
-                ).alias("best"),
-                F.first("u").alias("u"),
+    with _no_aqe(spark):
+        cent = _seeded_init(pts, k)
+        for _ in range(n_iter):
+            withcc = cent.withColumn("cc", _dot_pre(F.col("c"), F.col("c")))
+            scored = pts.crossJoin(F.broadcast(withcc)).withColumn(
+                "score",
+                _dot_pre(F.col("u"), F.col("c")) - F.lit(0.5) * F.col("cc"),
             )
-            .select("id", "u", (-F.col("best.ncid")).cast("long").alias("cid"))
-        )
-        means = _cell_means(assigned, "cid")
-        rows = [(r["cid"], list(r["mv"])) for r in means.collect()]
-        cent = spark.createDataFrame(rows, "cid long, c array<double>")
+            assigned = (
+                scored.groupBy("id")
+                .agg(
+                    F.max(
+                        F.struct(F.col("score"), (-F.col("cid")).alias("ncid"))
+                    ).alias("best"),
+                    F.first("u").alias("u"),
+                )
+                .select(
+                    "id", "u", (-F.col("best.ncid")).cast("long").alias("cid")
+                )
+            )
+            means = _cell_means(assigned, "cid")
+            rows = [(r["cid"], list(r["mv"])) for r in means.collect()]
+            cent = spark.createDataFrame(rows, "cid long, c array<double>")
     return cent
 
 
@@ -2140,50 +2188,59 @@ def pq_codebooks(
         ).alias("s", "u"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        # seeded init: the same k md5(id)-ranked points seed every
-        # subspace (one TakeOrdered job; slices taken driver-side)
-        top = (
-            pts.select(
-                "id", "u", F.md5(F.col("id").cast("string")).alias("ik")
-            )
-            .orderBy("ik", "id")
-            .limit(k_pq)
-            .collect()
-        )
-        cent_rows = [
-            (s, cid, list(r["u"])[s * d_sub : (s + 1) * d_sub])
-            for s in range(m)
-            for cid, r in enumerate(top)
-        ]
-        cent = spark.createDataFrame(
-            cent_rows, "s int, cid long, c array<double>"
-        )
-        rows = cent_rows  # n_iter=0 returns the seeded codebooks
-        for _ in range(n_iter):
-            withcc = cent.withColumn("cc", _dot_pre(F.col("c"), F.col("c")))
-            scored = subs.join(F.broadcast(withcc), "s").withColumn(
-                "score",
-                _dot_pre(F.col("u"), F.col("c")) - F.lit(0.5) * F.col("cc"),
-            )
-            assigned = (
-                scored.groupBy("s", "id")
-                .agg(
-                    F.max(
-                        F.struct(F.col("score"), (-F.col("cid")).alias("ncid"))
-                    ).alias("best"),
-                    F.first("u").alias("u"),
+        with _no_aqe(spark):
+            # seeded init: the same k md5(id)-ranked points seed every
+            # subspace (one TakeOrdered job; slices taken driver-side)
+            top = (
+                pts.select(
+                    "id", "u", F.md5(F.col("id").cast("string")).alias("ik")
                 )
-                .select(
-                    "s", "u", (-F.col("best.ncid")).cast("long").alias("cid")
-                )
+                .orderBy("ik", "id")
+                .limit(k_pq)
+                .collect()
             )
-            means = _cell_means(assigned, ["s", "cid"])
-            rows = [
-                (r["s"], r["cid"], list(r["mv"])) for r in means.collect()
+            cent_rows = [
+                (s, cid, list(r["u"])[s * d_sub : (s + 1) * d_sub])
+                for s in range(m)
+                for cid, r in enumerate(top)
             ]
             cent = spark.createDataFrame(
-                rows, "s int, cid long, c array<double>"
+                cent_rows, "s int, cid long, c array<double>"
             )
+            rows = cent_rows  # n_iter=0 returns the seeded codebooks
+            for _ in range(n_iter):
+                withcc = cent.withColumn(
+                    "cc", _dot_pre(F.col("c"), F.col("c"))
+                )
+                scored = subs.join(F.broadcast(withcc), "s").withColumn(
+                    "score",
+                    _dot_pre(F.col("u"), F.col("c"))
+                    - F.lit(0.5) * F.col("cc"),
+                )
+                assigned = (
+                    scored.groupBy("s", "id")
+                    .agg(
+                        F.max(
+                            F.struct(
+                                F.col("score"), (-F.col("cid")).alias("ncid")
+                            )
+                        ).alias("best"),
+                        F.first("u").alias("u"),
+                    )
+                    .select(
+                        "s",
+                        "u",
+                        (-F.col("best.ncid")).cast("long").alias("cid"),
+                    )
+                )
+                means = _cell_means(assigned, ["s", "cid"])
+                rows = [
+                    (r["s"], r["cid"], list(r["mv"]))
+                    for r in means.collect()
+                ]
+                cent = spark.createDataFrame(
+                    rows, "s int, cid long, c array<double>"
+                )
     finally:
         subs.unpersist(blocking=False)
     final = {}

@@ -41,8 +41,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 # quantized-dgemm per-bucket pair kernel, never driver-verified),
 # qd9r (NEW: the SimHash recall audit, r13 verdict item #3), qd10
 # (edge kernel switched to the dgemm AND its oracle's np CTE now
-# replays quantized dots), qt10 (bigram keys dictionary-encoded to
-# 60-bit longs, oracle replays the fold), qd3b (the capped path now
+# replays quantized dots), qt10 (probs join switched to SHUFFLE_HASH
+# — the dictionary-encoding A/B measured worse and was reverted, see
+# operators/text.py:390 — oracle unchanged), qd3b (the capped path now
 # count-caps BEFORE collect_list — same oracle, new plan) — then ALL
 # 45 r11-latest queries. 5 + 45 = exactly 50. qd8/qd12 share qd3b's
 # changed path but keep their r13 rows (1 round old) and identical
