@@ -2409,9 +2409,25 @@ def _qt_all_literal(
     so they belong in the plan as literals — the same collect-the-
     model convention as every trainer. Each entry replays the exact
     oracle arithmetic: floor(fold(slice(u) · c) · QSCALE + 0.5), with
-    the same left-to-right fold over the same doubles (F.lit
-    round-trips the collected float64 exactly), so every hash-verified
-    consumer stays bit-identical."""
+    the same left-to-right fold over the same doubles, so every
+    hash-verified consumer stays bit-identical.
+
+    r14 construction rewrite (values unchanged): the original form
+    built m·k_pq per-entry expressions, each with its own d_sub
+    ``F.lit`` calls — ~1.4k py4j round-trips, measured at ~5 s of
+    DRIVER time per call on a 2 ms-roundtrip box, paid per qst8
+    MICRO-BATCH. Now each sub-table is ONE SQL-parsed literal
+    k_pq×d_sub matrix (``F.expr`` — a single round-trip; ``repr``
+    floats parse back to the identical float64, both parsers are
+    correctly rounded) folded by ONE ``transform`` lambda, ~50
+    round-trips total. Per entry the evaluated ops are the same
+    zip_with/aggregate/floor chain over the same doubles. Dead slots
+    (a sub-codebook missing a mid-range cid to an empty Lloyd
+    cluster — codes that can never appear in pq_encode output) are
+    all-zero vectors: the fold is exactly 0.0 and floor(0.5) = 0,
+    the same long 0 the per-entry form emitted (an EMPTY array would
+    be wrong — zip_with null-pads the shorter side and the fold
+    would yield NULL)."""
     rows: dict[tuple[int, int], list[float]] = {}
     k_pq = 0
     for s, b in enumerate(books):
@@ -2419,34 +2435,36 @@ def _qt_all_literal(
             rows[(s, int(r["cid"]))] = [float(x) for x in r["c"]]
             k_pq = max(k_pq, int(r["cid"]) + 1)
 
-    def entry(s: int, code: int) -> Column:
-        # k_pq is the global max cid+1 across ALL books; a sub-codebook
-        # that lost a mid-range cid to an empty Lloyd cluster (or just
-        # has a smaller max) legitimately lacks that (s, code) entry.
-        # Such codes can never appear in pq_encode output for that s,
-        # so the table slot is dead — emit literal 0 instead of raising.
-        c = rows.get((s, code))
-        if c is None:
-            return F.lit(0).cast("long")
-        zipped = F.zip_with(
-            F.slice(F.col(u_col), s * d_sub + 1, d_sub),
-            F.array(*[F.lit(x) for x in c]),
-            lambda x, y: x * y,
-        )
-        return (
-            F.floor(
-                F.aggregate(zipped, F.lit(0.0), lambda a, v: a + v)
+    def _dlit(x: float) -> str:
+        # repr() is the shortest round-tripping decimal; Spark's
+        # parser (Java parseDouble) is correctly rounded, so the
+        # parsed double is bit-identical to the collected one
+        return repr(float(x)) + "D"
+
+    def table(s: int) -> Column:
+        cells = []
+        for code in range(k_pq):
+            c = rows.get((s, code)) or [0.0] * d_sub
+            cells.append("array(" + ",".join(_dlit(x) for x in c) + ")")
+        mat = F.expr("array(" + ",".join(cells) + ")")
+        return F.transform(
+            mat,
+            lambda c: F.floor(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col(u_col), s * d_sub + 1, d_sub),
+                        c,
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
                 * F.lit(float(_QSCALE))
                 + F.lit(0.5)
-            )
-        ).cast("long")
+            ).cast("long"),
+        )
 
-    return F.array(
-        *[
-            F.array(*[entry(s, code) for code in range(k_pq)])
-            for s in range(m)
-        ]
-    )
+    return F.array(*[table(s) for s in range(m)])
 
 
 def _ivfpq_gather_topk(

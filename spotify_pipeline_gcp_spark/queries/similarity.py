@@ -1966,15 +1966,28 @@ def read_ivfpq_store(spark: SparkSession, path: str):
     """(books: list[DataFrame], assigned: DataFrame, meta) from an
     ``ensure_ivfpq_store`` directory. Parquet round-trips the float64
     codebook entries and int64 cells/codes exactly, so ADC scores
-    from the store are bit-identical to the build-time values."""
+    from the store are bit-identical to the build-time values.
+
+    Like ``read_pq_store`` (r14): the codebooks are model state and
+    come back as LOCAL frames — one scan+collect here instead of a
+    per-consumer parquet scan + filter + sort job each time they are
+    collected into literal tables. ``assigned`` (the corpus) stays a
+    distributed scan."""
     import json
     import os
 
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
     tagged = spark.read.parquet(os.path.join(path, "books"))
+    brows = tagged.select("s", "cid", "c").collect()
     books = [
-        tagged.where(F.col("s") == s).select("cid", "c").orderBy("cid")
+        spark.createDataFrame(
+            sorted(
+                ((int(r["cid"]), list(r["c"])) for r in brows
+                 if int(r["s"]) == s)
+            ),
+            "cid long, c array<double>",
+        )
         for s in range(int(meta["m"]))
     ]
     assigned = spark.read.parquet(os.path.join(path, "assigned"))
@@ -3428,15 +3441,29 @@ def read_pq_store(spark: SparkSession, path: str):
     """(books: list[DataFrame], codes: DataFrame, meta) from an
     ``ensure_pq_store`` directory. Parquet round-trips the float64
     codebook entries and int64 codes exactly, so ADC scores computed
-    from the store are bit-identical to in-line training."""
+    from the store are bit-identical to in-line training.
+
+    The codebooks are O(m·k_pq·d_sub) MODEL state, so they come back
+    as LOCAL frames (one scan+collect here, r14): consumers collect
+    them into literal lookup tables — qst8 once per MICRO-BATCH — and
+    a local frame makes that a no-job LocalTableScan instead of a
+    parquet scan + filter + sort job every time. ``codes`` (the
+    corpus) stays a distributed scan, as it must."""
     import json
     import os
 
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
     tagged = spark.read.parquet(os.path.join(path, "books"))
+    brows = tagged.select("s", "cid", "c").collect()
     books = [
-        tagged.where(F.col("s") == s).select("cid", "c").orderBy("cid")
+        spark.createDataFrame(
+            sorted(
+                ((int(r["cid"]), list(r["c"])) for r in brows
+                 if int(r["s"]) == s)
+            ),
+            "cid long, c array<double>",
+        )
         for s in range(int(meta["m"]))
     ]
     codes = spark.read.parquet(os.path.join(path, "codes")).select(

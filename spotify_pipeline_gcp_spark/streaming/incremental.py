@@ -638,6 +638,20 @@ def streaming_index_maintenance(
     )
 
     cent, cells, meta = read_index_manifest(spark, manifest_path)
+    # Model state (k×d centroids, k-row fill counts) as LOCAL frames
+    # (r14): every micro-batch broadcasts ``cent`` into its assignment
+    # and joins ``cells`` into its state read — as parquet-derived
+    # frames each batch re-ran those scans as separate jobs; a local
+    # frame broadcast is job-free. One collect per CALL, k-bounded,
+    # float64/int64 round-trip exact.
+    cent = spark.createDataFrame(
+        sorted((int(r["cid"]), list(r["c"])) for r in cent.collect()),
+        "cid long, c array<double>",
+    )
+    cells = spark.createDataFrame(
+        sorted((int(r["cid"]), int(r["n_indexed"])) for r in cells.collect()),
+        "cid long, n_indexed long",
+    )
     expected = int(meta["expected"])
     store = store_dir or tempfile.mkdtemp(prefix="index_maint_store_")
     deltas_path = os.path.join(store, "cell_deltas")
@@ -651,10 +665,19 @@ def streaming_index_maintenance(
                 os.path.join(sf_dir, "embeddings.parquet")
             )
             delta = emb.where(F.col("label") % 10 == 0)
-            for i in range(2):
-                delta.where(F.col("vec_id") % 2 == i).coalesce(1).write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(spool, f"f{i}"))
+            # ONE corpus scan writes both spool files via partitionBy
+            # (r14, guide §1.2): the previous two per-half writes each
+            # re-ran the scan+filter. File contents are identical —
+            # same vec_id%2 split, one file per partition dir from the
+            # single writer task; the stream reader's explicit schema
+            # + recursiveFileLookup ignores the _f dir name.
+            (
+                delta.withColumn("_f", (F.col("vec_id") % 2).cast("int"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .partitionBy("_f")
+                .parquet(spool)
+            )
         delta_stream = (
             spark.readStream.schema(EMBEDDINGS_STREAM_SCHEMA)
             .option("maxFilesPerTrigger", 1)
@@ -810,10 +833,23 @@ def streaming_ann_serving(
                 .limit(64)
                 .drop("_d")
             )
-            for i in range(2):
-                qsel.where(F.col("vec_id") % 2 == i).coalesce(1).write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(spool, f"f{i}"))
+            # ONE scan+TakeOrdered writes both spool files via
+            # partitionBy (r14, guide §1.2) — the previous loop re-ran
+            # the scan + md5 sort per half. Same rows per file (same
+            # vec_id%2 split); the stream reader's explicit schema +
+            # recursiveFileLookup ignores the _f dir name. A
+            # collect + per-half local-frame write was A/B-measured
+            # first and REJECTED: writing a local relation through
+            # coalesce(1) costs ~4-5 s of fixed driver-side overhead
+            # per write on this box (qst8 8.5 -> 13.7 s), while this
+            # single distributed write is ~0.4-1.0 s.
+            (
+                qsel.withColumn("_f", (F.col("vec_id") % 2).cast("int"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .partitionBy("_f")
+                .parquet(spool)
+            )
         query_stream = (
             spark.readStream.schema(EMBEDDINGS_STREAM_SCHEMA)
             .option("maxFilesPerTrigger", 1)
