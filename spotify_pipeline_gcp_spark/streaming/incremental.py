@@ -654,7 +654,6 @@ def streaming_index_maintenance(
     )
     expected = int(meta["expected"])
     store = store_dir or tempfile.mkdtemp(prefix="index_maint_store_")
-    deltas_path = os.path.join(store, "cell_deltas")
     reports_path = os.path.join(store, "reports")
     ckpt_path = os.path.join(store, "checkpoint")
 
@@ -687,16 +686,21 @@ def streaming_index_maintenance(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # state visible to batch b = manifest base + deltas of batches
-        # STRICTLY BEFORE b (own directory excluded: replay safety)
+        # STRICTLY BEFORE b (own directory excluded: replay safety).
+        # The per-batch report CARRIES its n_delta column, so earlier
+        # reports ARE the delta store — a separate cell_deltas write
+        # per batch was measured at ~1.05 s of pure small-file commit
+        # overhead per micro-batch (r14) and removed; parquet column
+        # pruning reads only (cid, n_delta) back out of the reports.
         prior = (
             [
-                os.path.join(deltas_path, d)
-                for d in sorted(os.listdir(deltas_path))
+                os.path.join(reports_path, d)
+                for d in sorted(os.listdir(reports_path))
                 if d.startswith("b")
                 and d[1:].isdigit()
                 and int(d[1:]) < batch_id
             ]
-            if os.path.isdir(deltas_path)
+            if os.path.isdir(reports_path)
             else []
         )
         state = cells
@@ -726,15 +730,19 @@ def streaming_index_maintenance(
             .groupBy("cid")
             .agg(F.count(F.lit(1)).cast("long").alias("n_delta"))
         )
-        report = cell_fill_report(cent, state, nd, expected).persist()
-        report.write.mode("overwrite").parquet(
+        report = cell_fill_report(cent, state, nd, expected)
+        # k-row (index-sized) report: one output file keeps the
+        # commit fast AND the cross-batch state reads single-file.
+        # A/B measured and REJECTED (r14): F.broadcast hints on
+        # cell_fill_report's k-row join sides — each micro-batch then
+        # builds two BroadcastExchanges whose driver-side build cost
+        # ~1 s apiece on this box (6 builds per drained query),
+        # regressing qst7 3.8 -> 10.4 s; the unhinted k-row SMJ
+        # exchanges are AQE-coalesced and cheaper than the builds.
+        report.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(reports_path, f"b{batch_id}")
         )
-        report.select("cid", "n_delta").write.mode("overwrite").parquet(
-            os.path.join(deltas_path, f"b{batch_id}")
-        )
         lastplan.record_batch(report)
-        report.unpersist()
 
     q = (
         delta_stream.writeStream.foreachBatch(sink)
@@ -744,11 +752,12 @@ def streaming_index_maintenance(
     )
     q.awaitTermination()
 
-    if not os.path.isdir(deltas_path):
+    if not os.path.isdir(reports_path):
         empty = spark.createDataFrame([], "cid long, n_delta long")
         return cell_fill_report(cent, cells, empty, expected)
     alld = (
-        spark.read.parquet(os.path.join(deltas_path, "b*"))
+        spark.read.parquet(os.path.join(reports_path, "b*"))
+        .select("cid", "n_delta")
         .groupBy("cid")
         .agg(F.sum("n_delta").cast("long").alias("n_delta"))
     )
