@@ -123,18 +123,28 @@ def qt5_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace split vs a BPE-ish regex
     (letter runs / digit runs / single symbols — the pre-tokenizer
     shape most BPE vocabularies assume). Both are single-pass column
-    expressions; the regex class set is RE2/Java-portable."""
+    expressions; the regex class set is RE2/Java-portable.
+
+    r14: ``ws_tokens`` comes from length arithmetic (a single-space
+    split yields exactly #spaces + 1 parts, empties included on both
+    engines) instead of materializing the split array to take its
+    size. The regex counts use ``regexp_count``, which Spark 4.1
+    lowers to ``size(regexp_extract_all(...))`` (RuntimeReplaceable)
+    — measured identical, kept for intent; the regex-engine walk is
+    the per-task floor either way. Same oracle, hash-verified."""
     from pyspark.sql import functions as F
 
     docs = table(spark, sf_dir, "documents")
-    bpeish = F.regexp_extract_all(
-        F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0
+    n_spaces = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
     )
     return docs.select(
         "doc_id",
-        F.size(F.split("text", " ", -1)).cast("long").alias("ws_tokens"),
-        F.size(bpeish).cast("long").alias("bpeish_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0))
+        (n_spaces + F.lit(1)).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+        .cast("long")
+        .alias("bpeish_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]+"))
         .cast("long")
         .alias("number_runs"),
     )

@@ -189,7 +189,7 @@ def main() -> int:
         "lineitem", "orders", "customer", "events", "documents", "embeddings",
     ]:
         if want(t):
-            _normalize_layout(f"{dst}/{t}.parquet")
+            _normalize_layout(f"{dst}/{t}.parquet", t)
             c = con.execute(
                 f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')"
             ).fetchone()[0]
@@ -197,7 +197,19 @@ def main() -> int:
     return 0
 
 
-def _normalize_layout(path: str) -> None:
+# Narrow all-numeric tables keep big row groups: the 32k-row text
+# sizing applied to a 600M-row lineitem yields ~18k row groups and a
+# ~19 MB serialized footer — 32 concurrent Spark tasks each decode
+# that footer and a 4 g heap OOMs in the SCAN, before any query work
+# (hit at the r14 factor1000 regeneration). 512k-row groups keep the
+# footer ~1 MB; per-group memory stays small because the rows are a
+# few dozen bytes, unlike document text.
+_WIDE_TEXT_GROUP_ROWS = 32768
+_NARROW_GROUP_ROWS = 524288
+_TEXT_TABLES = {"documents", "events"}  # events carries a JSON props string
+
+
+def _normalize_layout(path: str, table: str) -> None:
     """Rewrite a generated parquet into a scan-friendly layout.
 
     DuckDB's COPY writes PLAIN-encoded column chunks as effectively
@@ -206,13 +218,18 @@ def _normalize_layout(path: str) -> None:
     then buffers whole-page-scale decompression per task, and 32
     concurrent tasks breached the ladder's 4 g heap (r10: qd1 OOM'd
     in a FRESH session; after this rewrite the same query runs in
-    7 s). Values are untouched; only row-group size (32k rows) and
-    data-page size (1 MB) change."""
+    7 s). Values are untouched; only row-group size (table-sized —
+    see ``_NARROW_GROUP_ROWS``) and data-page size (1 MB) change."""
+    rows = (
+        _WIDE_TEXT_GROUP_ROWS
+        if table in _TEXT_TABLES or table == "embeddings"
+        else _NARROW_GROUP_ROWS
+    )
     tmp = path + ".norm"
     pq.write_table(
         pq.read_table(path),
         tmp,
-        row_group_size=32768,
+        row_group_size=rows,
         data_page_size=1 << 20,
         compression="snappy",
         use_dictionary=False,
