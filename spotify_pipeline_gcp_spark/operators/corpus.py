@@ -435,7 +435,20 @@ def export_gate(
                 deduped["_digest"] == stored_digests["digest"],
                 "left_anti",
             )
-        gram_src = quality
+        # Gram stream off the RAW normalized scan, not the quality
+        # subset (r14): `quality` as gram_src made the contamination
+        # consumer re-run the whole per-document battery (dup3
+        # lookahead regex + token split + md5) just to re-derive a
+        # filter whose only effect is dropping docs the final
+        # winners-anti-join drops anyway — the 5 M-doc stageprof
+        # showed the two quality consumers at 92.7 + 65.8 s. Scoring
+        # the extra (low-quality) docs' grams is harmless: the
+        # contaminated-id set is intersected with `deduped` winners,
+        # so extra ids never reach the output (same argument the
+        # docstring already makes for pre-dedup gram sourcing).
+        # This consumer now pays only scan + whitespace-normalize +
+        # the gram extraction itself.
+        gram_src = staged
     else:
         keep = quality.groupBy("_digest").agg(F.min(id_col).alias(id_col))
         deduped = quality.join(keep, [id_col, "_digest"], "left_semi")
