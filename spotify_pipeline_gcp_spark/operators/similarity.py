@@ -1598,6 +1598,104 @@ def _topn_probe_ranks_halves(
     )
 
 
+def _topn_probe_ranks_halves_blas(
+    pts: DataFrame,
+    cent1: DataFrame,
+    cent2: DataFrame,
+    d_half: int,
+    nprobe: int,
+) -> DataFrame:
+    """``_topn_probe_ranks_halves`` as a vectorized per-row map — the
+    BIT-EXACT fold twin (not the quantized kernel): emits the same
+    (id, t1, t2) rows, same double bits, same tie order, so qs28's
+    hash-verified oracle (which replays the FLOAT fold chain) is
+    untouched while the Θ(n·2k·d) scoring runs as NumPy array ops
+    instead of a 2k-way crossJoin + interpreted HOF fold + struct
+    SortAggregate (the measured ~100 s term of the qs28 rung row).
+
+    Bit-exactness argument: ``_dot_pre`` is ``aggregate(zip_with(a, b,
+    x*y), 0.0, acc+v)`` — each product rounded once, then a SEQUENTIAL
+    left-to-right sum, each add rounded once. The kernel replays
+    exactly that: one elementwise multiply per dimension, accumulated
+    in dimension order with one rounded add each (never ``U @ C.T``,
+    whose accumulation order differs at ulp level), the ``0.0`` init
+    reproduced as ``p0 + 0.0`` (normalizes a ``-0.0`` first product
+    the way the fold's ``0.0 + p0`` does — IEEE addition commutes
+    bitwise). Probe selection replays ``array_sort``'s struct order
+    ((nd, cid) ascending, Double.compare semantics) via an IEEE
+    total-order int64 key (−0.0 < +0.0, NaN greatest) with a stable
+    argsort over cid-ascending columns. Verified: 0 bit-mismatches vs
+    the fold on real corpora (tests/test_similarity.py pins kernel ==
+    fold on sf0.001), and qs28 stays hash-verified at sf0.01/sf0.1.
+
+    No exchange at all: the fold form's scored stream needed a
+    groupBy (2k scored rows per point through a partial
+    SortAggregate — the ``_widen_for_scoring`` OOM class); here each
+    point's probe lists are computed row-locally in its scan task, so
+    the guard is unnecessary by construction. Model side is one
+    k-bounded collect per half (the BLAS-kernel convention —
+    ``assign_clusters_quant_blas``'s accounting). Per-task transient
+    is chunked to ~4M score cells regardless of k."""
+    import numpy as np
+    import pandas as pd
+
+    def _model(cent):
+        rows = sorted(cent.collect(), key=lambda r: r["cid"])
+        cids = np.array([int(r["cid"]) for r in rows], dtype="int64")
+        mat = np.array([list(r["c"]) for r in rows], dtype="float64")
+        return cids, mat
+
+    cids1, c1m = _model(cent1)
+    cids2, c2m = _model(cent2)
+    take1, take2 = min(nprobe, len(cids1)), min(nprobe, len(cids2))
+    # per-chunk transient: rows × (k1 + k2) float64 score cells ≈ 32 MB
+    chunk = max(1, 4_000_000 // max(len(cids1) + len(cids2), 1))
+
+    def _fold_dots(u_mat, c_mat):
+        # sequential multiply-add, one rounding per op — _dot_pre's bits
+        acc = u_mat[:, 0][:, None] * c_mat[None, :, 0] + 0.0
+        for i in range(1, c_mat.shape[1]):
+            acc = acc + u_mat[:, i][:, None] * c_mat[None, :, i]
+        return acc
+
+    def _tok(a):
+        # IEEE-754 total-order int64 key: monotone with Double.compare
+        # (−0.0 < +0.0, NaN above all) — what array_sort uses on nd
+        bits = a.view(np.int64)
+        return np.where(bits >= 0, bits, np.int64(-1) - (bits - np.int64(-(2**63))))
+
+    def _top(u_mat, cids, c_mat, take):
+        nd = -_fold_dots(u_mat, c_mat)
+        idx = np.argsort(_tok(nd), axis=1, kind="stable")[:, :take]
+        vals = np.take_along_axis(nd, idx, axis=1)
+        sel = cids[idx]
+        return [
+            [{"nd": float(v), "cid": int(c)} for v, c in zip(vr, cr)]
+            for vr, cr in zip(vals, sel)
+        ]
+
+    def kernel(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                part = pdf.iloc[lo : lo + chunk]
+                u_mat = np.array([list(u) for u in part["u"]], dtype="float64")
+                yield pd.DataFrame(
+                    {
+                        "id": part["id"].to_numpy(),
+                        "t1": _top(u_mat[:, :d_half], cids1, c1m, take1),
+                        "t2": _top(u_mat[:, d_half:], cids2, c2m, take2),
+                    }
+                )
+
+    return pts.select("id", "u").mapInPandas(
+        kernel,
+        schema=(
+            "id bigint, t1 array<struct<nd: double, cid: bigint>>, "
+            "t2 array<struct<nd: double, cid: bigint>>"
+        ),
+    )
+
+
 def _topn_probes(pts: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
     """(id, u, cid, probe_rank): each point's top-``nprobe`` nearest
     cells by dot product (ties → lowest cid) — ``_argmax_assign``
@@ -2809,6 +2907,7 @@ def cosine_topk_imi_multiprobe_blas(
     cents: tuple[DataFrame, DataFrame] | None = None,
     quant: bool = False,
     work_rows: int | None = None,
+    probe_kernel: bool = True,
 ) -> DataFrame:
     """Multiprobe IMI at BLAS throughput — the last cell of the
     recall-knob × kernel matrix: qs24's 2×2 product probe grid (each
@@ -2853,20 +2952,27 @@ def cosine_topk_imi_multiprobe_blas(
     # chains: imi_assign's pass plus two separate probe passes, each
     # rebuilding the scan→unit-vector map; an intermediate two-chain
     # shape still paid 2×~80 s): both halves' top-n probe lists come
-    # from ONE tagged-union scored stream
-    # (``_topn_probe_ranks_halves`` — the imi_assign trick
-    # generalized to top-n), and the assignment is ``t[0]`` (probe
+    # from ONE scored pass, and the assignment is ``t[0]`` (probe
     # rank 1 — the ranking's (−dot, cid) order is identical to the
     # assignment argmax's, ``_topn_probes``' documented contract).
+    # Session 4 moved that pass from the tagged-union crossJoin+fold
+    # (``_topn_probe_ranks_halves`` — kept as the A/B-pinned fold
+    # form, ``probe_kernel=False``) to its BIT-EXACT vectorized twin
+    # (``_topn_probe_ranks_halves_blas`` — same double bits, same tie
+    # order, no exchange, no ``work_rows`` sorter guard needed).
     # The per-id probe row (id + two ≤nprobe struct arrays) is
     # consumed twice (all rank combos → query side, rank-1 pair →
     # database side); a DISK_ONLY localCheckpoint pins it so neither
     # consumer re-runs the scoring. Output is bit-identical to the
     # imi_assign shape (same dots, same tie order) — the oracle and
     # the qs24 agreement pytest are unchanged.
-    both = _topn_probe_ranks_halves(
-        pts, cent1, cent2, h, nprobe_each, work_rows=work_rows
-    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    if probe_kernel:
+        both = _topn_probe_ranks_halves_blas(pts, cent1, cent2, h, nprobe_each)
+    else:
+        both = _topn_probe_ranks_halves(
+            pts, cent1, cent2, h, nprobe_each, work_rows=work_rows
+        )
+    both = both.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     d_ids = both.select(
         "id",
         F.col("t1")[0]["cid"].alias("cid1"),

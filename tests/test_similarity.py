@@ -1020,6 +1020,46 @@ def test_multiprobe_blas_imi_matches_multiprobe_fold_imi(spark):
     assert fold == blas and len(fold) > 0
 
 
+def test_probe_kernel_bit_exact_vs_fold(spark):
+    # _topn_probe_ranks_halves_blas (qs28's session-4 vectorized probe
+    # pass) must reproduce the crossJoin+fold form BIT-FOR-BIT — same
+    # ids, same probe cids in the same order, same nd double bits —
+    # because qs28's oracle replays the FLOAT fold chain and the query
+    # is hash-verified. Compared via repr() of the structs (repr of a
+    # float is bit-faithful for doubles).
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _half_dim,
+        _topn_probe_ranks_halves,
+        _topn_probe_ranks_halves_blas,
+        _unit_vectors,
+        imi_cells_for,
+        kmeans_centroids_on_halves,
+    )
+    from spotify_pipeline_gcp_spark.queries.compat import table
+    from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    emb = table(spark, sf_dir, "embeddings")
+    pts = _unit_vectors(emb, "vec_id", "embedding")
+    h = _half_dim(emb, "embedding")
+    k = imi_cells_for(emb.count())
+    cent1, cent2 = kmeans_centroids_on_halves(pts, h, k=k, n_iter=2)
+
+    def snap(df):
+        return {
+            r["id"]: (
+                [(repr(e["nd"]), e["cid"]) for e in r["t1"]],
+                [(repr(e["nd"]), e["cid"]) for e in r["t2"]],
+            )
+            for r in df.collect()
+        }
+
+    fold = snap(_topn_probe_ranks_halves(pts, cent1, cent2, h, 2))
+    blas = snap(_topn_probe_ranks_halves_blas(pts, cent1, cent2, h, 2))
+    assert fold == blas and len(fold) > 0
+
+
 def test_model_memo_shares_and_reproduces(spark):
     # 1) a cleared memo and a warm memo must give IDENTICAL qs19
     #    results (the memo only skips re-running deterministic
