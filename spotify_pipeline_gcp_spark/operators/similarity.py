@@ -1604,6 +1604,8 @@ def _topn_probe_ranks_halves_blas(
     cent2: DataFrame,
     d_half: int,
     nprobe: int,
+    with_u: bool = False,
+    cids_only: bool = False,
 ) -> DataFrame:
     """``_topn_probe_ranks_halves`` as a vectorized per-row map — the
     BIT-EXACT fold twin (not the quantized kernel): emits the same
@@ -1635,7 +1637,25 @@ def _topn_probe_ranks_halves_blas(
     the guard is unnecessary by construction. Model side is one
     k-bounded collect per half (the BLAS-kernel convention —
     ``assign_clusters_quant_blas``'s accounting). Per-task transient
-    is chunked to ~4M score cells regardless of k."""
+    is chunked to ~4M score cells regardless of k.
+
+    ``with_u=True`` passes the unit vector through UNTOUCHED (Arrow
+    float64 round-trip — bit-lossless) so consumers that need (id, u,
+    probes) — qs28's two packing sides — read them from the ONE
+    checkpointed kernel output instead of joining ``pts`` back (which
+    re-ran scan + unit-normalize + an id-keyed join sort per
+    consumer: the 52 s + 43 s stages of the 102 s rung row).
+
+    ``cids_only=True`` emits t1/t2 as plain ``array<bigint>`` probe
+    cid lists (rank order) instead of (nd, cid) structs — identical
+    cid selection, narrower payload. **A/B measured and NOT adopted**
+    (session 4, 5 M rung, same data, fresh 4 g JVMs): struct form
+    61.4/70.4/74.5 s vs cid-only 77.9/82.4 s — the hypothesis that
+    per-row dict building + list<struct> Arrow conversion dominated
+    the materialization stage did not hold (the stage's cost is the
+    checkpoint + packing-exchange serialization of ``u``, which both
+    forms carry). qs28 keeps the struct form; the flag stays for the
+    measurement's reproducibility and the pytest pin."""
     import numpy as np
     import pandas as pd
 
@@ -1667,8 +1687,10 @@ def _topn_probe_ranks_halves_blas(
     def _top(u_mat, cids, c_mat, take):
         nd = -_fold_dots(u_mat, c_mat)
         idx = np.argsort(_tok(nd), axis=1, kind="stable")[:, :take]
-        vals = np.take_along_axis(nd, idx, axis=1)
         sel = cids[idx]
+        if cids_only:
+            return list(sel)  # one int64 ndarray per row → list<bigint>
+        vals = np.take_along_axis(nd, idx, axis=1)
         return [
             [{"nd": float(v), "cid": int(c)} for v, c in zip(vr, cr)]
             for vr, cr in zip(vals, sel)
@@ -1678,21 +1700,24 @@ def _topn_probe_ranks_halves_blas(
         for pdf in batches:
             for lo in range(0, len(pdf), chunk):
                 part = pdf.iloc[lo : lo + chunk]
-                u_mat = np.array([list(u) for u in part["u"]], dtype="float64")
-                yield pd.DataFrame(
-                    {
-                        "id": part["id"].to_numpy(),
-                        "t1": _top(u_mat[:, :d_half], cids1, c1m, take1),
-                        "t2": _top(u_mat[:, d_half:], cids2, c2m, take2),
-                    }
+                u_mat = np.vstack(part["u"].to_numpy()).astype(
+                    "float64", copy=False
                 )
+                cols = {"id": part["id"].to_numpy()}
+                if with_u:
+                    # passthrough, no numeric conversion — exact
+                    cols["u"] = part["u"].to_numpy()
+                cols["t1"] = _top(u_mat[:, :d_half], cids1, c1m, take1)
+                cols["t2"] = _top(u_mat[:, d_half:], cids2, c2m, take2)
+                yield pd.DataFrame(cols)
 
+    u_field = "u array<double>, " if with_u else ""
+    t_type = (
+        "array<bigint>" if cids_only else "array<struct<nd: double, cid: bigint>>"
+    )
     return pts.select("id", "u").mapInPandas(
         kernel,
-        schema=(
-            "id bigint, t1 array<struct<nd: double, cid: bigint>>, "
-            "t2 array<struct<nd: double, cid: bigint>>"
-        ),
+        schema=f"id bigint, {u_field}t1 {t_type}, t2 {t_type}",
     )
 
 
@@ -2967,40 +2992,51 @@ def cosine_topk_imi_multiprobe_blas(
     # imi_assign shape (same dots, same tie order) — the oracle and
     # the qs24 agreement pytest are unchanged.
     if probe_kernel:
-        both = _topn_probe_ranks_halves_blas(pts, cent1, cent2, h, nprobe_each)
+        # the kernel emits u alongside the probe lists (bit-lossless
+        # Arrow passthrough), so BOTH packing consumers read (id, u,
+        # probes) straight off the one checkpoint — no pts join-back,
+        # no second/third corpus scan + re-normalize (session 4: the
+        # two join-side stages were 52 s + 43 s of the 102 s rung row)
+        both = _topn_probe_ranks_halves_blas(
+            pts, cent1, cent2, h, nprobe_each, with_u=True, cids_only=False
+        ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        d_side = both.select(
+            "id",
+            "u",
+            F.col("t1")[0]["cid"].alias("cid1"),
+            F.col("t2")[0]["cid"].alias("cid2"),
+        )
+        q_side = (
+            both.select("id", "u", F.explode("t1").alias("p1"), "t2")
+            .select("id", "u", F.col("p1.cid").alias("cid1"), F.explode("t2").alias("p2"))
+            .select("id", "u", "cid1", F.col("p2.cid").alias("cid2"))
+        )
     else:
         both = _topn_probe_ranks_halves(
             pts, cent1, cent2, h, nprobe_each, work_rows=work_rows
+        ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        d_ids = both.select(
+            "id",
+            F.col("t1")[0]["cid"].alias("cid1"),
+            F.col("t2")[0]["cid"].alias("cid2"),
         )
-    both = both.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    d_ids = both.select(
-        "id",
-        F.col("t1")[0]["cid"].alias("cid1"),
-        F.col("t2")[0]["cid"].alias("cid2"),
-    )
-    d_packed = (
-        pts.join(d_ids, "id")
-        .groupBy("cid1", "cid2")
-        .agg(
-            F.collect_list(
-                F.struct(F.col("id"), F.col("u").alias("v"))
-            ).alias("d_items")
+        d_side = pts.join(d_ids, "id")
+        q_keys = (
+            both.select("id", F.explode("t1").alias("p1"), "t2")
+            .select(
+                "id", F.col("p1.cid").alias("cid1"), F.explode("t2").alias("p2")
+            )
+            .select("id", "cid1", F.col("p2.cid").alias("cid2"))
+        )
+        q_side = pts.join(q_keys, "id")
+    d_packed = d_side.groupBy("cid1", "cid2").agg(
+        F.collect_list(F.struct(F.col("id"), F.col("u").alias("v"))).alias(
+            "d_items"
         )
     )
-    q_keys = (
-        both.select("id", F.explode("t1").alias("p1"), "t2")
-        .select(
-            "id", F.col("p1.cid").alias("cid1"), F.explode("t2").alias("p2")
-        )
-        .select("id", "cid1", F.col("p2.cid").alias("cid2"))
-    )
-    q_packed = (
-        pts.join(q_keys, "id")
-        .groupBy("cid1", "cid2")
-        .agg(
-            F.collect_list(
-                F.struct(F.col("id"), F.col("u").alias("v"))
-            ).alias("q_items")
+    q_packed = q_side.groupBy("cid1", "cid2").agg(
+        F.collect_list(F.struct(F.col("id"), F.col("u").alias("v"))).alias(
+            "q_items"
         )
     )
     combos = q_packed.join(d_packed, ["cid1", "cid2"]).select(

@@ -1059,6 +1059,22 @@ def test_probe_kernel_bit_exact_vs_fold(spark):
     blas = snap(_topn_probe_ranks_halves_blas(pts, cent1, cent2, h, 2))
     assert fold == blas and len(fold) > 0
 
+    # with_u/cids_only (qs28's shape) must select the same probe cids
+    # in the same rank order AND pass u through bit-losslessly
+    withu = _topn_probe_ranks_halves_blas(
+        pts, cent1, cent2, h, 2, with_u=True, cids_only=True
+    )
+    wu_rows = withu.collect()
+    cid_seq = {r["id"]: (list(r["t1"]), list(r["t2"])) for r in wu_rows}
+    fold_cids = {
+        i: ([c for _, c in t1], [c for _, c in t2])
+        for i, (t1, t2) in fold.items()
+    }
+    assert cid_seq == fold_cids
+    src_u = {r["id"]: [repr(x) for x in r["u"]] for r in pts.collect()}
+    ker_u = {r["id"]: [repr(x) for x in r["u"]] for r in wu_rows}
+    assert ker_u == src_u
+
 
 def test_model_memo_shares_and_reproduces(spark):
     # 1) a cleared memo and a warm memo must give IDENTICAL qs19
