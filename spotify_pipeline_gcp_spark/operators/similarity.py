@@ -1606,6 +1606,7 @@ def _topn_probe_ranks_halves_blas(
     nprobe: int,
     with_u: bool = False,
     cids_only: bool = False,
+    raw: tuple[str, str] | None = None,
 ) -> DataFrame:
     """``_topn_probe_ranks_halves`` as a vectorized per-row map — the
     BIT-EXACT fold twin (not the quantized kernel): emits the same
@@ -1655,7 +1656,19 @@ def _topn_probe_ranks_halves_blas(
     the materialization stage did not hold (the stage's cost is the
     checkpoint + packing-exchange serialization of ``u``, which both
     forms carry). qs28 keeps the struct form; the flag stays for the
-    measurement's reproducibility and the pytest pin."""
+    measurement's reproducibility and the pytest pin.
+
+    ``raw=(id_col, vec_col)``: ``pts`` is the RAW table and the
+    kernel computes the unit vectors itself, bit-exactly replaying
+    ``_unit_vectors``'s chain — cast float→double (exact), norm =
+    ``sqrt(fold(zip_with(v, v, x*y), 0.0, acc+v))`` as the same
+    sequential multiply-add (``np.sqrt`` and Java ``Math.sqrt`` are
+    both IEEE correctly-rounded), then one exact division per
+    element. This removes the JVM HOF normalize (two transient
+    array<double> allocations per row — the GC source of the
+    materialization stage) and ships float32 across Arrow instead of
+    float64 (half the boundary bytes); the emitted ``u`` doubles are
+    the same bits the JVM fold would have produced (pytest-pinned)."""
     import numpy as np
     import pandas as pd
 
@@ -1700,13 +1713,25 @@ def _topn_probe_ranks_halves_blas(
         for pdf in batches:
             for lo in range(0, len(pdf), chunk):
                 part = pdf.iloc[lo : lo + chunk]
-                u_mat = np.vstack(part["u"].to_numpy()).astype(
-                    "float64", copy=False
-                )
                 cols = {"id": part["id"].to_numpy()}
-                if with_u:
-                    # passthrough, no numeric conversion — exact
-                    cols["u"] = part["u"].to_numpy()
+                if raw is not None:
+                    v_mat = np.vstack(part["v"].to_numpy()).astype("float64")
+                    # _unit_vectors' bits: sequential fold norm, then
+                    # one exact division per element
+                    p = v_mat * v_mat
+                    acc = p[:, 0] + 0.0
+                    for i in range(1, p.shape[1]):
+                        acc = acc + p[:, i]
+                    u_mat = v_mat / np.sqrt(acc)[:, None]
+                    if with_u:
+                        cols["u"] = list(u_mat)
+                else:
+                    u_mat = np.vstack(part["u"].to_numpy()).astype(
+                        "float64", copy=False
+                    )
+                    if with_u:
+                        # passthrough, no numeric conversion — exact
+                        cols["u"] = part["u"].to_numpy()
                 cols["t1"] = _top(u_mat[:, :d_half], cids1, c1m, take1)
                 cols["t2"] = _top(u_mat[:, d_half:], cids2, c2m, take2)
                 yield pd.DataFrame(cols)
@@ -1715,7 +1740,18 @@ def _topn_probe_ranks_halves_blas(
     t_type = (
         "array<bigint>" if cids_only else "array<struct<nd: double, cid: bigint>>"
     )
-    return pts.select("id", "u").mapInPandas(
+    if raw is not None:
+        id_col, vec_col = raw
+        # same cluster-width repartition _double_base applies: the
+        # parquet scan splits into few large partitions, and the
+        # kernel fuses into the scan stage — the skinny float32
+        # exchange buys full-width parallelism (r8's measured fix)
+        src = pts.repartition(
+            pts.sparkSession.sparkContext.defaultParallelism
+        ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    else:
+        src = pts.select("id", "u")
+    return src.mapInPandas(
         kernel,
         schema=f"id bigint, {u_field}t1 {t_type}, t2 {t_type}",
     )
@@ -2998,7 +3034,16 @@ def cosine_topk_imi_multiprobe_blas(
         # no second/third corpus scan + re-normalize (session 4: the
         # two join-side stages were 52 s + 43 s of the 102 s rung row)
         both = _topn_probe_ranks_halves_blas(
-            pts, cent1, cent2, h, nprobe_each, with_u=True, cids_only=False
+            df,
+            cent1,
+            cent2,
+            h,
+            nprobe_each,
+            with_u=True,
+            cids_only=False,
+            # the kernel unit-normalizes bit-exactly itself: no JVM HOF
+            # pass, float32 across the Arrow boundary (see the helper)
+            raw=(id_col, vec_col),
         ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         d_side = both.select(
             "id",

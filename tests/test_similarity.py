@@ -1075,6 +1075,17 @@ def test_probe_kernel_bit_exact_vs_fold(spark):
     ker_u = {r["id"]: [repr(x) for x in r["u"]] for r in wu_rows}
     assert ker_u == src_u
 
+    # raw path (qs28's deployed shape): the kernel unit-normalizes
+    # float32 input itself — probes AND the emitted u doubles must be
+    # bit-identical to the JVM _unit_vectors fold chain
+    raw = _topn_probe_ranks_halves_blas(
+        emb, cent1, cent2, h, 2, with_u=True, raw=("vec_id", "embedding")
+    )
+    raw_rows = raw.collect()
+    assert snap(raw) == fold
+    raw_u = {r["id"]: [repr(x) for x in r["u"]] for r in raw_rows}
+    assert raw_u == src_u
+
 
 def test_model_memo_shares_and_reproduces(spark):
     # 1) a cleared memo and a warm memo must give IDENTICAL qs19
