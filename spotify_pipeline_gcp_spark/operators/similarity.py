@@ -1242,7 +1242,11 @@ def kmeans_centroids_quant(
 
 
 def assign_clusters_quant_blas(
-    pts: DataFrame, cent: DataFrame, id_col: str = "id", u_col: str = "u"
+    pts: DataFrame,
+    cent: DataFrame,
+    id_col: str = "id",
+    u_col: str = "u",
+    raw: bool = False,
 ) -> DataFrame:
     """(id, cid): quantized-exact assignment at dgemm throughput — the
     BUILD-time kernel for n·k corpus routing that stays HASH-VERIFIED.
@@ -1255,7 +1259,19 @@ def assign_clusters_quant_blas(
     consumers to rows-only. Ties break to the
     lowest cid (argmax-first over ascending-cid rows — the fold's
     ``max(struct(dot, -cid))`` order). Callers must
-    ``ensure_package_on_workers`` first."""
+    ``ensure_package_on_workers`` first.
+
+    ``raw=True``: ``pts`` is the RAW table (``u_col`` names the raw
+    embedding column) and the kernel computes the unit vectors itself
+    — bit-exactly replaying ``_unit_vectors``'s chain (exact
+    float→double cast, sequential-fold norm, ``sqrt``, one exact
+    division per element — the ``_topn_probe_ranks_halves_blas``
+    argument) before quantizing. This removes the JVM HOF normalize
+    (two transient array<double> allocations per corpus row — 182 s
+    of GC in the 56 s manifest-build assignment stage at the 2 M
+    rung) and ships float32 across Arrow instead of float64; it adds
+    the cluster-width repartition ``_double_base`` would have
+    applied, since the caller's ``_unit_vectors`` is skipped."""
     import numpy as np
 
     q = float(_ASSIGN_QSCALE)
@@ -1272,19 +1288,29 @@ def assign_clusters_quant_blas(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            U = _np.floor(
-                _np.stack(
-                    [_np.asarray(u, dtype="float64") for u in pdf[u_col]]
-                )
-                * q
-                + 0.5
+            V = _np.vstack(pdf[u_col].to_numpy()).astype(
+                "float64", copy=False
             )
+            if raw:
+                # _unit_vectors' bits: sequential fold norm, then one
+                # exact division per element
+                p = V * V
+                acc = p[:, 0] + 0.0
+                for i in range(1, p.shape[1]):
+                    acc = acc + p[:, i]
+                V = V / _np.sqrt(acc)[:, None]
+            U = _np.floor(V * q + 0.5)
             best = cids[_np.argmax(U @ C.T, axis=1)]
             yield pd.DataFrame({"id": pdf[id_col], "cid": best})
 
-    return pts.select(
+    src = pts.select(
         F.col(id_col).alias(id_col), F.col(u_col).alias(u_col)
-    ).mapInPandas(_assign, schema="id long, cid long")
+    )
+    if raw:
+        src = src.repartition(
+            pts.sparkSession.sparkContext.defaultParallelism
+        )
+    return src.mapInPandas(_assign, schema="id long, cid long")
 
 
 def cosine_topk_kmeans(
@@ -1426,8 +1452,11 @@ def write_index_manifest(
     # are bit-identical to the fold, so routing the build through
     # BLAS keeps the drained report hash-verified (_ASSIGN_QSCALE)
     ensure_package_on_workers(corpus.sparkSession)
+    # raw=True: the kernel unit-normalizes bit-exactly itself — no JVM
+    # HOF pass over the corpus, float32 across the Arrow boundary
+    # (session-4 rung A/B: build 86.4 -> see OPTIMIZATION_r14.md)
     asg = assign_clusters_quant_blas(
-        _unit_vectors(corpus, id_col, vec_col), centroids
+        corpus, centroids, id_col=id_col, u_col=vec_col, raw=True
     )
     cells = asg.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_indexed")

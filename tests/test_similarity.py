@@ -1245,6 +1245,16 @@ def test_assign_quant_fold_equals_quant_blas(spark):
     }
     assert fold == blas and len(fold) == df.count()
 
+    # raw=True (the manifest build's deployed shape): the kernel
+    # unit-normalizes the raw table itself — must agree row for row
+    raw = {
+        r.id: r.cid
+        for r in assign_clusters_quant_blas(
+            df, cent, id_col="vec_id", u_col="embedding", raw=True
+        ).collect()
+    }
+    assert raw == fold
+
     # adversarial near-tie: centroids differ by 1e-9 per component —
     # far below the 2^-20 quantization step, so BOTH forms must see
     # EQUAL integer dots and break the tie to the LOWEST cid
