@@ -405,6 +405,7 @@ def cosine_topk_blas(
     vec_col: str = "embedding",
     n_blocks: int | None = None,
     quant: bool = False,
+    raw: bool = True,
 ) -> DataFrame:
     """Exact brute-force top-k with a distributed block-matmul BLAS
     kernel — no driver collect, no whole-collection broadcast.
@@ -442,6 +443,13 @@ def cosine_topk_blas(
       dyadic rational both engines represent exactly — so the query
       is HASH-VERIFIABLE by a DuckDB oracle replaying the same
       quantized dots (the qs19b build discipline applied to search).
+
+    ``raw=True`` (default): the packed blocks carry the RAW float32
+    embeddings — half the shuffle/Arrow bytes of the float64 forms —
+    and the kernel widens (exact) and, for ``quant``, replays the
+    unit-normalize fold bit-exactly (see ``_blas_topk_from_combos``);
+    emitted values are bit-identical to the ``raw=False`` JVM-side
+    cast/normalize paths, pinned by pytest.
     """
     import numpy as np
     import pandas as pd
@@ -456,7 +464,9 @@ def cosine_topk_blas(
         # B ≈ n·d·8 / (128 MB) so one block stays ~task-sized.
         cores = df.sparkSession.sparkContext.defaultParallelism
         n_blocks = max(4, math.ceil(math.sqrt(2 * cores)))
-    if quant:
+    if raw:
+        base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    elif quant:
         base = _unit_vectors(df, id_col, vec_col).select(
             "id", F.col("u").alias("v")
         )
@@ -473,11 +483,11 @@ def cosine_topk_blas(
     combos = packed.select(
         F.col("items").alias("q_items")
     ).crossJoin(packed.select(F.col("items").alias("d_items")))
-    return _blas_topk_from_combos(combos, k, quant=quant)
+    return _blas_topk_from_combos(combos, k, quant=quant, raw=raw)
 
 
 def _blas_topk_from_combos(
-    combos: DataFrame, k: int, quant: bool = False
+    combos: DataFrame, k: int, quant: bool = False, raw: bool = False
 ) -> DataFrame:
     """Shared BLAS tail: score each (q_items, d_items) block pair with one
     NumPy matmul emitting per-(query, block) partial top-k, then merge
@@ -486,10 +496,17 @@ def _blas_topk_from_combos(
 
     ``quant=False``: rows are raw vectors, normalized HERE (NumPy
     pairwise-summed norm — float throughput mode, rows-only).
-    ``quant=True``: rows are PRE-NORMALIZED unit vectors from the JVM
-    fold; the kernel only rounds at ``_ASSIGN_QSCALE`` and divides the
-    exact integer dot by QSCALE² — every emitted value is bit-exact
-    against the SQL replay (see ``cosine_topk_blas``)."""
+    ``quant=True``: rows are unit vectors; the kernel rounds at
+    ``_ASSIGN_QSCALE`` and divides the exact integer dot by QSCALE² —
+    every emitted value is bit-exact against the SQL replay (see
+    ``cosine_topk_blas``). With ``raw=False`` the unit vectors come
+    pre-normalized from the JVM fold (float64 across the shuffle and
+    Arrow); with ``raw=True`` the rows are the RAW float32 embeddings
+    and the kernel replays ``_unit_vectors``'s chain itself bit-exactly
+    (exact float→double widening, sequential-fold norm, ``sqrt``, one
+    exact division per element — the ``assign_clusters_quant_blas``
+    raw-path argument), which halves the packed blocks' shuffle and
+    Arrow bytes and removes the JVM HOF normalize entirely."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window as W
@@ -500,6 +517,14 @@ def _blas_topk_from_combos(
         ids = np.fromiter((r["id"] for r in items), dtype="int64", count=len(items))
         mat = np.stack([np.asarray(r["v"], dtype="float64") for r in items])
         if quant:
+            if raw:
+                # _unit_vectors' bits: sequential fold norm, then one
+                # exact division per element
+                p = mat * mat
+                acc = p[:, 0] + 0.0
+                for i in range(1, p.shape[1]):
+                    acc = acc + p[:, i]
+                mat = mat / np.sqrt(acc)[:, None]
             return ids, np.floor(mat * qscale + 0.5)
         return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
@@ -560,6 +585,7 @@ def cosine_topk_bucketed_blas(
     n_sub: int = 1,
     quant: bool = False,
     max_bucket: int | None = None,
+    raw: bool = True,
 ) -> DataFrame:
     """IVF-with-BLAS: the production ANN shape. Candidate pruning from
     ``cosine_topk_bucketed`` (sign-bucket code ≈ IVF cluster id) +
@@ -579,11 +605,19 @@ def cosine_topk_bucketed_blas(
     ``quant=False``: raw float64 dgemm — accumulation order differs
     from the SQL fold at ulp level, rows-only; the fold twin (qs3)
     is the oracle-checked exactness baseline. ``quant=True``:
-    quantized-exact scoring over JVM-fold unit vectors (sign buckets
-    are unchanged — sign(u_i) == sign(v_i)), hash-verifiable; see
+    quantized-exact scoring over unit vectors, hash-verifiable; see
     ``cosine_topk_blas``.
+
+    ``raw=True`` (default): sign buckets are computed on the RAW
+    embedding (identical codes — sign(u_i) == sign(v_i), and the
+    oracles already replay raw-sign buckets), packed blocks carry
+    float32 (half the shuffle/Arrow bytes) and the kernel widens +
+    normalizes bit-exactly in NumPy; ``raw=False`` keeps the JVM-side
+    cast/normalize paths (pinned bit-equal by pytest).
     """
-    if quant:
+    if raw:
+        base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    elif quant:
         base = _unit_vectors(df, id_col, vec_col).select(
             "id", F.col("u").alias("v")
         )
@@ -620,7 +654,7 @@ def cosine_topk_bucketed_blas(
         combos = packed.select(
             F.col("items").alias("q_items"), F.col("items").alias("d_items")
         )
-    return _blas_topk_from_combos(combos, k, quant=quant)
+    return _blas_topk_from_combos(combos, k, quant=quant, raw=raw)
 
 
 def sign_bucket_pairs_blas(
@@ -630,6 +664,7 @@ def sign_bucket_pairs_blas(
     vec_col: str = "embedding",
     n_bits: int | None = None,
     n_docs: int | None = None,
+    raw: bool = True,
 ) -> DataFrame:
     """Near-dup PAIRS (id_a < id_b, cosine_q >= threshold) with one
     integer dgemm per sign bucket — the throughput twin of the
@@ -647,17 +682,25 @@ def sign_bucket_pairs_blas(
     the bucket IS the block — and every FLOP runs at BLAS speed.
 
     Scoring is QUANTIZED-EXACT (the qs4/qs26 discipline, see
-    ``cosine_topk_blas``): unit vectors come from the JVM fold
-    (``_unit_vectors`` — bit-identical to the SQL replay; sign
-    buckets are unchanged since sign(u_i) == sign(v_i)), the kernel
-    rounds at ``_ASSIGN_QSCALE`` and the dgemm's integer dots are
-    exact in float64 under any accumulation order (d=64 dot ≤ 2^46 <
-    2^53). Emitted ``cosine_q`` = qdot / 2^40 — a dyadic rational
-    both engines represent exactly — so the threshold cut and every
-    value are hash-verifiable by a DuckDB oracle replaying the same
-    quantized dots. The 2^-20 quantization moves only pairs within
-    ~1e-6 of the threshold, identically in every engine; the fold
-    twin (qd7b) remains the raw-float exactness anchor.
+    ``cosine_topk_blas``): with ``raw=True`` (default) the packed
+    buckets carry the RAW float32 embeddings — sign buckets are
+    computed on the raw vector (identical codes: sign(u_i) ==
+    sign(v_i), and the oracle replays raw-sign buckets) and the
+    kernel replays ``_unit_vectors``'s chain bit-exactly (exact
+    widening, sequential-fold norm, sqrt, one exact division per
+    element) before quantizing, so the JVM never materializes unit
+    vectors (two transient array<double> per row) and the packing
+    shuffle + Arrow boundary carry HALF the bytes. ``raw=False``
+    keeps the JVM-fold unit-vector path (pinned bit-equal by
+    pytest). Either way the kernel rounds at ``_ASSIGN_QSCALE`` and
+    the dgemm's integer dots are exact in float64 under any
+    accumulation order (d=64 dot ≤ 2^46 < 2^53). Emitted
+    ``cosine_q`` = qdot / 2^40 — a dyadic rational both engines
+    represent exactly — so the threshold cut and every value are
+    hash-verifiable by a DuckDB oracle replaying the same quantized
+    dots. The 2^-20 quantization moves only pairs within ~1e-6 of
+    the threshold, identically in every engine; the fold twin (qd7b)
+    remains the raw-float exactness anchor.
 
     Per-task memory: one bucket's score matrix ≤ cap² × 8 B
     (134 MB transient at the 4096 cap, freed per bucket; typical
@@ -670,9 +713,14 @@ def sign_bucket_pairs_blas(
 
     if n_bits is None:
         n_bits = sign_bits_for(df.count() if n_docs is None else n_docs)
-    base = _unit_vectors(df, id_col, vec_col).withColumn(
-        "bucket", sign_bucket("u", n_bits)
-    )
+    if raw:
+        base = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("u")
+        ).withColumn("bucket", sign_bucket("u", n_bits))
+    else:
+        base = _unit_vectors(df, id_col, vec_col).withColumn(
+            "bucket", sign_bucket("u", n_bits)
+        )
     base = drop_hot_buckets(base)
     packed = base.groupBy("bucket").agg(
         F.collect_list(F.struct("id", "u")).alias("items")
@@ -692,6 +740,14 @@ def sign_bucket_pairs_blas(
                 mat = np.stack(
                     [np.asarray(r["u"], dtype="float64") for r in items]
                 )
+                if raw:
+                    # _unit_vectors' bits: sequential fold norm, then
+                    # one exact division per element
+                    p = mat * mat
+                    acc = p[:, 0] + 0.0
+                    for i in range(1, p.shape[1]):
+                        acc = acc + p[:, i]
+                    mat = mat / np.sqrt(acc)[:, None]
                 qm = np.floor(mat * qscale + 0.5)
                 sims = (qm @ qm.T) / (qscale * qscale)
                 iu, ju = np.triu_indices(m, k=1)

@@ -1296,3 +1296,64 @@ def test_sized_blas_buckets_match_sized_fold_buckets(spark):
         for r in qs30_cosine_topk_bucketed_blas_sized(spark, sf_dir).collect()
     }
     assert fold == blas and len(fold) > 0
+
+
+def test_raw_pack_paths_bit_equal_jvm_unit_paths(spark):
+    """raw=True (float32 packing + in-kernel normalize) must emit
+    BIT-IDENTICAL rows to raw=False (JVM cast/fold-normalize) for all
+    three packed-block kernels — the raw path replays _unit_vectors'
+    chain exactly (exact widening, sequential fold norm, sqrt, one
+    division per element), so every score, rank and pair must match
+    including the float bits (the hash-verification contract)."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        cosine_topk_blas,
+        cosine_topk_bucketed_blas,
+        sign_bucket_pairs_blas,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(150)
+
+    for quant in (False, True):
+        a = sorted(
+            map(tuple, cosine_topk_blas(emb, k=3, quant=quant, raw=True).collect())
+        )
+        b = sorted(
+            map(tuple, cosine_topk_blas(emb, k=3, quant=quant, raw=False).collect())
+        )
+        assert a == b and len(a) > 0, f"cosine_topk_blas quant={quant}"
+
+        a = sorted(
+            map(
+                tuple,
+                cosine_topk_bucketed_blas(
+                    emb, k=3, n_bits=4, quant=quant, raw=True
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                cosine_topk_bucketed_blas(
+                    emb, k=3, n_bits=4, quant=quant, raw=False
+                ).collect(),
+            )
+        )
+        assert a == b and len(a) > 0, f"bucketed_blas quant={quant}"
+
+    # threshold -1 keeps EVERY in-bucket pair: the assertion then
+    # covers the full quantized score surface, not just high-cosine
+    # survivors (random sf0.001 vectors have no 0.45+ neighbors)
+    a = sorted(
+        map(
+            tuple,
+            sign_bucket_pairs_blas(emb, threshold=-1.0, n_bits=3, raw=True).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            sign_bucket_pairs_blas(emb, threshold=-1.0, n_bits=3, raw=False).collect(),
+        )
+    )
+    assert a == b and len(a) > 0, "sign_bucket_pairs_blas"

@@ -1,0 +1,118 @@
+"""Same-data A/B: raw-float32 packing + in-kernel normalize (raw=True)
+vs the JVM-fold unit-vector packing (raw=False) for the three packed-
+block BLAS kernels, at the factor1000 rung.
+
+Both sides are the SAME HEAD — ``raw=False`` reproduces the pre-change
+plan exactly (the flag gates the old code path verbatim), so this is a
+controlled same-session, same-data A/B per the r14 measurement policy.
+Each (query, side, rep) runs in a fresh 4 g JVM, noop-drained; sides
+are interleaved (B,A,B,A) so box drift cannot masquerade as a win.
+
+Usage: python tools/probe_raw_pack_ab.py [qd7c|qd10|qs30 ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALED = "/tmp/spark_graft_sf100"
+DRIVER_MEM = "4g"
+OUT = "/tmp/probe_raw_pack_ab.json"
+
+
+def _fresh():
+    from spotify_pipeline_gcp_spark.session import get_spark
+
+    return get_spark(
+        "probe_raw_ab",
+        driver_memory=DRIVER_MEM,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+
+def _build(spark, which: str, raw: bool):
+    from pyspark.sql import functions as F
+
+    from spotify_pipeline_gcp_spark.operators.dedup import dedup_components
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        MAX_SIGN_BUCKET,
+        cosine_topk_bucketed_blas,
+        sign_bits_for,
+        sign_bucket_pairs_blas,
+    )
+    from spotify_pipeline_gcp_spark.pyfiles import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    emb = spark.read.parquet(f"{SCALED}/embeddings.parquet")
+    if which == "qd7c":
+        return sign_bucket_pairs_blas(emb, threshold=0.45, raw=raw)
+    if which == "qd10":
+        edges = sign_bucket_pairs_blas(emb, threshold=0.45, raw=raw).select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        )
+        comp = dedup_components(edges)
+        return comp.select(F.col("doc_id").alias("vec_id"), "component")
+    if which == "qs30":
+        n_bits = sign_bits_for(emb.count())
+        return cosine_topk_bucketed_blas(
+            emb,
+            k=5,
+            n_bits=n_bits,
+            quant=True,
+            max_bucket=MAX_SIGN_BUCKET,
+            raw=raw,
+        ).withColumnRenamed("cosine", "cosine_q")
+    raise SystemExit(f"unknown query {which}")
+
+
+def _time_once(which: str, raw: bool) -> float:
+    spark = _fresh()
+    try:
+        spark.sparkContext.setJobDescription(
+            f"probe_raw_ab {which} raw={raw}"
+        )
+        # time build + drain together: qd10's dedup_components runs an
+        # eager iterate-materialize loop at CONSTRUCTION time, so the
+        # ladder-comparable number includes the fn() call
+        t0 = time.time()
+        df = _build(spark, which, raw)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+    finally:
+        spark.stop()
+
+
+def main() -> int:
+    names = sys.argv[1:] or ["qd7c", "qs30", "qd10"]
+    doc = {}
+    if os.path.exists(OUT):
+        with open(OUT) as fh:
+            doc = json.load(fh)
+    for which in names:
+        row = doc.setdefault(which, {})
+        for rep in range(2):
+            for raw in (False, True):
+                key = "raw" if raw else "jvm_unit"
+                t = _time_once(which, raw)
+                row[key] = min(row.get(key, 1e9), t)
+                row.setdefault(f"{key}_runs", []).append(round(t, 3))
+                print(
+                    f"[{which}] rep{rep} {key}: {t:.1f}s "
+                    f"(min {row[key]:.1f}s)",
+                    flush=True,
+                )
+                tmp = OUT + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(doc, fh, indent=1)
+                os.replace(tmp, OUT)
+    print(json.dumps(doc, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
