@@ -1692,6 +1692,7 @@ def _topn_probe_ranks_halves_blas(
     with_u: bool = False,
     cids_only: bool = False,
     raw: tuple[str, str] | None = None,
+    emit_raw: bool = False,
 ) -> DataFrame:
     """``_topn_probe_ranks_halves`` as a vectorized per-row map — the
     BIT-EXACT fold twin (not the quantized kernel): emits the same
@@ -1753,7 +1754,14 @@ def _topn_probe_ranks_halves_blas(
     array<double> allocations per row — the GC source of the
     materialization stage) and ships float32 across Arrow instead of
     float64 (half the boundary bytes); the emitted ``u`` doubles are
-    the same bits the JVM fold would have produced (pytest-pinned)."""
+    the same bits the JVM fold would have produced (pytest-pinned).
+
+    ``emit_raw=True`` (requires ``raw`` + ``with_u``): the ``u``
+    column passes the RAW float32 vector through untouched instead of
+    the computed float64 unit vector, so the checkpoint and BOTH
+    packing exchanges downstream carry half the bytes; the consumer's
+    scoring kernel re-normalizes bit-exactly
+    (``_blas_topk_from_combos(raw=True)``)."""
     import numpy as np
     import pandas as pd
 
@@ -1809,7 +1817,13 @@ def _topn_probe_ranks_halves_blas(
                         acc = acc + p[:, i]
                     u_mat = v_mat / np.sqrt(acc)[:, None]
                     if with_u:
-                        cols["u"] = list(u_mat)
+                        # emit_raw: float32 passthrough, no numeric
+                        # conversion — the scoring kernel re-derives u
+                        cols["u"] = (
+                            part["v"].to_numpy()
+                            if emit_raw
+                            else list(u_mat)
+                        )
                 else:
                     u_mat = np.vstack(part["u"].to_numpy()).astype(
                         "float64", copy=False
@@ -1821,7 +1835,14 @@ def _topn_probe_ranks_halves_blas(
                 cols["t2"] = _top(u_mat[:, d_half:], cids2, c2m, take2)
                 yield pd.DataFrame(cols)
 
-    u_field = "u array<double>, " if with_u else ""
+    if emit_raw and (raw is None or not with_u):
+        raise ValueError("emit_raw requires raw input and with_u")
+    u_type = (
+        pts.schema[raw[1]].dataType.simpleString()
+        if emit_raw
+        else "array<double>"
+    )
+    u_field = f"u {u_type}, " if with_u else ""
     t_type = (
         "array<bigint>" if cids_only else "array<struct<nd: double, cid: bigint>>"
     )
@@ -1930,6 +1951,7 @@ def cosine_topk_kmeans_blas(
     blas_assign: bool = False,
     cent: DataFrame | None = None,
     quant: bool = False,
+    raw: bool = True,
 ) -> DataFrame:
     """Trained IVF at BLAS speed: the production composition. k-means
     cells from ``kmeans_centroids`` provide the candidate pruning
@@ -1959,7 +1981,17 @@ def cosine_topk_kmeans_blas(
     to ulp accumulation differences (requires a long-typed id).
     ``cent`` accepts a PRE-TRAINED centroid frame (the
     train-once-serve-many split; qs23 passes the memoized shared
-    'ivf:' model)."""
+    'ivf:' model).
+
+    ``raw=True`` (default, ``blas_assign`` only): the assignment
+    kernel takes the RAW embedding table, replays ``_unit_vectors``'s
+    chain bit-exactly itself (the ``assign_clusters_quant_blas``
+    raw-path argument) and passes the raw float32 vector through to
+    the packed search blocks, whose kernel re-normalizes the same way
+    (``_blas_topk_from_combos(raw=True)``). No JVM HOF normalize, and
+    the assignment boundary + packing shuffle carry float32 — half
+    the bytes. Emitted rows are bit-identical (pytest-pinned); the
+    fold-assignment path (``blas_assign=False``) is untouched."""
     if cent is None:
         cent = kmeans_centroids(
             train_df if train_df is not None else df,
@@ -1968,6 +2000,7 @@ def cosine_topk_kmeans_blas(
             k=n_clusters,
             n_iter=n_iter,
         )
+    pack_raw = raw and blas_assign
     if blas_assign:
         import numpy as np
 
@@ -1980,7 +2013,16 @@ def cosine_topk_kmeans_blas(
             # output row for the packed search blocks)
             C = np.floor(C * qscale + 0.5)
         cids = np.asarray([cid for cid, _ in rows], dtype="int64")
-        pts = _unit_vectors(df, id_col, vec_col)
+        if raw:
+            vec_t = df.schema[vec_col].dataType.simpleString()
+            # same cluster-width repartition _double_base applies —
+            # the n·k kernel must not fuse into a few fat scan splits
+            pts = df.repartition(
+                df.sparkSession.sparkContext.defaultParallelism
+            ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("u"))
+        else:
+            vec_t = "array<double>"
+            pts = _unit_vectors(df, id_col, vec_col)
 
         def _assign(batches):
             import numpy as _np
@@ -1992,6 +2034,14 @@ def cosine_topk_kmeans_blas(
                 U = _np.stack(
                     [_np.asarray(u, dtype="float64") for u in pdf["u"]]
                 )
+                if raw:
+                    # _unit_vectors' bits: sequential fold norm, then
+                    # one exact division per element
+                    p = U * U
+                    acc = p[:, 0] + 0.0
+                    for i in range(1, p.shape[1]):
+                        acc = acc + p[:, i]
+                    U = U / _np.sqrt(acc)[:, None]
                 if quant:
                     U = _np.floor(U * qscale + 0.5)
                 best = cids[_np.argmax(U @ C.T, axis=1)]
@@ -2000,7 +2050,7 @@ def cosine_topk_kmeans_blas(
                 )
 
         asg = pts.mapInPandas(
-            _assign, schema="id long, v array<double>, bucket long"
+            _assign, schema=f"id long, v {vec_t}, bucket long"
         )
     else:
         asg = assign_clusters(df, cent, id_col, vec_col).select(
@@ -2026,7 +2076,7 @@ def cosine_topk_kmeans_blas(
         combos = packed.select(
             F.col("items").alias("q_items"), F.col("items").alias("d_items")
         )
-    return _blas_topk_from_combos(combos, k_neighbors, quant=quant)
+    return _blas_topk_from_combos(combos, k_neighbors, quant=quant, raw=pack_raw)
 
 
 
@@ -3054,6 +3104,7 @@ def cosine_topk_imi_multiprobe_blas(
     quant: bool = False,
     work_rows: int | None = None,
     probe_kernel: bool = True,
+    raw: bool = True,
 ) -> DataFrame:
     """Multiprobe IMI at BLAS throughput — the last cell of the
     recall-knob × kernel matrix: qs24's 2×2 product probe grid (each
@@ -3129,6 +3180,10 @@ def cosine_topk_imi_multiprobe_blas(
             # the kernel unit-normalizes bit-exactly itself: no JVM HOF
             # pass, float32 across the Arrow boundary (see the helper)
             raw=(id_col, vec_col),
+            # raw: u passes through as the RAW float32 vector, so the
+            # checkpoint and both packing exchanges carry half the
+            # bytes; the scoring kernel re-normalizes bit-exactly
+            emit_raw=raw,
         ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         d_side = both.select(
             "id",
@@ -3172,7 +3227,9 @@ def cosine_topk_imi_multiprobe_blas(
     combos = q_packed.join(d_packed, ["cid1", "cid2"]).select(
         "q_items", "d_items"
     )
-    return _blas_topk_from_combos(combos, k_neighbors, quant=quant)
+    return _blas_topk_from_combos(
+        combos, k_neighbors, quant=quant, raw=raw and probe_kernel
+    )
 
 
 def cosine_topk_imi_blas(
@@ -3186,6 +3243,7 @@ def cosine_topk_imi_blas(
     blas_assign: bool = False,
     cents: tuple[DataFrame, DataFrame] | None = None,
     quant: bool = False,
+    raw: bool = True,
 ) -> DataFrame:
     """The search-sized IMI at BLAS throughput — ``cosine_topk_imi``'s
     model (same half-quantizer trainer, so with the same ``train_df``
@@ -3228,17 +3286,15 @@ def cosine_topk_imi_blas(
             "fold twin is cosine_topk_imi (float, oracle-checked); "
             "quant exists to make the dgemm route hash-verifiable"
         )
-    pts = _unit_vectors(df, id_col, vec_col)
     h = _half_dim(df, vec_col)
+    pack_raw = raw and blas_assign
     if cents is not None:
         # pre-trained half-quantizers (the train-once-serve-many
         # split; qs26 passes the memoized 'imi:' model here)
         cent1, cent2 = cents
     else:
-        tpts = (
-            _unit_vectors(train_df, id_col, vec_col)
-            if train_df is not None
-            else pts
+        tpts = _unit_vectors(
+            train_df if train_df is not None else df, id_col, vec_col
         )
         cent1, cent2 = kmeans_centroids_on_halves(
             tpts, h, k=k_each, n_iter=n_iter
@@ -3256,6 +3312,18 @@ def cosine_topk_imi_blas(
         if quant:
             C1 = np.floor(C1 * qscale + 0.5)
             C2 = np.floor(C2 * qscale + 0.5)
+        if raw:
+            # raw float32 in, raw float32 through to the packed blocks
+            # (half the assignment-boundary + packing-shuffle bytes);
+            # the kernel replays _unit_vectors' chain bit-exactly and
+            # the search kernel re-normalizes the same way (raw=True)
+            vec_t = df.schema[vec_col].dataType.simpleString()
+            pts = df.repartition(
+                df.sparkSession.sparkContext.defaultParallelism
+            ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("u"))
+        else:
+            vec_t = "array<double>"
+            pts = _unit_vectors(df, id_col, vec_col)
 
         def _assign(batches):
             import numpy as _np
@@ -3267,6 +3335,14 @@ def cosine_topk_imi_blas(
                 U = _np.stack(
                     [_np.asarray(u, dtype="float64") for u in pdf["u"]]
                 )
+                if raw:
+                    # _unit_vectors' bits: sequential fold norm, then
+                    # one exact division per element
+                    p = U * U
+                    acc = p[:, 0] + 0.0
+                    for i in range(1, p.shape[1]):
+                        acc = acc + p[:, i]
+                    U = U / _np.sqrt(acc)[:, None]
                 S = _np.floor(U * qscale + 0.5) if quant else U
                 b1 = cids1[_np.argmax(S[:, :h] @ C1.T, axis=1)]
                 b2 = cids2[_np.argmax(S[:, h:] @ C2.T, axis=1)]
@@ -3278,14 +3354,14 @@ def cosine_topk_imi_blas(
 
         asg = pts.mapInPandas(
             _assign,
-            schema="id long, u array<double>, cid1 long, cid2 long",
+            schema=f"id long, u {vec_t}, cid1 long, cid2 long",
         )
     else:
-        asg = imi_assign(pts, cent1, cent2, h)
+        asg = imi_assign(_unit_vectors(df, id_col, vec_col), cent1, cent2, h)
     packed = asg.select(
         "cid1", "cid2", F.struct(F.col("id"), F.col("u").alias("v")).alias("item")
     ).groupBy("cid1", "cid2").agg(F.collect_list("item").alias("items"))
     combos = packed.select(
         F.col("items").alias("q_items"), F.col("items").alias("d_items")
     )
-    return _blas_topk_from_combos(combos, k_neighbors, quant=quant)
+    return _blas_topk_from_combos(combos, k_neighbors, quant=quant, raw=pack_raw)

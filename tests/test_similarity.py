@@ -1357,3 +1357,40 @@ def test_raw_pack_paths_bit_equal_jvm_unit_paths(spark):
         )
     )
     assert a == b and len(a) > 0, "sign_bucket_pairs_blas"
+
+
+def test_raw_pack_trained_paths_bit_equal_jvm_unit_paths(spark):
+    """Wave 2: the trained/IMI BLAS operators' raw=True mode (raw
+    float32 through assignment kernel + packing, normalize replayed
+    in-kernel) must emit BIT-IDENTICAL rows to raw=False in the
+    quant (hash-verified) shapes the registered queries use
+    (qs23/qs26/qs28/qs10)."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        cosine_topk_imi_blas,
+        cosine_topk_imi_multiprobe_blas,
+        cosine_topk_kmeans_blas,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+
+    for fn, kw in (
+        (
+            cosine_topk_kmeans_blas,
+            dict(k_neighbors=3, n_clusters=4, n_iter=2,
+                 blas_assign=True, quant=True),
+        ),
+        (
+            cosine_topk_imi_blas,
+            dict(k_neighbors=3, k_each=3, n_iter=2,
+                 blas_assign=True, quant=True),
+        ),
+        (
+            cosine_topk_imi_multiprobe_blas,
+            dict(k_neighbors=3, k_each=3, n_iter=2, nprobe_each=2,
+                 quant=True),
+        ),
+    ):
+        a = sorted(map(tuple, fn(emb, raw=True, **kw).collect()))
+        b = sorted(map(tuple, fn(emb, raw=False, **kw).collect()))
+        assert a == b and len(a) > 0, fn.__name__

@@ -35,7 +35,46 @@ def _fresh():
     )
 
 
+REG = {
+    "qs23": "qs23_cosine_topk_ivf_blas_sized",
+    "qs26": "qs26_cosine_topk_imi_blas",
+    "qs28": "qs28_cosine_topk_imi_multiprobe_blas",
+    "qs10": "qs10_ann_full_blas",
+}
+_ORIG: dict = {}
+
+
+def _build_registered(spark, which: str, raw: bool):
+    """Run the REGISTERED query fn with the wave-2 operators' ``raw``
+    default forced to the requested side (the queries don't pass the
+    flag, so patching the module attribute is the whole A/B — the
+    query-side code is identical)."""
+    import functools
+
+    import spotify_pipeline_gcp_spark.operators.similarity as S
+    from spotify_pipeline_gcp_spark.queries import load_all
+
+    for nm in (
+        "cosine_topk_kmeans_blas",
+        "cosine_topk_imi_blas",
+        "cosine_topk_imi_multiprobe_blas",
+    ):
+        if nm not in _ORIG:
+            _ORIG[nm] = getattr(S, nm)
+        orig = _ORIG[nm]
+
+        @functools.wraps(orig)
+        def forced(*a, _orig=orig, **kw):
+            kw["raw"] = raw
+            return _orig(*a, **kw)
+
+        setattr(S, nm, forced)
+    return load_all()[REG[which]].fn(spark, SCALED)
+
+
 def _build(spark, which: str, raw: bool):
+    if which in REG:
+        return _build_registered(spark, which, raw)
     from pyspark.sql import functions as F
 
     from spotify_pipeline_gcp_spark.operators.dedup import dedup_components
