@@ -1172,6 +1172,7 @@ def ivfpq_assign_encode_quant_blas(
     d_sub: int,
     id_col: str = "id",
     u_col: str = "u",
+    raw: bool = False,
 ) -> DataFrame:
     """(id, cid, codes): the ENTIRE IVFPQ corpus-side build in ONE
     Arrow pass — coarse-cell assignment AND all m PQ code selections
@@ -1194,7 +1195,14 @@ def ivfpq_assign_encode_quant_blas(
     before — only WHICH code represents each subvector moves (by at
     most one quantization-boundary neighbor), and the oracle replays
     the same quantized selection. Callers must
-    ``ensure_package_on_workers`` first."""
+    ``ensure_package_on_workers`` first.
+
+    ``raw=True``: ``pts`` is the RAW table (``u_col`` names the raw
+    embedding column) and the kernel replays ``_unit_vectors``'s
+    chain bit-exactly before quantizing (the
+    ``assign_clusters_quant_blas`` raw-path argument) — no JVM HOF
+    normalize, float32 across Arrow; emitted (cid, codes) integers
+    are bit-identical."""
     import numpy as np
 
     q = float(_ASSIGN_QSCALE)
@@ -1219,13 +1227,18 @@ def ivfpq_assign_encode_quant_blas(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            U = _np.floor(
-                _np.stack(
-                    [_np.asarray(u, dtype="float64") for u in pdf[u_col]]
-                )
-                * q
-                + 0.5
+            V = _np.stack(
+                [_np.asarray(u, dtype="float64") for u in pdf[u_col]]
             )
+            if raw:
+                # _unit_vectors' bits: sequential fold norm, then one
+                # exact division per element
+                p = V * V
+                acc = p[:, 0] + 0.0
+                for i in range(1, p.shape[1]):
+                    acc = acc + p[:, i]
+                V = V / _np.sqrt(acc)[:, None]
+            U = _np.floor(V * q + 0.5)
             cells = cids[_np.argmax(U @ C.T, axis=1)]
             codes = _np.empty((len(pdf), m), dtype="int64")
             for s, (bids, Bq, qcc) in enumerate(subs):
@@ -1237,9 +1250,17 @@ def ivfpq_assign_encode_quant_blas(
                 {"id": pdf[id_col], "cid": cells, "codes": codes.tolist()}
             )
 
-    return pts.select(
+    src = pts.select(
         F.col(id_col).alias(id_col), F.col(u_col).alias(u_col)
-    ).mapInPandas(_run, schema="id long, cid long, codes array<long>")
+    )
+    if raw:
+        # the cluster-width repartition _double_base would have
+        # applied — the fused n·(k + m·k_pq) kernel must not inherit
+        # a few fat scan splits
+        src = src.repartition(
+            pts.sparkSession.sparkContext.defaultParallelism
+        )
+    return src.mapInPandas(_run, schema="id long, cid long, codes array<long>")
 
 
 def kmeans_centroids_quant_on(

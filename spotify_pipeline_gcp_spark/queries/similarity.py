@@ -1892,7 +1892,6 @@ def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
 
     from spotify_pipeline_gcp_spark.operators.similarity import (
         _tagged_books,
-        _unit_vectors,
         ivfpq_assign_encode_quant_blas,
         trained_cells_for,
     )
@@ -1914,7 +1913,6 @@ def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
         n = fingerprint["n"]
         k = trained_cells_for(n)
         cent, books = _ivfpq_model(spark, sf_dir, emb, n, k)
-        pts = _unit_vectors(emb, "vec_id", "embedding")
         token = uuid.uuid4().hex[:12]
         tmp = f"{path}.tmp.{token}"
         # the entire corpus side — cell assignment AND all m code
@@ -1926,8 +1924,17 @@ def ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
         # three-job build (the encode's 128 M-row struct-max
         # SortAggregate stacked on the trainer's retained heap ->
         # >600 s). One pass has no aggregate, no join, no second scan.
+        # raw=True (r14 session 5): the kernel unit-normalizes the raw
+        # corpus itself — no JVM HOF pass, float32 across Arrow.
         assigned = ivfpq_assign_encode_quant_blas(
-            pts, cent, books, m=m, d_sub=d_sub
+            emb,
+            cent,
+            books,
+            m=m,
+            d_sub=d_sub,
+            id_col="vec_id",
+            u_col="embedding",
+            raw=True,
         )
         cent.write.mode("overwrite").parquet(os.path.join(tmp, "cents"))
         _tagged_books(books).select(

@@ -1394,3 +1394,42 @@ def test_raw_pack_trained_paths_bit_equal_jvm_unit_paths(spark):
         a = sorted(map(tuple, fn(emb, raw=True, **kw).collect()))
         b = sorted(map(tuple, fn(emb, raw=False, **kw).collect()))
         assert a == b and len(a) > 0, fn.__name__
+
+
+def test_ivfpq_encode_raw_bit_equal_jvm_unit(spark):
+    """ivfpq_assign_encode_quant_blas(raw=True) — the kernel replaying
+    _unit_vectors' chain on the raw corpus — must emit the identical
+    (id, cid, codes) rows as the JVM-unit path (integer outputs, so
+    bit-equality is plain row equality)."""
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _unit_vectors,
+        ivfpq_assign_encode_quant_blas,
+        kmeans_centroids_quant_on,
+        pq_codebooks,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(150)
+    pts = _unit_vectors(emb, "vec_id", "embedding")
+    cent = kmeans_centroids_quant_on(pts, k=4, n_iter=2)
+    books = pq_codebooks(pts, m=4, d_sub=16, k_pq=8, n_iter=2)
+    a = sorted(
+        (r.id, r.cid, tuple(r.codes))
+        for r in ivfpq_assign_encode_quant_blas(
+            emb,
+            cent,
+            books,
+            m=4,
+            d_sub=16,
+            id_col="vec_id",
+            u_col="embedding",
+            raw=True,
+        ).collect()
+    )
+    b = sorted(
+        (r.id, r.cid, tuple(r.codes))
+        for r in ivfpq_assign_encode_quant_blas(
+            pts, cent, books, m=4, d_sub=16
+        ).collect()
+    )
+    assert a == b and len(a) == 150

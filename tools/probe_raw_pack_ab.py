@@ -75,6 +75,35 @@ def _build_registered(spark, which: str, raw: bool):
 def _build(spark, which: str, raw: bool):
     if which in REG:
         return _build_registered(spark, which, raw)
+    if which == "qs19benc":
+        # the IVFPQ store build's fused assign+encode corpus pass
+        # (training included — identical on both sides, so the A/B
+        # delta is the kernel-input change)
+        from spotify_pipeline_gcp_spark.operators.similarity import (
+            _unit_vectors,
+            ivfpq_assign_encode_quant_blas,
+            trained_cells_for,
+        )
+        from spotify_pipeline_gcp_spark.queries.similarity import _ivfpq_model
+        from spotify_pipeline_gcp_spark.pyfiles import (
+            ensure_package_on_workers,
+        )
+
+        ensure_package_on_workers(spark)
+        emb = spark.read.parquet(f"{SCALED}/embeddings.parquet")
+        n = emb.count()
+        cent, books = _ivfpq_model(
+            spark, SCALED, emb, n, trained_cells_for(n)
+        )
+        if raw:
+            return ivfpq_assign_encode_quant_blas(
+                emb, cent, books, m=4, d_sub=16,
+                id_col="vec_id", u_col="embedding", raw=True,
+            )
+        return ivfpq_assign_encode_quant_blas(
+            _unit_vectors(emb, "vec_id", "embedding"),
+            cent, books, m=4, d_sub=16,
+        )
     from pyspark.sql import functions as F
 
     from spotify_pipeline_gcp_spark.operators.dedup import dedup_components
