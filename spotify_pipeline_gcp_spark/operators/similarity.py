@@ -16,38 +16,31 @@ path is the drop-in replacement where throughput demands it (see
 from __future__ import annotations
 
 import math
-from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-@contextmanager
-def _no_aqe(spark):
-    """Scope ``spark.sql.adaptive.enabled=false`` around a
-    model-training loop (r14, guide §1.2/§2.4 job-count reduction).
-
-    Every Lloyd-style trainer here runs a FIXED number of iterations
-    over a k·d-bounded model against a sample-sized point frame; AQE
-    has nothing to re-plan (no skew, no join-strategy surprises, the
-    broadcast side is an explicit literal frame) but each AQE query
-    stage materializes as a SEPARATE scheduler round — measured on
-    this box at ~0.1 s fixed latency per job, 3-5 extra jobs per
-    iteration across the loops. With AQE scoped off, each per-
-    iteration collect is ONE multi-stage job. Results are bit
-    identical by construction: assignment dots are per-row folds,
-    argmax is a commutative struct-max, and the centroid update is a
-    quantized-integer sum that commutes under ANY partitioning —
-    that determinism contract is what makes the trainers
-    oracle-replayable in the first place, independent of AQE. The
-    conf is restored in ``finally`` so the surrounding query (which
-    DOES want AQE: real scans, real joins) is untouched."""
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+# Trainer loops run with AQE ON, like every other path (r15 revert of
+# the r14 ``_no_aqe`` scoping). r14 scoped AQE off inside the Lloyd
+# loops to save 3-5 scheduler rounds per iteration (a win on the r14
+# builder box, ~0.1 s fixed latency per job) — but with AQE off every
+# trainer shuffle runs at the raw ``spark.sql.shuffle.partitions``
+# (= cores) instead of coalescing to the handful of tasks the
+# sample-sized frames need, and the driver's r14 bench regressed the
+# whole family 21-41% (qs8 0.59x, qs10 0.72x, qs7 0.74x, qs11 0.79x)
+# on a box ~20% FASTER than r13's. The r15 same-box isolation A/B
+# (tools/ab_r15.py, sf0.1, warmup + min-of-3, fresh session per
+# variant) confirmed AQE-on wins at 32 cores and costs nothing at 8:
+#   32c total: _no_aqe 25.24 s | AQE on 21.09 s | _no_aqe+parts=4 22.03 s
+#     (qs7 4.05->3.07, qs8 3.28->2.29, qs10 2.97->2.50, qs11 5.63->4.00)
+#   8c total:  _no_aqe 25.54 s | AQE on 25.62 s (noise-level)
+# Worker-BLAS pinning (OPENBLAS_NUM_THREADS=1) was A/B'd in the same
+# sweep and is SHARPLY worse (32c total 38.18 s): this numpy links
+# OpenBLAS MAX_THREADS=2 and the 2-thread dgemm is a real win per
+# kernel batch — rejected. Outputs are bit-identical under either AQE
+# setting by the trainers' determinism contract (per-row fold dots,
+# commutative struct-max argmax, quantized-integer cell sums).
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -1051,25 +1044,24 @@ def kmeans_centroids_on(pts: DataFrame, k: int, n_iter: int = 2) -> DataFrame:
     spark = pts.sparkSession
     pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        with _no_aqe(spark):
-            cent = _seeded_init(pts, k)
-            for _ in range(n_iter):
-                assigned = _argmax_assign(pts, cent)
-                means = _cell_means(assigned, "cid")
-                new_cent = means.select(
-                    "cid",
-                    F.transform(
-                        "mv",
-                        lambda x: x
-                        / F.sqrt(_dot_pre(F.col("mv"), F.col("mv"))),
-                    ).alias("c"),
-                )
-                # O(k·d) model state to the driver, re-broadcast next
-                # round — truncates plan growth; this is model
-                # exchange, not data collection (size independent of
-                # |df|).
-                rows = [(r["cid"], list(r["c"])) for r in new_cent.collect()]
-                cent = spark.createDataFrame(rows, "cid long, c array<double>")
+        cent = _seeded_init(pts, k)
+        for _ in range(n_iter):
+            assigned = _argmax_assign(pts, cent)
+            means = _cell_means(assigned, "cid")
+            new_cent = means.select(
+                "cid",
+                F.transform(
+                    "mv",
+                    lambda x: x
+                    / F.sqrt(_dot_pre(F.col("mv"), F.col("mv"))),
+                ).alias("c"),
+            )
+            # O(k·d) model state to the driver, re-broadcast next
+            # round — truncates plan growth; this is model
+            # exchange, not data collection (size independent of
+            # |df|).
+            rows = [(r["cid"], list(r["c"])) for r in new_cent.collect()]
+            cent = spark.createDataFrame(rows, "cid long, c array<double>")
     finally:
         pts.unpersist(blocking=False)
     return cent
@@ -1283,22 +1275,21 @@ def kmeans_centroids_quant_on(
     spark = pts.sparkSession
     pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        with _no_aqe(spark):
-            cent = _seeded_init(pts, k)
-            for _ in range(n_iter):
-                asg = assign_clusters_quant_blas(pts, cent)
-                assigned = pts.join(asg, "id").select("id", "u", "cid")
-                means = _cell_means(assigned, "cid")
-                new_cent = means.select(
-                    "cid",
-                    F.transform(
-                        "mv",
-                        lambda x: x
-                        / F.sqrt(_dot_pre(F.col("mv"), F.col("mv"))),
-                    ).alias("c"),
-                )
-                rows = [(r["cid"], list(r["c"])) for r in new_cent.collect()]
-                cent = spark.createDataFrame(rows, "cid long, c array<double>")
+        cent = _seeded_init(pts, k)
+        for _ in range(n_iter):
+            asg = assign_clusters_quant_blas(pts, cent)
+            assigned = pts.join(asg, "id").select("id", "u", "cid")
+            means = _cell_means(assigned, "cid")
+            new_cent = means.select(
+                "cid",
+                F.transform(
+                    "mv",
+                    lambda x: x
+                    / F.sqrt(_dot_pre(F.col("mv"), F.col("mv"))),
+                ).alias("c"),
+            )
+            rows = [(r["cid"], list(r["c"])) for r in new_cent.collect()]
+            cent = spark.createDataFrame(rows, "cid long, c array<double>")
     finally:
         pts.unpersist(blocking=False)
     return cent
@@ -2126,8 +2117,7 @@ def kmeans_centroids_blas(
     spark = df.sparkSession
     ensure_package_on_workers(spark)
     pts = _unit_vectors(df, id_col, vec_col)
-    with _no_aqe(spark):
-        init = _seeded_init(pts, k).collect()
+    init = _seeded_init(pts, k).collect()
     cent = np.stack(
         [
             np.asarray(r["c"], dtype="float64")
@@ -2366,60 +2356,59 @@ def kmeans_centroids_on_halves(
         ).alias("s", "u"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        with _no_aqe(spark):
-            top = (
-                pts.select(
-                    "id", "u", F.md5(F.col("id").cast("string")).alias("ik")
+        top = (
+            pts.select(
+                "id", "u", F.md5(F.col("id").cast("string")).alias("ik")
+            )
+            .orderBy("ik", "id")
+            .limit(k)
+            .collect()
+        )
+        rows = [
+            (s, cid, list(r["u"])[s * d_half : (s + 1) * d_half])
+            for s in range(2)
+            for cid, r in enumerate(top)
+        ]
+        cent = spark.createDataFrame(
+            rows, "s int, cid long, c array<double>"
+        )
+        for _ in range(n_iter):
+            scored = subs.join(F.broadcast(cent), "s").withColumn(
+                "score", _dot_pre(F.col("u"), F.col("c"))
+            )
+            assigned = (
+                scored.groupBy("s", "id")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("score"), (-F.col("cid")).alias("ncid")
+                        )
+                    ).alias("best"),
+                    F.first("u").alias("u"),
                 )
-                .orderBy("ik", "id")
-                .limit(k)
-                .collect()
+                .select(
+                    "s",
+                    "u",
+                    (-F.col("best.ncid")).cast("long").alias("cid"),
+                )
+            )
+            means = _cell_means(assigned, ["s", "cid"])
+            new_cent = means.select(
+                "s",
+                "cid",
+                F.transform(
+                    "mv",
+                    lambda x: x
+                    / F.sqrt(_dot_pre(F.col("mv"), F.col("mv"))),
+                ).alias("c"),
             )
             rows = [
-                (s, cid, list(r["u"])[s * d_half : (s + 1) * d_half])
-                for s in range(2)
-                for cid, r in enumerate(top)
+                (r["s"], r["cid"], list(r["c"]))
+                for r in new_cent.collect()
             ]
             cent = spark.createDataFrame(
                 rows, "s int, cid long, c array<double>"
             )
-            for _ in range(n_iter):
-                scored = subs.join(F.broadcast(cent), "s").withColumn(
-                    "score", _dot_pre(F.col("u"), F.col("c"))
-                )
-                assigned = (
-                    scored.groupBy("s", "id")
-                    .agg(
-                        F.max(
-                            F.struct(
-                                F.col("score"), (-F.col("cid")).alias("ncid")
-                            )
-                        ).alias("best"),
-                        F.first("u").alias("u"),
-                    )
-                    .select(
-                        "s",
-                        "u",
-                        (-F.col("best.ncid")).cast("long").alias("cid"),
-                    )
-                )
-                means = _cell_means(assigned, ["s", "cid"])
-                new_cent = means.select(
-                    "s",
-                    "cid",
-                    F.transform(
-                        "mv",
-                        lambda x: x
-                        / F.sqrt(_dot_pre(F.col("mv"), F.col("mv"))),
-                    ).alias("c"),
-                )
-                rows = [
-                    (r["s"], r["cid"], list(r["c"]))
-                    for r in new_cent.collect()
-                ]
-                cent = spark.createDataFrame(
-                    rows, "s int, cid long, c array<double>"
-                )
     finally:
         subs.unpersist(blocking=False)
     halves = {}
@@ -2445,29 +2434,28 @@ def kmeans_l2_on(pts: DataFrame, k: int, n_iter: int = 2) -> DataFrame:
     contract as ``kmeans_centroids_on``: seeded-md5 init, fixed
     iterations, ties → lowest cid."""
     spark = pts.sparkSession
-    with _no_aqe(spark):
-        cent = _seeded_init(pts, k)
-        for _ in range(n_iter):
-            withcc = cent.withColumn("cc", _dot_pre(F.col("c"), F.col("c")))
-            scored = pts.crossJoin(F.broadcast(withcc)).withColumn(
-                "score",
-                _dot_pre(F.col("u"), F.col("c")) - F.lit(0.5) * F.col("cc"),
+    cent = _seeded_init(pts, k)
+    for _ in range(n_iter):
+        withcc = cent.withColumn("cc", _dot_pre(F.col("c"), F.col("c")))
+        scored = pts.crossJoin(F.broadcast(withcc)).withColumn(
+            "score",
+            _dot_pre(F.col("u"), F.col("c")) - F.lit(0.5) * F.col("cc"),
+        )
+        assigned = (
+            scored.groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(F.col("score"), (-F.col("cid")).alias("ncid"))
+                ).alias("best"),
+                F.first("u").alias("u"),
             )
-            assigned = (
-                scored.groupBy("id")
-                .agg(
-                    F.max(
-                        F.struct(F.col("score"), (-F.col("cid")).alias("ncid"))
-                    ).alias("best"),
-                    F.first("u").alias("u"),
-                )
-                .select(
-                    "id", "u", (-F.col("best.ncid")).cast("long").alias("cid")
-                )
+            .select(
+                "id", "u", (-F.col("best.ncid")).cast("long").alias("cid")
             )
-            means = _cell_means(assigned, "cid")
-            rows = [(r["cid"], list(r["mv"])) for r in means.collect()]
-            cent = spark.createDataFrame(rows, "cid long, c array<double>")
+        )
+        means = _cell_means(assigned, "cid")
+        rows = [(r["cid"], list(r["mv"])) for r in means.collect()]
+        cent = spark.createDataFrame(rows, "cid long, c array<double>")
     return cent
 
 
@@ -2503,59 +2491,58 @@ def pq_codebooks(
         ).alias("s", "u"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        with _no_aqe(spark):
-            # seeded init: the same k md5(id)-ranked points seed every
-            # subspace (one TakeOrdered job; slices taken driver-side)
-            top = (
-                pts.select(
-                    "id", "u", F.md5(F.col("id").cast("string")).alias("ik")
-                )
-                .orderBy("ik", "id")
-                .limit(k_pq)
-                .collect()
+        # seeded init: the same k md5(id)-ranked points seed every
+        # subspace (one TakeOrdered job; slices taken driver-side)
+        top = (
+            pts.select(
+                "id", "u", F.md5(F.col("id").cast("string")).alias("ik")
             )
-            cent_rows = [
-                (s, cid, list(r["u"])[s * d_sub : (s + 1) * d_sub])
-                for s in range(m)
-                for cid, r in enumerate(top)
+            .orderBy("ik", "id")
+            .limit(k_pq)
+            .collect()
+        )
+        cent_rows = [
+            (s, cid, list(r["u"])[s * d_sub : (s + 1) * d_sub])
+            for s in range(m)
+            for cid, r in enumerate(top)
+        ]
+        cent = spark.createDataFrame(
+            cent_rows, "s int, cid long, c array<double>"
+        )
+        rows = cent_rows  # n_iter=0 returns the seeded codebooks
+        for _ in range(n_iter):
+            withcc = cent.withColumn(
+                "cc", _dot_pre(F.col("c"), F.col("c"))
+            )
+            scored = subs.join(F.broadcast(withcc), "s").withColumn(
+                "score",
+                _dot_pre(F.col("u"), F.col("c"))
+                - F.lit(0.5) * F.col("cc"),
+            )
+            assigned = (
+                scored.groupBy("s", "id")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("score"), (-F.col("cid")).alias("ncid")
+                        )
+                    ).alias("best"),
+                    F.first("u").alias("u"),
+                )
+                .select(
+                    "s",
+                    "u",
+                    (-F.col("best.ncid")).cast("long").alias("cid"),
+                )
+            )
+            means = _cell_means(assigned, ["s", "cid"])
+            rows = [
+                (r["s"], r["cid"], list(r["mv"]))
+                for r in means.collect()
             ]
             cent = spark.createDataFrame(
-                cent_rows, "s int, cid long, c array<double>"
+                rows, "s int, cid long, c array<double>"
             )
-            rows = cent_rows  # n_iter=0 returns the seeded codebooks
-            for _ in range(n_iter):
-                withcc = cent.withColumn(
-                    "cc", _dot_pre(F.col("c"), F.col("c"))
-                )
-                scored = subs.join(F.broadcast(withcc), "s").withColumn(
-                    "score",
-                    _dot_pre(F.col("u"), F.col("c"))
-                    - F.lit(0.5) * F.col("cc"),
-                )
-                assigned = (
-                    scored.groupBy("s", "id")
-                    .agg(
-                        F.max(
-                            F.struct(
-                                F.col("score"), (-F.col("cid")).alias("ncid")
-                            )
-                        ).alias("best"),
-                        F.first("u").alias("u"),
-                    )
-                    .select(
-                        "s",
-                        "u",
-                        (-F.col("best.ncid")).cast("long").alias("cid"),
-                    )
-                )
-                means = _cell_means(assigned, ["s", "cid"])
-                rows = [
-                    (r["s"], r["cid"], list(r["mv"]))
-                    for r in means.collect()
-                ]
-                cent = spark.createDataFrame(
-                    rows, "s int, cid long, c array<double>"
-                )
     finally:
         subs.unpersist(blocking=False)
     final = {}
