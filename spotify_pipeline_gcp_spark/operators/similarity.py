@@ -109,6 +109,42 @@ def _double_base(
     )
 
 
+# Target ON-SCAN bytes per packed BLAS block (r15, VERDICT r14 #3).
+# One block is ONE ``collect_list`` row, so block bytes must stay
+# task-sized as the collection grows — a cores-derived block COUNT
+# makes block SIZE grow linearly with n (unbounded at 100 TB). The
+# kernel widens float32->float64 (2x), holds two blocks per combo
+# plus the (rows_q x rows_d) float64 score matrix; 32 MB on-scan
+# keeps the per-task transients in the low hundreds of MB.
+_BLAS_BLOCK_BYTES = 32 << 20
+
+
+def _scan_bytes_est(df: DataFrame) -> int | None:
+    """Optimizer-estimated input bytes for BLAS block sizing, ONLY
+    when the plan is projections/filters over leaf relations (the
+    ``_sizing_count`` guard reused): there the estimate is backed by
+    real file sizes, while derived plans (joins, aggregates,
+    generates) carry estimates wrong by orders of magnitude in either
+    direction — and a wrong block count costs B^2 useless combos or
+    an OOM-sized block. Returns None for derived frames; callers fall
+    back to the cores floor (and can pass the block count
+    explicitly). No job runs: statistics come from the file index."""
+    import re
+
+    from spotify_pipeline_gcp_spark.operators.dedup import _SCAN_CHEAP_NODES
+
+    plan = df._jdf.queryExecution().optimizedPlan()
+    nodes = {
+        m.group(1)
+        for m in re.finditer(
+            r"^[\s:+\-]*'?([A-Za-z][A-Za-z0-9]*)", plan.treeString(), re.M
+        )
+    }
+    if nodes - _SCAN_CHEAP_NODES:
+        return None
+    return int(plan.stats().sizeInBytes())
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Attach the L2 norm of the embedding column."""
     v = F.col(vec_col)
@@ -413,10 +449,13 @@ def cosine_topk_blas(
 
     Scale accounting: shuffled bytes = 2·B·|collection| (each block
     participates in B combos); per-task memory = 2 blocks ≈
-    2·n·d·8/B bytes. Pick B so a block is ~64-256 MB: B grows
-    linearly with the collection, tasks stay constant-size, and the
-    driver never touches vector data — this is the standard parallel
-    dense GEMM decomposition. Compose with ``sign_bucket`` (qs3) when
+    2·n·d·8/B bytes. The default B (r15) is sized from DATA VOLUME —
+    ``max(√(2·cores) floor, scan_bytes / _BLAS_BLOCK_BYTES)`` — so B
+    grows linearly with the collection, blocks stay ~task-sized, and
+    the driver never touches vector data: the standard parallel
+    dense GEMM decomposition. Block count changes no output row
+    (every pair meets in exactly one combo; the rank merge is
+    global), so the sizing is a pure execution knob. Compose with ``sign_bucket`` (qs3) when
     n² slabs are no longer affordable at all and approximate recall
     is acceptable.
 
@@ -451,12 +490,22 @@ def cosine_topk_blas(
     if n_blocks is None:
         # B² combos saturate the cluster already at B ≈ √(2·cores);
         # replication cost (2·B·|collection|) and per-combo unpack
-        # overhead both grow linearly in B, so default to the
-        # smallest B that keeps every core busy. Production callers
-        # with large collections size B from data volume instead:
-        # B ≈ n·d·8 / (128 MB) so one block stays ~task-sized.
+        # overhead both grow linearly in B, so the FLOOR is the
+        # smallest B that keeps every core busy. The DATA term (r15):
+        # B ≥ scan_bytes / _BLAS_BLOCK_BYTES keeps one block (= one
+        # collect_list row) ~task-sized as n grows — the docstring's
+        # n·d·8/128MB accounting, now computed from the optimizer's
+        # file-backed stats instead of left to the caller. max() of
+        # the two: small collections keep every core busy, large
+        # collections keep blocks bounded. Derived frames (no stats)
+        # keep the cores floor — pass ``n_blocks`` explicitly there.
         cores = df.sparkSession.sparkContext.defaultParallelism
-        n_blocks = max(4, math.ceil(math.sqrt(2 * cores)))
+        est = _scan_bytes_est(df)
+        n_blocks = max(
+            4,
+            math.ceil(math.sqrt(2 * cores)),
+            math.ceil(est / _BLAS_BLOCK_BYTES) if est else 0,
+        )
     if raw:
         base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     elif quant:
@@ -575,7 +624,7 @@ def cosine_topk_bucketed_blas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bits: int = 4,
-    n_sub: int = 1,
+    n_sub: int | None = None,
     quant: bool = False,
     max_bucket: int | None = None,
     raw: bool = True,
@@ -589,11 +638,18 @@ def cosine_topk_bucketed_blas(
     FLOP runs at BLAS speed instead of the interpreted fold.
 
     ``n_sub`` sub-splits each bucket by id-hash into n_sub² block
-    pairs for when one cluster outgrows a task (at 100 TB: size so a
-    block is ~64-256 MB, same accounting as ``cosine_topk_blas``;
-    skewed clusters are exactly the salting problem — n_sub is the
-    salt). Recall == single-probe bucketing (qs3) by construction;
-    compose with the multi-probe trick (qs5) for boundary recall.
+    pairs for when one cluster outgrows a task (skewed clusters are
+    exactly the salting problem — n_sub is the salt). Default (None):
+    derived from data volume (r15) — the EXPECTED bucket carries
+    ``scan_bytes / 2^n_bits``, so ``n_sub = ceil(that /
+    _BLAS_BLOCK_BYTES)`` keeps the average block task-sized at any
+    corpus size (1 for small inputs — the old default — growing with
+    n). Sub-splitting changes NO output row (every (query, neighbor)
+    pair still meets in exactly the q-sub × d-sub combo of their
+    shared bucket, and the rank window is global). Outlier buckets far
+    above the expectation are ``max_bucket``'s job, not n_sub's.
+    Recall == single-probe bucketing (qs3) by construction; compose
+    with the multi-probe trick (qs5) for boundary recall.
 
     ``quant=False``: raw float64 dgemm — accumulation order differs
     from the SQL fold at ulp level, rows-only; the fold twin (qs3)
@@ -627,6 +683,13 @@ def cosine_topk_bucketed_blas(
         # (≤ cap² × 8 B transient) — without it one mega-bucket block
         # is a quadratic dgemm on one task
         base = drop_hot_buckets(base, max_bucket)
+    if n_sub is None:
+        est = _scan_bytes_est(df)
+        n_sub = (
+            max(1, math.ceil(est / (1 << n_bits) / _BLAS_BLOCK_BYTES))
+            if est
+            else 1
+        )
     if n_sub > 1:
         base = base.withColumn("sub", F.pmod(F.xxhash64("id"), F.lit(n_sub)))
         packed = base.groupBy("bucket", "sub").agg(
@@ -1958,7 +2021,7 @@ def cosine_topk_kmeans_blas(
     vec_col: str = "embedding",
     n_clusters: int = 8,
     n_iter: int = 2,
-    n_sub: int = 1,
+    n_sub: int | None = None,
     train_df: DataFrame | None = None,
     blas_assign: bool = False,
     cent: DataFrame | None = None,
@@ -2067,6 +2130,16 @@ def cosine_topk_kmeans_blas(
     else:
         asg = assign_clusters(df, cent, id_col, vec_col).select(
             "id", F.col("u").alias("v"), F.col("cid").alias("bucket")
+        )
+    if n_sub is None:
+        # expected cell bytes = scan_bytes / k; sub-split so the
+        # average packed block stays task-sized (see
+        # cosine_topk_bucketed_blas — output rows are invariant)
+        est = _scan_bytes_est(df)
+        n_sub = (
+            max(1, math.ceil(est / n_clusters / _BLAS_BLOCK_BYTES))
+            if est
+            else 1
         )
     if n_sub > 1:
         asg = asg.withColumn("sub", F.pmod(F.xxhash64("id"), F.lit(n_sub)))
@@ -3041,7 +3114,7 @@ def cosine_topk_kmeans_blas_trained(
     vec_col: str = "embedding",
     n_clusters: int = 8,
     n_iter: int = 2,
-    n_sub: int = 1,
+    n_sub: int | None = None,
     quant: bool = False,
 ) -> DataFrame:
     """End-to-end BLAS trained ANN: a matmul trainer feeding the
@@ -3076,6 +3149,13 @@ def cosine_topk_kmeans_blas_trained(
     asg = assign_clusters(df, cent, id_col, vec_col).select(
         "id", F.col("u").alias("v"), F.col("cid").alias("bucket")
     )
+    if n_sub is None:
+        est = _scan_bytes_est(df)
+        n_sub = (
+            max(1, math.ceil(est / n_clusters / _BLAS_BLOCK_BYTES))
+            if est
+            else 1
+        )
     if n_sub > 1:
         asg = asg.withColumn("sub", F.pmod(F.xxhash64("id"), F.lit(n_sub)))
         packed = asg.groupBy("bucket", "sub").agg(
