@@ -429,9 +429,29 @@ def ngram_lm_score(
     c2 = inst.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("n_bi")
     )
-    c1 = c2.groupBy("w1").agg(F.sum("n_bi").cast("long").alias("n_prefix"))
-    probs = c2.join(c1, "w1").select(
-        "w1", "w2", F.expr(f"({scale} * n_bi) div n_prefix").alias("q")
+    # Prefix counts via a WINDOW over the bigram counts (r15): the
+    # r13/r14 shape built ``c1`` as a separate aggregate and joined it
+    # back — but Catalyst re-derives c2's whole subtree inside the
+    # join's c1 branch (column pruning makes the two subtrees differ,
+    # so ReuseExchange never fires), and the 5 M-doc rung paid the
+    # full scan→normalize→split→explode pass a THIRD time for it
+    # (three ~100 s 32-task scan stages in the r15 stageprof; plan
+    # before/after in plans/r15). ``sum(n_bi) over (partition by
+    # w1)`` computes the identical exact BIGINT total on the
+    # Zipf-small count table itself — one small exchange instead of a
+    # full corpus pass, and the c2/c1 join disappears. Two fat
+    # materializations were measured and REJECTED at the rung before
+    # this: per-doc gram counts localCheckpoint'ed to share ONE
+    # explode pass across all consumers (125 -> 250 s — the
+    # row-serialized write+3x read of the 220 M-row gram table costs
+    # more than the pass it saves).
+    probs = c2.select(
+        "w1",
+        "w2",
+        F.expr(
+            f"({scale} * n_bi) div "
+            "(sum(n_bi) OVER (PARTITION BY w1))"
+        ).alias("q"),
     )
     # SHUFFLE_HASH on the Zipf-compressed probs side (r14): the SMJ
     # alternative SORTS the whole fat transition stream per task —
