@@ -34,76 +34,80 @@ REGISTRY: dict[str, QuerySpec] = {}
 # now an explicit list edit: ``_WINDOW_ORDER`` below is applied after
 # module import, so module order no longer determines the window.
 #
-# Round-14 window (r13 verdict item #1 — rotate to the 45 queries
-# whose last driver row is r11; at r14 they sit at the 2-round policy
-# edge and this window is the only mechanism keeping "all green"
-# attestable): changed/new-code leads first — qd7c (NEW: the
-# quantized-dgemm per-bucket pair kernel, never driver-verified),
-# qd9r (NEW: the SimHash recall audit, r13 verdict item #3), qd10
-# (edge kernel switched to the dgemm AND its oracle's np CTE now
-# replays quantized dots), qt10 (probs join switched to SHUFFLE_HASH
-# — the dictionary-encoding A/B measured worse and was reverted, see
-# operators/text.py:390 — oracle unchanged), qd3b (the capped path now
-# count-caps BEFORE collect_list — same oracle, new plan) — then ALL
-# 45 r11-latest queries. 5 + 45 = exactly 50. qd8/qd12 share qd3b's
-# changed path but keep their r13 rows (1 round old) and identical
-# oracles; the full-registry selfcheck re-verifies them (and
-# everything else) every round. The 43 r12-latest queries form the
-# r15 tranche. Run tools/window_check.py after any registration
-# change.
+# Round-15 window (r14 verdict "Next round" item #2): the r14
+# round's heaviest rewrites were NOT in r14's driver-verified window
+# — their correctness rested on builder selfcheck + pytest pins — so
+# they LEAD here exactly as the verdict lists them: qs28 (probe
+# kernel + raw packing), qs30 (new sized bucketed-BLAS), qp5/qst6
+# (export-gate gram source), qs4/qs6/qs8/qs10/qs23/qs26 (raw-float32
+# packing wave + this round's data-derived block sizing), qs18/qs27
+# (ADC literal tables), qd9c/qd9r2 (collapse audit pair, never
+# driver-verified). qt10 follows (its prefix-count shape changed
+# AGAIN this round — window-derived — so it re-leads despite a fresh
+# r14 row). Then the entire remaining r12-stale tranche (31), then 4
+# r13-stale heavies whose shared code paths moved in r14/r15 (qd8/
+# qd12 capped-jaccard + components, qd14 composition, qs22 trainer
+# path). 15 + 31 + 4 = exactly 50. The trainer-loop AQE revert and
+# block-count sizing are result-invariant by contract and every
+# registered query passed the full builder selfcheck this round; the
+# r14-verified trainer family (qs7/qs11/qs14/qs16/qs17/qs24/...)
+# keeps its 1-round-old rows. Run tools/window_check.py after any
+# registration change.
 _WINDOW_ORDER = [
-    # changed/new-code leads (r13 verdict items #2/#3/#5 + ADVICE)
-    "qd7c_embedding_near_dup_blas",
-    "qd9r_simhash_recall_audit",
-    "qd10_semantic_dedup_components",
+    # r14's driver-unverified rewrites (VERDICT r14 item #2, verbatim)
+    "qs28_cosine_topk_imi_multiprobe_blas",
+    "qs30_cosine_topk_bucketed_blas_sized",
+    "qp5_export_manifest",
+    "qst6_streaming_export_gate",
+    "qs4_cosine_topk_blas",
+    "qs6_cosine_topk_ivf_blas",
+    "qs8_cosine_topk_ivf_kmeans_blas",
+    "qs10_ann_full_blas",
+    "qs23_cosine_topk_ivf_blas_sized",
+    "qs26_cosine_topk_imi_blas",
+    "qs18_pq_adc_topk",
+    "qs27_cosine_topk_ivfpq_gather",
+    "qd9c_simhash_pairs_collapsed",
+    "qd9r2_simhash_recall_audit_collapsed",
+    # r15-changed lead (window-derived prefix counts)
     "qt10_ngram_lm_score",
-    "qd3b_ngram_jaccard_capped",
-    # r11-stale breadth — VERDICT r13 "Next round" #1 (all 45)
-    "q17_json_extract",
-    "q18_complete_year",
-    "q19_distinct_count",
-    "q20_pivot_event_types",
-    "q21_rollup",
-    "q22_regional_revenue",
-    "q50_feature_trend",
-    "q51_genre_affinity",
-    "qd6_simhash",
-    "qd9_simhash_pairs",
-    "qe1_label_centroids",
-    "qe2_knn_label_vote",
-    "qm3_payload_features",
-    "qm4_frame_sample",
-    "qp4_curriculum_buckets",
-    "qs11_cosine_topk_ivf_kmeans_multiprobe",
-    "qs12_embedding_quantize",
-    "qs14_cosine_topk_ivf_kmeans_sized",
-    "qs16_cosine_topk_ivf_sample_trained",
-    "qs17_cosine_topk_imi",
-    "qs19b_cosine_topk_ivfpq_store",
-    "qs1_embed_norms",
-    "qs20_hybrid_rrf",
-    "qs22b_ann_index_maintenance_manifest",
-    "qs24_cosine_topk_imi_multiprobe",
-    "qs25_cosine_topk_imi_adc",
-    "qs29_imi_recall_audit",
-    "qs2_cosine_topk",
-    "qs3_cosine_topk_bucketed",
-    "qs5_cosine_topk_multiprobe",
-    "qs7_cosine_topk_ivf_kmeans",
-    "qsp2_split_assign",
-    "qsp3_stratified_sample",
-    "qsp4_domain_mixture",
-    "qst2_streaming_sessionize",
-    "qst4_streaming_stateful_totals",
-    "qst7_streaming_index_maintenance",
-    "qst8_streaming_ann_serving",
-    "qt2_quality_score",
-    "qt3_token_stats",
-    "qt4_fingerprint",
-    "qt5_token_bpeish",
-    "qt6_repetition_filter",
-    "qt7_contamination",
-    "qt8_pii_scrub",
+    # r12-stale tranche — every query whose last driver row is r12
+    "q23_full_outer_join",
+    "q29_window_lag_lead",
+    "q49_grouping_sets",
+    "qd11_incremental_near_dup",
+    "qd13_duplicated_spans",
+    "qd1_dedup_exact_groups",
+    "qd2_dedup_exact_keep",
+    "qd3_ngram_jaccard_pairs",
+    "qd4_minhash_signatures",
+    "qd7_embedding_near_dup",
+    "qd7b_embedding_near_dup_pruned",
+    "qd9b_simhash_pairs_capped",
+    "qk1_salted_agg",
+    "qm1_binary_meta",
+    "qm2_image_decode_meta",
+    "qp1_corpus_prep",
+    "qp2_token_shard_packing",
+    "qp3_token_budget_selection",
+    "qp6_pack_manifest",
+    "qs13_cosine_topk_bucketed_sized",
+    "qs15_query_corpus_topk",
+    "qs19_cosine_topk_ivfpq",
+    "qs9_filtered_ann",
+    "qsp1_hash_sample",
+    "qsp5_temperature_resample",
+    "qsp6_exact_quota_sample",
+    "qst1_streaming_type_rollup",
+    "qst3_streaming_static_enrich",
+    "qt11_vocab_stats",
+    "qt1_lang_id",
+    "qt9_chunk_windows",
+    # r13-stale heavies on r14/r15-changed shared paths
+    "qd8_dedup_components",
+    "qd12_keep_best_per_cluster",
+    "qd14_near_dup_export",
+    "qs22_ann_index_maintenance",
 ]
 
 # Pinned-size exactness baselines (r7 verdict item #5): kept
