@@ -1433,3 +1433,40 @@ def test_ivfpq_encode_raw_bit_equal_jvm_unit(spark):
         ).collect()
     )
     assert a == b and len(a) == 150
+
+
+def test_scan_bytes_est_guard_and_block_sizing(spark):
+    # r15: the packed-BLAS block count derives from the optimizer's
+    # file-backed size estimate — positive for (projections/filters
+    # over) bare scans, None for derived frames (whose estimates can
+    # be wrong by orders of magnitude), and the derived default never
+    # changes output rows vs an explicit block count.
+    from pyspark.sql import functions as F
+
+    from spotify_pipeline_gcp_spark.operators.similarity import (
+        _scan_bytes_est,
+        cosine_topk_blas,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    est = _scan_bytes_est(emb)
+    assert est is not None and est > 0
+    # projections/filters keep the estimate; aggregates lose it
+    assert _scan_bytes_est(emb.where(F.col("label") % 2 == 0)) is not None
+    assert _scan_bytes_est(emb.groupBy("label").count()) is None
+    # block count is a pure execution knob: derived default == any
+    # explicit count, row for row (quant scores are integer-exact, so
+    # even ties rank identically)
+    small = emb.limit(60)
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk_blas(small, k=3, quant=True).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk_blas(
+            small, k=3, quant=True, n_blocks=11
+        ).collect()
+    }
+    assert want == got
